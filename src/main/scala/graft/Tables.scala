@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided testdata tables (TESTDATA.md).
+  *
+  * All queries take an `sfDir` so the same code runs at any scale factor —
+  * on a real cluster these would be external tables partitioned by date /
+  * stream, and every reader below benefits from parquet column pruning and
+  * predicate pushdown (verified via .explain in the specs).
+  */
+object Tables {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    // rejects; read it as a long (ns since epoch) and convert explicitly
+    // where needed (see `tsFromNanos`).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts (ns-since-epoch long, see above) → TimestampType (µs). */
+  def tsFromNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      (c / org.apache.spark.sql.functions.lit(1000L)).cast("long"))
+
+  def region(s: SparkSession, dir: String): DataFrame     = t(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame     = t(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame   = t(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame   = t(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame       = t(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame     = t(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame   = t(s, dir, "lineitem")
+  def events(s: SparkSession, dir: String): DataFrame     = t(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+}
+
+/** One catalog entry: a named Spark query plus (when SQL-expressible) the
+  * equivalent DuckDB SQL for the driver's oracle compare. Column names and
+  * rounding must match exactly between the two (driver hashes values after
+  * sorting columns by name).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    /** Included in the per-round benchmark run (sf0.1). */
+    bench: Boolean = true
+)

@@ -1,0 +1,443 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator catalog — SURVEY.md §2.2–2.6 re-expressed over the
+  * driver testdata, each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB design): every query here is declarative DataFrame
+  * code — Catalyst pushes filters/projections into the parquet scan, AQE
+  * picks broadcast vs shuffled joins and coalesces post-shuffle partitions.
+  * Dimension tables (region/nation/inline knob dims) are explicitly
+  * broadcast. Aggregations are partial (map-side combine) by construction.
+  * Window functions partition on high-cardinality keys (user_id, frame) so
+  * state per partition stays bounded as data grows.
+  */
+object RelationalQueries {
+
+  // ---- shared synthetic-bbox adapter (FIXTURES.md §B) -------------------
+  // Deterministic bboxes derived from events.event_id; some fall outside
+  // the 1280x720 frame so the clipping operator (P4) has work to do.
+  // Mirrors: reference detections [x1,y1,x2,y2,score] (sort.py:213).
+  private def bboxen(e: DataFrame): DataFrame = {
+    val id = col("event_id")
+    e.select(
+      id.as("det_id"),
+      (id % 250).as("frame"),
+      ((id * 37) % 1340 - 60).cast("double").as("x1"),
+      ((id * 53) % 800 - 40).cast("double").as("y1"),
+      ((id * 37) % 1340 - 60 + (id % 200) + 10).cast("double").as("x2"),
+      ((id * 53) % 800 - 40 + (id % 150) + 10).cast("double").as("y2"),
+      (col("value") / 500.0).as("score")
+    )
+  }
+  private val bboxSql =
+    """SELECT event_id AS det_id, event_id % 250 AS frame,
+      |  CAST((event_id*37) % 1340 - 60 AS DOUBLE) AS x1,
+      |  CAST((event_id*53) % 800 - 40 AS DOUBLE) AS y1,
+      |  CAST((event_id*37) % 1340 - 60 + (event_id % 200) + 10 AS DOUBLE) AS x2,
+      |  CAST((event_id*53) % 800 - 40 + (event_id % 150) + 10 AS DOUBLE) AS y2,
+      |  value/500.0 AS score
+      |FROM events""".stripMargin
+
+  /** IoU of two boxes as a pure codegen-friendly column expression
+    * (reference: iou_batch, sort.py:47-63; bb_intersection_over_union,
+    * object_detection.py:105-130). Built from builtin expressions so it
+    * stays inside whole-stage codegen — no UDF boundary.
+    */
+  def iou(ax1: Column, ay1: Column, ax2: Column, ay2: Column,
+          bx1: Column, by1: Column, bx2: Column, by2: Column): Column = {
+    val iw = greatest(lit(0.0), least(ax2, bx2) - greatest(ax1, bx1))
+    val ih = greatest(lit(0.0), least(ay2, by2) - greatest(ay1, by1))
+    val inter = iw * ih
+    val union = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
+    inter / union
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // A1: grouped quality/cost sums (simulate.py totals) — TPC-H-Q1 shape.
+    Q("q01_pricing_summary",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum("l_quantity"), 4).as("sum_qty"),
+            round(sum("l_extendedprice"), 4).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             | round(sum(l_quantity),4) AS sum_qty,
+             | round(sum(l_extendedprice),4) AS sum_base_price,
+             | round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
+             | round(avg(l_quantity),4) AS avg_qty,
+             | count(*) AS count_order
+             |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // P1+P5: class filter + projection (covid_workload.py:74).
+    Q("q02_filter_project",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, user_id, value FROM events WHERE event_type = 'click' ORDER BY event_id")),
+
+    // P2: frame-cadence filter (covid_measures.py:271-277).
+    Q("q03_cadence_filter",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, event_type, value FROM events WHERE event_id % 7 = 0 ORDER BY event_id")),
+
+    // P4: bbox clipping to the 1280x720 frame (object_detection.py:21-36).
+    Q("q04_bbox_clip",
+      (s, d) => bboxen(Tables.events(s, d))
+        .select(
+          col("det_id"),
+          greatest(lit(0.0), col("x1")).as("cx1"),
+          greatest(lit(0.0), col("y1")).as("cy1"),
+          least(lit(1280.0), col("x2")).as("cx2"),
+          least(lit(720.0), col("y2")).as("cy2"))
+        .orderBy("det_id"),
+      Some(s"""WITH b AS ($bboxSql)
+              |SELECT det_id, greatest(0.0, x1) AS cx1, greatest(0.0, y1) AS cy1,
+              |       least(1280.0, x2) AS cx2, least(720.0, y2) AS cy2
+              |FROM b ORDER BY det_id""".stripMargin)),
+
+    // P6/P7: bbox <-> center/area/aspect conversion (sort.py:66-91).
+    Q("q05_bbox_convert",
+      (s, d) => bboxen(Tables.events(s, d))
+        .select(
+          col("det_id"),
+          round((col("x1") + col("x2")) / 2.0, 4).as("cx"),
+          round((col("y1") + col("y2")) / 2.0, 4).as("cy"),
+          round((col("x2") - col("x1")) * (col("y2") - col("y1")), 4).as("area"),
+          round((col("x2") - col("x1")) / (col("y2") - col("y1")), 4).as("aspect"))
+        .orderBy("det_id"),
+      Some(s"""WITH b AS ($bboxSql)
+              |SELECT det_id, round((x1+x2)/2.0,4) AS cx, round((y1+y2)/2.0,4) AS cy,
+              |       round((x2-x1)*(y2-y1),4) AS area,
+              |       round((x2-x1)/(y2-y1),4) AS aspect
+              |FROM b ORDER BY det_id""".stripMargin)),
+
+    // J1/J2: per-frame pairwise IoU theta-join (sort.py:47-63;
+    // object_detection.py:51-63). Equi on frame + theta on overlap; at
+    // scale the frame key shuffles both sides to the same partition so the
+    // quadratic blow-up is bounded per frame, not global.
+    Q("q06_iou_join",
+      (s, d) => {
+        val b = bboxen(Tables.events(s, d))
+        val a = b.alias("a"); val c = b.alias("b")
+        a.join(c, col("a.frame") === col("b.frame") && col("a.det_id") < col("b.det_id"))
+          .select(
+            col("a.frame").as("frame"),
+            col("a.det_id").as("det_a"),
+            col("b.det_id").as("det_b"),
+            round(iou(col("a.x1"), col("a.y1"), col("a.x2"), col("a.y2"),
+                      col("b.x1"), col("b.y1"), col("b.x2"), col("b.y2")), 4).as("iou"))
+          .filter(col("iou") > 0.1)
+          .orderBy("frame", "det_a", "det_b")
+      },
+      Some(s"""WITH b AS ($bboxSql)
+              |SELECT a.frame AS frame, a.det_id AS det_a, b.det_id AS det_b,
+              |  round(greatest(0.0, least(a.x2,b.x2)-greatest(a.x1,b.x1))
+              |      * greatest(0.0, least(a.y2,b.y2)-greatest(a.y1,b.y1))
+              |   / ((a.x2-a.x1)*(a.y2-a.y1) + (b.x2-b.x1)*(b.y2-b.y1)
+              |      - greatest(0.0, least(a.x2,b.x2)-greatest(a.x1,b.x1))
+              |      * greatest(0.0, least(a.y2,b.y2)-greatest(a.y1,b.y1))), 4) AS iou
+              |FROM b a JOIN b b ON a.frame = b.frame AND a.det_id < b.det_id
+              |WHERE round(greatest(0.0, least(a.x2,b.x2)-greatest(a.x1,b.x1))
+              |      * greatest(0.0, least(a.y2,b.y2)-greatest(a.y1,b.y1))
+              |   / ((a.x2-a.x1)*(a.y2-a.y1) + (b.x2-b.x1)*(b.y2-b.y1)
+              |      - greatest(0.0, least(a.x2,b.x2)-greatest(a.x1,b.x1))
+              |      * greatest(0.0, least(a.y2,b.y2)-greatest(a.y1,b.y1))), 4) > 0.1
+              |ORDER BY frame, det_a, det_b""".stripMargin)),
+
+    // J7: fact-dim join chain; nation/region explicitly broadcast (they are
+    // dim-sized at any SF — profiles/categories in the reference).
+    Q("q07_join_agg",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val n = broadcast(Tables.nation(s, d))
+        val r = broadcast(Tables.region(s, d))
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_orders,
+             | round(sum(o_totalprice),2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // J5: prev-row identity join via lag (data_prepare.py:100-117) —
+    // shifted-key self-join expressed as a window, no second scan.
+    Q("q08_prev_event",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("value"),
+                  lag("event_id", 1).over(w).as("prev_event_id"),
+                  round(col("value") - lag("value", 1).over(w), 2).as("delta"))
+          .filter(col("prev_event_id").isNotNull)
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT * FROM (
+             | SELECT user_id, event_id, value,
+             |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_id,
+             |  round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS delta
+             | FROM events) t
+             |WHERE prev_event_id IS NOT NULL ORDER BY user_id, event_id""".stripMargin)),
+
+    // W6/W7: top-k per group (knob_switcher.py:36-57 priority scan).
+    Q("q09_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+                  row_number().over(w).cast("long").as("rk"))
+          .filter(col("rk") <= 3)
+          .orderBy("o_orderpriority", "rk")
+      },
+      Some("""SELECT * FROM (
+             | SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_orderpriority
+             |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+             | FROM orders) t
+             |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin)),
+
+    // D2: Pareto dominance anti-join (knob_tuner.py:214-237): keep parts
+    // not dominated on (price low, size high) within their brand. The
+    // brand equi-key keeps the quadratic comparison bounded per group —
+    // the same trick that makes this survive 100x data.
+    Q("q10_pareto",
+      (s, d) => {
+        val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_retailprice", "p_size")
+        val dom = p.alias("o")
+        p.alias("c").join(dom,
+            col("o.p_brand") === col("c.p_brand") &&
+            col("o.p_retailprice") <= col("c.p_retailprice") &&
+            col("o.p_size") >= col("c.p_size") &&
+            (col("o.p_retailprice") < col("c.p_retailprice") || col("o.p_size") > col("c.p_size")),
+            "left_anti")
+          .select(col("c.p_brand").as("p_brand"), col("c.p_partkey").as("p_partkey"),
+                  col("c.p_retailprice").as("p_retailprice"), col("c.p_size").as("p_size"))
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some("""SELECT c.p_brand AS p_brand, c.p_partkey AS p_partkey,
+             |       c.p_retailprice AS p_retailprice, c.p_size AS p_size
+             |FROM part c WHERE NOT EXISTS (
+             |  SELECT 1 FROM part o WHERE o.p_brand = c.p_brand
+             |   AND o.p_retailprice <= c.p_retailprice AND o.p_size >= c.p_size
+             |   AND (o.p_retailprice < c.p_retailprice OR o.p_size > c.p_size))
+             |ORDER BY p_brand, p_partkey""".stripMargin)),
+
+    // D1: dedup — deterministic representative per key (knob_tuner.py:189-196).
+    Q("q11_dedup",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(min("o_orderkey").as("first_order"),
+             round(max("o_totalprice"), 2).as("max_price"),
+             count(lit(1)).as("n"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, min(o_orderkey) AS first_order,
+             | round(max(o_totalprice),2) AS max_price, count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A3/A4: category histogram normalized to frequencies
+    // (knob_switcher.py:82-83; bincount knob_plan.py:216-219).
+    Q("q12_histogram",
+      (s, d) => {
+        val e = Tables.events(s, d).groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        e.select(col("event_type"), col("cnt"),
+                 round(col("cnt") / sum("cnt").over(Window.partitionBy()), 6).as("freq"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, cnt, round(cnt / sum(cnt) OVER (), 6) AS freq
+             |FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1) t
+             |ORDER BY event_type""".stripMargin)),
+
+    // W1/W4: carry-forward of last non-null (detect-to-track cadence,
+    // social_workload.py:147-172): only every 3rd event "runs the
+    // detector"; others reuse the last detection.
+    Q("q13_carry_forward",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+                  when(col("event_id") % 3 === 0, col("value")).as("detected"))
+          .select(col("user_id"), col("event_id"),
+                  last("detected", ignoreNulls = true).over(w).as("carried"))
+          .filter(col("carried").isNotNull)
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, carried FROM (
+             | SELECT user_id, event_id,
+             |  last_value(CASE WHEN event_id % 3 = 0 THEN value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+             | FROM events) t
+             |WHERE carried IS NOT NULL ORDER BY user_id, event_id""".stripMargin)),
+
+    // W3: fixed tumbling windows (2s chunks; social_workload.py:105-123)
+    // — expressed over event-time minutes so the oracle is portable.
+    Q("q14_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_format(Tables.tsFromNanos(col("ts")), "yyyy-MM-dd HH:mm").as("chunk"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("chunk"),
+      Some("""SELECT strftime(ts, '%Y-%m-%d %H:%M') AS chunk, count(*) AS n,
+             | round(sum(value),2) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P10: date-key arithmetic (knob_plan.py:23-32 hand-rolled carry →
+    // native interval arithmetic).
+    Q("q15_date_arith",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate") + expr("INTERVAL 90 DAYS"), "yyyy-MM").as("month_p90"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("month_p90"),
+      Some("""SELECT strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m') AS month_p90,
+             | count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P12: natural sort key via digit extraction (object_detection.py:132-141).
+    Q("q16_natural_sort",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+                regexp_extract(col("props"), "([0-9]+)", 1).cast("int").as("k"))
+        .orderBy("k", "event_id")
+        .limit(500),
+      Some("""SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k
+             |FROM events ORDER BY k, event_id LIMIT 500""".stripMargin)),
+
+    // P11/S5: JSON config extraction + malformed-row filter
+    // (knob_plan.py:266-269; main.py:46-51).
+    Q("q17_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k").isNotNull && col("k") >= 50)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT k % 10 AS bucket, count(*) AS n FROM (
+             | SELECT CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INT) AS k
+             | FROM events) t
+             |WHERE k IS NOT NULL AND k >= 50 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // unionByName (knob_tuner.py:286-288 candidate-list union).
+    Q("q18_union",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"), lit("c").as("side"))
+        val sup = Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("acctbal"), lit("s").as("side"))
+        c.unionByName(sup)
+          .groupBy("nationkey", "side")
+          .agg(count(lit(1)).as("n"), round(sum("acctbal"), 2).as("total_bal"))
+          .orderBy("nationkey", "side")
+      },
+      Some("""SELECT nationkey, side, count(*) AS n, round(sum(acctbal),2) AS total_bal
+             |FROM (SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'c' AS side FROM customer
+             |      UNION ALL
+             |      SELECT s_nationkey, s_acctbal, 's' FROM supplier) t
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // D4/D5: anti-join (set difference on keys; data_prepare.py:103-116).
+    Q("q19_anti_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_inactive"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_inactive FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // semi-join counterpart.
+    Q("q20_semi_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_active FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // W7: argmax via max_by (knob_switcher.py:88-93 top-1 selections).
+    Q("q21_argmax",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+             round(max("o_totalprice"), 2).as("best_price"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, max_by(o_orderkey, o_totalprice) AS best_order,
+             | round(max(o_totalprice),2) AS best_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P13: reward scalar expression (placement_optimizer.py:112-117):
+    // reward = -cost - delta*max(0, runtime - realtime).
+    Q("q22_reward",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+                (-(col("l_extendedprice") * col("l_discount"))
+                 - lit(0.5) * greatest(lit(0.0), col("l_quantity") / 10.0 - 2.0)).as("reward"))
+        .groupBy("l_returnflag")
+        .agg(round(sum("reward"), 2).as("total_reward"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             | round(sum(-(l_extendedprice*l_discount) - 0.5*greatest(0.0, l_quantity/10.0 - 2.0)),2) AS total_reward,
+             | count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A1 streaming shape: running sums per key (buffer occupancy ledger,
+    // buffer.py:32-33) — ordered window so both engines sum identically.
+    Q("q23_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+                  round(sum("value").over(w), 2).as("running"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             | round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // Rollup (free analytics layer on top of the A-series aggregates).
+    Q("q24_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_extendedprice"), 2).as("rev"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice),2) AS rev,
+             | count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+  )
+}
