@@ -11,7 +11,9 @@ object SparkEntry {
 
   /** Full operator catalog. */
   lazy val catalog: Seq[Q] =
-    graft.queries.RelationalQueries.all
+    graft.queries.RelationalQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search catalog over the `embeddings` table
+  * (`vec_id BIGINT, embedding ARRAY<FLOAT>, label INT`).
+  *
+  * Oracle-checked queries use integer-quantized vectors (floor(x*1000)) so
+  * dot products are exact and the one final double division/sqrt is
+  * IEEE-bit-identical in Spark and DuckDB — thresholds and top-k ranks
+  * then compare exactly. Float-math variants are rows-only + spec-tested.
+  */
+object SimilarityQueries {
+
+  private val quantDuck =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  private val cosDuck =
+    """CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+      |    / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS DOUBLE))
+      |       * sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS DOUBLE)))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Threshold similarity self-join: 50 query vectors vs the corpus.
+    // Query side broadcast → corpus never shuffles.
+    Q("e01_cosine_threshold",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        val q = broadcast(e.filter(col("vec_id") < 50).select(col("vec_id").as("va"), col("qv").as("qa")))
+        q.join(e, col("va") =!= col("vec_id"))
+          .select(col("va"), col("vec_id").as("vb"), cosineQ(col("qa"), col("qv")).as("cos"))
+          .filter(col("cos") >= 0.2)
+          .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+          .orderBy("va", "vb")
+      },
+      Some(s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings)
+              |SELECT a.vec_id AS va, b.vec_id AS vb, round($cosDuck, 6) AS cos
+              |FROM q a JOIN q b ON a.vec_id < 50 AND a.vec_id <> b.vec_id
+              |WHERE $cosDuck >= 0.2
+              |ORDER BY va, vb""".stripMargin)),
+
+    // Exact top-5 neighbors per query (brute-force baseline for ANN).
+    Q("e02_knn_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        val q = broadcast(e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("query_id"), col("qv").as("qa")))
+        val scored = q.join(e, col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosineQ(col("qa"), col("qv")).as("cos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+              |scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosDuck AS cos
+              |  FROM q a JOIN q b ON a.vec_id < 100 AND a.vec_id <> b.vec_id),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM scored)
+              |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // Sign-bit LSH bucket histogram (the IVF/LSH scale path's partitioner).
+    Q("e03_lsh_buckets",
+      (s, d) => Tables.embeddings(s, d)
+        .select(signBucket(col("embedding"), Seq(1, 9, 17, 25, 33, 41, 49, 57)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT bucket, count(*) AS n FROM (
+             | SELECT concat(
+             |   CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END,
+             |   CASE WHEN embedding[9]  >= 0 THEN '1' ELSE '0' END,
+             |   CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END,
+             |   CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END,
+             |   CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END,
+             |   CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END,
+             |   CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END,
+             |   CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END) AS bucket
+             | FROM embeddings) t
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // LSH-bucketed ANN with float cosine (the scale path; recall measured
+    // against e02 in SimilaritySpec) — rows-only driver check.
+    Q("e04_lsh_knn",
+      (s, d) => Similarity.lshKnn(Tables.embeddings(s, d), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank"),
+      None),
+
+    // KMeans clustering of the embedding space (spark.ml; content
+    // categorization M10 reborn over embeddings) — rows-only.
+    Q("e05_kmeans",
+      (s, d) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+        val model = new KMeans().setK(10).setSeed(42).setMaxIter(10).fit(e)
+        model.transform(e)
+          .groupBy(col("prediction").cast("long").as("cluster"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("cluster")
+      },
+      None, bench = false)
+  )
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication catalog over the `documents` table —
+  * the training-data-pipeline operators (language-ID, quality scoring,
+  * token counting, fingerprinting, exact/MinHash/SimHash dedup).
+  *
+  * Ratios are computed from integer sums (sum(hits)/sum(tokens)) rather
+  * than averaged per-row doubles so the DuckDB comparison is exact — and
+  * at scale the integer partial aggregates are cheaper to combine too.
+  */
+object TextQueries {
+
+  private val tokensSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  val all: Seq[Q] = Seq(
+
+    // Language-ID n-gram heuristic: stopword-alternation hit counting.
+    Q("t01_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val feats = docs.select(
+          col("lang"),
+          stopwordHits(col("text"), enStopwords).as("en_hits"),
+          size(tokens(col("text"))).as("n_tokens"))
+          .withColumn("predicted", when(col("en_hits") >= 2, "en").otherwise("unk"))
+        feats.groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n"),
+               round(sum("en_hits").cast("double") / sum("n_tokens"), 6).as("stop_density"))
+          .orderBy("lang", "predicted")
+      },
+      Some("""SELECT lang, predicted, count(*) AS n,
+             | round(CAST(sum(en_hits) AS DOUBLE) / sum(n_tokens), 6) AS stop_density
+             |FROM (SELECT lang,
+             |  len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS en_hits,
+             |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+             |  CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) >= 2
+             |       THEN 'en' ELSE 'unk' END AS predicted
+             | FROM documents) t
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // Quality scoring: length / stopword / punctuation features + bucket.
+    Q("t02_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(
+            col("doc_id"), col("source"),
+            size(tokens(col("text"))).as("n_words"),
+            col("n_chars"),
+            stopwordHits(col("text"), enStopwords).as("stop_hits"),
+            size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).as("n_punct"))
+          .withColumn("quality",
+            when(col("n_words").between(20, 1000) && col("stop_hits") > 0, "ok").otherwise("low"))
+          .groupBy("source", "quality")
+          .agg(count(lit(1)).as("n"),
+               round(sum("stop_hits").cast("double") / sum("n_words"), 6).as("stop_ratio"),
+               round(sum("n_chars").cast("double") / sum("n_words"), 4).as("chars_per_word"))
+          .orderBy("source", "quality")
+      },
+      Some("""SELECT source, quality, count(*) AS n,
+             | round(CAST(sum(stop_hits) AS DOUBLE)/sum(n_words), 6) AS stop_ratio,
+             | round(CAST(sum(n_chars) AS DOUBLE)/sum(n_words), 4) AS chars_per_word
+             |FROM (SELECT source, n_chars,
+             |   len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+             |   len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS stop_hits,
+             |   CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) BETWEEN 20 AND 1000
+             |         AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) > 0
+             |        THEN 'ok' ELSE 'low' END AS quality
+             |  FROM documents) t
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // Token counting: whitespace + BPE-ish regex tokenizers.
+    Q("t03_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"),
+          wsTokenCount(col("text")).as("ws_tokens"),
+          bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("ws_tokens").cast("long").as("total_ws_tokens"),
+             sum("bpe_tokens").cast("long").as("total_bpe_tokens"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+             | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+             | CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Document fingerprinting: md5 over the normalized token stream.
+    Q("t04_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"), fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("fp")).as("n_unique"),
+             min(col("fp")).as("min_fp"))
+        .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+              | min(fp) AS min_fp
+              |FROM (SELECT source, md5(array_to_string($tokensSqlDuck, ' ')) AS fp
+              |      FROM documents) t
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact dedup: content-hash grouping, smallest doc_id kept.
+    Q("d01_exact_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+          .groupBy("source", "fp")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_unique"),
+               sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(0)).cast("long").as("n_dropped"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source, count(*) AS n_unique,
+              | CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_dropped
+              |FROM (SELECT source, min(doc_id) AS keep_id, count(*) AS n_copies
+              |      FROM (SELECT doc_id, source,
+              |              md5(array_to_string($tokensSqlDuck, ' ')) AS fp
+              |            FROM documents) t
+              |      GROUP BY source, fp) g
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MinHash-LSH near-dup pipeline: shingle → 8 minhashes → 4 bands →
+    // band-join candidates → exact-Jaccard verify.
+    Q("d02_minhash_neardups",
+      (s, d) => Dedup.minhashNearDups(Tables.documents(s, d))
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH words AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+             |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+             |mh AS (
+             |  SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || '#' || shingle)) AS mh
+             |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+             |sig AS (
+             |  SELECT doc_id, CAST(seed // 2 AS INT) AS band, min(mh) || max(mh) AS sig
+             |  FROM mh GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+             |cm AS (
+             |  SELECT c.doc_a, c.doc_b, count(*) AS common
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.doc_a
+             |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+             |  GROUP BY 1, 2),
+             |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+             |SELECT doc_a, doc_b,
+             |  round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) AS jaccard
+             |FROM cm JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+             |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.05
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // SimHash blocking (xxhash64-based — no portable oracle; rows-only
+    // driver check + property tests in DedupSpec).
+    Q("d03_simhash_candidates",
+      (s, d) => Dedup.simhashCandidates(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b"),
+      None)
+  )
+}
