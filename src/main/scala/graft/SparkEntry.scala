@@ -13,7 +13,8 @@ object SparkEntry {
   lazy val catalog: Seq[Q] =
     graft.queries.RelationalQueries.all ++
       graft.queries.TextQueries.all ++
-      graft.queries.SimilarityQueries.all
+      graft.queries.SimilarityQueries.all ++
+      graft.queries.ControlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.control._
+import graft.operators.Tracking
+import graft.ops.TaskSim
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Control-plane + tracking catalog: the video-ETL domain operators
+  * (SORT tracking ST1, static/skyscraper replay ST6/Q1, task-graph
+  * simulation X1, LP knob planning X2) driven from the testdata tables.
+  *
+  * Streams are synthesized deterministically from `events` (stream =
+  * user_id % 4) so everything scales with the input and stays
+  * oracle-comparable where SQL-expressible.
+  */
+object ControlQueries {
+
+  // ---- shared adapters --------------------------------------------------
+
+  /** Per-chunk score vectors: 4 streams, chunk = per-stream ordinal,
+    * 3 knob-config quality columns derived from `value`.
+    */
+  private def chunkScores(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stream_id").orderBy("event_id")
+    Tables.events(s, d)
+      .select(
+        (col("user_id") % 4).as("stream_id"), col("event_id"),
+        (round(col("value")) % 100 / 100.0).as("s0"))
+      .withColumn("chunk_id", row_number().over(w).cast("long") - 1)
+      .select(col("stream_id"), col("chunk_id"),
+        col("s0"), (col("s0") * 0.8 + 0.1).as("s1"), (col("s0") * 0.5).as("s2"))
+  }
+  private val chunkScoresSql =
+    """SELECT user_id % 4 AS stream_id,
+      |  row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1 AS chunk_id,
+      |  (round(value) % 100) / 100.0 AS s0,
+      |  ((round(value) % 100) / 100.0) * 0.8 + 0.1 AS s1,
+      |  ((round(value) % 100) / 100.0) * 0.5 AS s2
+      |FROM events""".stripMargin
+
+  /** The replay's operating points (FIXTURES.md A2 shape). */
+  private val profileRows: IndexedSeq[Profile] = IndexedSeq(
+    Profile(0, 0, 1.9, 0.0, 100), Profile(1, 0, 1.4, 4.0, 100), Profile(2, 0, 1.0, 8.0, 100),
+    Profile(3, 1, 1.5, 0.0, 80), Profile(4, 1, 1.1, 3.0, 80), Profile(5, 1, 0.8, 6.0, 80),
+    Profile(6, 2, 1.2, 0.0, 60), Profile(7, 2, 0.9, 2.0, 60), Profile(8, 2, 0.7, 4.0, 60))
+
+  private val categoryCenters: Array[Array[Double]] = Array(
+    Array(0.20, 0.25, 0.15), Array(0.50, 0.55, 0.45), Array(0.80, 0.85, 0.75))
+
+  private def mkSwitcher(): Switcher = {
+    val buffer = new SimBuffer(
+      space = 400.0,
+      sizePerConfig = profileRows.map(p => p.knobConfig -> p.sizeBytes).toMap)
+    val knobCost = Array(1.9, 1.5, 1.2)
+    val planner = new KnobPlanner(categoryCenters, knobCost,
+      hoursPlanAhead = 24.0, timeInterval = 2.0)
+    new Switcher(categoryCenters, profileRows, planner,
+      planningInterval = 500, budget = 24 * 3600 * 2 + 100.0,
+      bootstrapHistogram = Array(0.86, 0.053, 0.086), buffer = buffer)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ST6: static-baseline replay — per-stream totals with a profile
+    // lookup join (oracle-checked; the stateless half of the sim layer).
+    Q("c01_static_replay",
+      (s, d) => {
+        val profiles = s.createDataFrame(Seq(
+          (0, 1.9), (1, 1.5), (2, 1.2))).toDF("config", "runtime")
+        val chunks = chunkScores(s, d)
+          .withColumn("config", (col("stream_id") % 3).cast("int"))
+        chunks.join(broadcast(profiles), "config")
+          .withColumn("score",
+            when(col("config") === 0, col("s0"))
+              .when(col("config") === 1, col("s1"))
+              .otherwise(col("s2")))
+          .groupBy("stream_id", "config", "runtime")
+          .agg(count(lit(1)).as("n_chunks"),
+               round(sum("score"), 4).as("sum_quality"),
+               round(count(lit(1)) * lit(1.5e-4), 6).as("instance_cost"))
+          .orderBy("stream_id")
+      },
+      Some(s"""WITH chunks AS ($chunkScoresSql),
+              |prof(config, runtime) AS (VALUES (0, 1.9), (1, 1.5), (2, 1.2))
+              |SELECT stream_id, config, runtime, count(*) AS n_chunks,
+              |  round(sum(CASE WHEN config = 0 THEN s0
+              |                 WHEN config = 1 THEN s1 ELSE s2 END), 4) AS sum_quality,
+              |  round(count(*) * 1.5e-4, 6) AS instance_cost
+              |FROM (SELECT c.*, CAST(stream_id % 3 AS INT) AS config FROM chunks c) t
+              |JOIN prof USING (config)
+              |GROUP BY 1, 2, 3 ORDER BY stream_id""".stripMargin)),
+
+    // Q1: full skyscraper replay — buffer-admission + drift-argmax + LP
+    // re-planning, one sequential switcher per stream, parallel across
+    // streams (rows-only; golden-log parity in ReplaySpec).
+    Q("n02_skyscraper_replay",
+      (s, d) => {
+        import s.implicits._
+        chunkScores(s, d)
+          .as[(Long, Long, Double, Double, Double)]
+          .groupByKey(_._1)
+          .flatMapSortedGroups($"chunk_id".asc) { (sid, it) =>
+            val rows = it.map(r => (r._2, Array(r._3, r._4, r._5)))
+            Replay.skyscraper(rows, mkSwitcher()).map(l =>
+              (sid, l.chunkId, l.chosenConfig, l.chosenPlacement,
+                l.cloudCost, math.rint(l.runtimeS * 100) / 100, math.rint(l.score * 10000) / 10000))
+          }
+          .toDF("stream_id", "chunk_id", "config", "placement", "cloud_cost", "runtime_s", "score")
+          .orderBy("stream_id", "chunk_id")
+      },
+      None),
+
+    // ST1: SORT tracking over deterministic linearly-moving objects
+    // derived from events (rows-only; kernel goldens in SortTrackerSpec).
+    Q("n01_sort_tracks",
+      (s, d) => {
+        val dets = Tables.events(s, d)
+          .select((col("user_id") % 4).as("stream_id"),
+            (col("event_id") % 150).as("frame"),
+            (col("user_id") % 3).as("obj"),
+            col("event_id"))
+          .groupBy("stream_id", "frame", "obj")
+          .agg(min("event_id").as("eid"))
+          .select(col("stream_id"), col("frame"),
+            (lit(50.0) + col("frame") * 2.0 + col("obj") * 300.0 + (col("eid") % 5) * 0.5).as("x1"),
+            (lit(100.0) + col("frame") * 1.5 + col("obj") * 50.0).as("y1"))
+          .select(col("stream_id"), col("frame"), col("x1"), col("y1"),
+            (col("x1") + 60.0).as("x2"), (col("y1") + 80.0).as("y2"), lit(0.9).as("score"))
+        Tracking.track(dets)
+          .select(col("stream_id"), col("frame"), col("track_id"),
+            round(col("x1"), 2).as("x1"), round(col("y1"), 2).as("y1"),
+            round(col("x2"), 2).as("x2"), round(col("y2"), 2).as("y2"))
+          .orderBy("stream_id", "frame", "track_id")
+      },
+      None),
+
+    // X1: task-graph runtime/cost simulation — thousands of candidate
+    // (graph, cores) points evaluated in parallel on executors.
+    Q("n03_task_sim",
+      (s, d) => {
+        import s.implicits._
+        // candidate grid driven by testdata so cardinality scales with SF
+        val knobs = Tables.events(s, d)
+          .select((col("event_id") % 4).as("k")).distinct()
+          .collect().map(r => Seq(10, 20, 30, 60)(r.getLong(0).toInt))
+        val specs = for (k <- knobs.toSeq.sorted; cores <- Seq(2, 4, 8, 16)) yield (k, cores)
+        specs.toDS()
+          .map { case (k, cores) =>
+            val g = TaskSim.detectToTrack(k, 120)
+            val (rt, cost) = (g.simulateRt(cores), g.simulateCost)
+            (s"detect_to_track_$k", cores, rt, cost)
+          }
+          .toDF("graph_id", "cores", "runtime", "cost")
+          .orderBy("graph_id", "cores")
+      },
+      None),
+
+    // X2: LP knob plan on the replay's literal dims (rows-only;
+    // constraint-satisfaction properties in SimplexSpec).
+    Q("n04_lp_plan",
+      (s, d) => {
+        val planner = new KnobPlanner(categoryCenters, Array(1.9, 1.5, 1.2),
+          hoursPlanAhead = 24.0, timeInterval = 2.0)
+        val (plan, score) = planner.plan(Array(0.86, 0.053, 0.086), 24 * 3600 * 2 + 100.0)
+        val rows = for (i <- plan.indices; j <- plan(i).indices)
+          yield (i, j, math.rint(plan(i)(j) * 10000) / 10000, math.rint(score * 100) / 100)
+        s.createDataFrame(rows).toDF("category", "config", "ratio", "expected_score")
+          .orderBy("category", "config")
+      },
+      None, bench = false)
+  )
+}
