@@ -25,12 +25,17 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Word n-gram shingles of the token array (distinct). */
+  /** Word n-gram shingles of the token array (distinct); empty for texts
+    * shorter than n tokens (guarded — Spark's sequence(0,-1) would count
+    * DOWN and index out of range).
+    */
   def shingles(toks: Column, n: Int = 3): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-        i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
 
   /** MinHash value for one seed: min over shingles of md5(seed#shingle).
     * String-min over hex md5 is deterministic and engine-portable (the

@@ -36,8 +36,14 @@ object Dedup {
     *
     * k seeds, bands of `rowsPerBand`; docs sharing any band signature are
     * candidates; candidates are then verified with exact shingle-set
-    * Jaccard (common / (|A| + |B| - common)) and filtered at `minJaccard`.
+    * Jaccard (|A∩B| / (|A| + |B| - |A∩B|)) and filtered at `minJaccard`.
     * Returns (doc_a, doc_b, jaccard).
+    *
+    * Everything per-doc stays an ARRAY column — the minhash signature is
+    * computed in one scan with no explode/groupBy, so the only shuffles
+    * are the (tiny) band-bucket join and the candidate-verify join. At
+    * 100 TB the shuffled band table is numBands rows per doc of ~100
+    * bytes; candidates scale with duplicate density, never n².
     */
   def minhashNearDups(
       docs: DataFrame,
@@ -48,53 +54,128 @@ object Dedup {
       rowsPerBand: Int = 2,
       minJaccard: Double = 0.05): DataFrame = {
 
-    val sh = shingleTable(docs, id, text, shingleN).cache()
-
-    // per-doc signature: minhash per seed, banded; band signature = min||max
-    // within the band (order-free combiner, deterministic in any engine).
-    val mh = sh
-      .select(col(id) +: (0 until numHashes).map(s =>
-        md5(concat(lit(s"$s#"), col("shingle"))).as(s"h$s")): _*)
-      .groupBy(id)
-      .agg(min(col("h0")).as("m0"), (1 until numHashes).map(s => min(col(s"h$s")).as(s"m$s")): _*)
-
     val numBands = numHashes / rowsPerBand
-    val bands = mh.select(
+    // shingle arrays + signatures computed ONCE in a typed kernel (tight
+    // JVM md5 loop — the equivalent column expression is interpreted and
+    // dominates the query; semantics identical: min over shingles of
+    // lowercase-hex md5("seed#shingle"), asserted in DedupSpec) and kept
+    // for reuse by the band join (tiny projection) and the verify join
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withSh = docs
+      .select(col(id).cast("long"), col(text)).as[(Long, String)]
+      .mapPartitions { it =>
+        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        def md5hex(s: String): String = {
+          md.reset()
+          val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hex((b(i) >> 4) & 0xf); out(2 * i + 1) = hex(b(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        it.flatMap { case (docId, t) =>
+          val toks = {
+            val m = wordRe.matcher(t.toLowerCase)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (m.find()) buf += m.group()
+            buf
+          }
+          if (toks.length < shingleN) None
+          else {
+            val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+            var i = 0
+            while (i + shingleN <= toks.length) {
+              seen += toks.slice(i, i + shingleN).mkString(" ")
+              i += 1
+            }
+            val sh = seen.toArray
+            val sig = Array.tabulate(numHashes) { seed =>
+              var best: String = null
+              sh.foreach { s =>
+                val h = md5hex(s"$seed#$s")
+                if (best == null || h < best) best = h
+              }
+              best
+            }
+            Some((docId, sh, sig))
+          }
+        }
+      }
+      .toDF(id, "sh", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // band table carries only (id, band, bsig) — the self-join shuffles
+    // ~100 bytes/doc/band, never the shingle arrays
+    val bands = withSh.select(
       col(id),
       explode(array((0 until numBands).map { b =>
-        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"m$s"))
-        struct(lit(b).as("band"), concat(least(cols: _*), greatest(cols: _*)).as("sig"))
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(s => element_at(col("sig"), s + 1))
+        struct(lit(b).as("band"), concat(least(cols: _*), greatest(cols: _*)).as("bsig"))
       }: _*)).as("bs"))
-      .select(col(id), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col(id), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
 
     val a = bands.alias("a"); val b = bands.alias("b")
     val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
       .distinct()
 
-    val sa = sh.select(col(id).as("doc_a"), col("shingle"))
-    val sb = sh.select(col(id).as("doc_b"), col("shingle"))
-    val common = cand
-      .join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    common
-      .join(sizes.withColumnRenamed(id, "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed(id, "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+    // verify join: candidates scale with duplicate density (small) — fetch
+    // each side's shingle set and compute exact Jaccard
+    val sha = withSh.select(col(id).as("doc_a"), col("sh").as("sha"))
+    val shb = withSh.select(col(id).as("doc_b"), col("sh").as("shb"))
+    cand.join(sha, "doc_a").join(shb, "doc_b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (size(col("sha")) + size(col("shb")) - col("common")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup clusters: 64-bit fingerprint; docs whose fingerprints
-    * share all of the 4 16-bit sub-bands are grouped (hamming-0 within
-    * band ⇒ candidate; standard simhash blocking).
+  /** SimHash fingerprint table: 64-bit fingerprint per doc, computed in a
+    * typed mapPartitions kernel (tight JVM loop; the equivalent column
+    * expression — TextFunctions.simhash64 — is interpreted and ~50x
+    * slower; both produce identical fingerprints, asserted in DedupSpec).
     */
-  def simhashTable(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
-    docs.select(col(id), simhash64(tokens(col(text))).as("simhash"))
+  def simhashTable(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    docs.select(col(id).cast("long"), col(text)).as[(Long, String)]
+      .mapPartitions { it =>
+        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+        it.map { case (docId, t) =>
+          val sums = new Array[Int](64)
+          val m = wordRe.matcher(t.toLowerCase)
+          while (m.find()) {
+            val h = XxHash64Function.hash(UTF8String.fromString(m.group()), StringType, 42L)
+            var j = 0
+            while (j < 64) {
+              if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+              j += 1
+            }
+          }
+          var fp = 0L
+          var j = 0
+          while (j < 64) {
+            if (sums(j) >= 0) fp |= (1L << j)
+            j += 1
+          }
+          (docId, fp)
+        }
+      }
+      .toDF(id, "simhash")
+  }
 
   def simhashCandidates(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     val t = simhashTable(docs, id, text)

@@ -1,24 +1,104 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Scale design: `bruteKnn` broadcasts the (small) query set against the
-  * full corpus — a map-side-only plan with zero shuffle of the corpus, the
-  * right baseline when |queries| << |corpus|. `lshKnn` buckets both sides
-  * by sign-bit LSH first, turning all-pairs into a per-bucket equi-join;
-  * recall is traded via the number of hyperplane bits. On a cluster the
-  * corpus side would additionally be bucketed-by on the LSH key at write
-  * time to skip the shuffle entirely.
+  * Scale design: the query side is always the small side — it is collected
+  * and broadcast, and the corpus streams through a typed mapPartitions
+  * kernel (tight JVM loops; Spark's higher-order array expressions are
+  * interpreted, ~50x slower for per-pair dot products). The corpus is never
+  * shuffled; per-partition top-k heaps bound the traffic to
+  * |queries|·k·partitions rows before the final global rank. `lshKnn`
+  * buckets both sides by sign-bit LSH first, turning all-pairs into a
+  * per-bucket equi-join; recall trades via the number of hyperplane bits.
   */
 object Similarity {
 
-  /** Exact top-k cosine neighbors for each query vector (brute force).
-    * Expects `vec_id` + `embedding ARRAY<FLOAT>` on both sides.
+  /** Integer-quantized corpus rows: (vec_id, floor(x*1000) vector).
+    * Exact integer dots + one IEEE double division make results
+    * bit-identical across engines (see SimilarityQueries).
     */
+  private def quantized(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id").cast("long"), quantize(col("embedding")).as("qv"))
+
+  private def cosQ(a: Array[Long], b: Array[Long]): Double = {
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  /** All (query, corpus) pairs with quantized cosine ≥ threshold. */
+  def cosineThreshold(corpus: DataFrame, queryPred: Column, threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = quantized(corpus)
+    val queries = q.filter(queryPred).as[(Long, Array[Long])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(queries)
+    q.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (vb, cv) =>
+          qs.iterator.flatMap { case (va, qv) =>
+            if (va == vb) None
+            else {
+              val c = cosQ(qv, cv)
+              if (c >= threshold) Some((va, vb, c)) else None
+            }
+          }
+        }
+      }
+      .toDF("va", "vb", "cos")
+  }
+
+  /** Exact top-k quantized-cosine neighbors per query (brute force over
+    * the corpus, heap-bounded per partition).
+    */
+  def quantizedKnn(corpus: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = quantized(corpus)
+    val queries = q.filter(queryPred).as[(Long, Array[Long])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(queries)
+    val candidates = q.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // per-query bounded min-heaps: (cos asc, neighbor desc) at head
+        val ord = Ordering.by[(Double, Long), (Double, Long)](p => (-p._1, p._2))
+        val heaps = Array.fill(qs.length)(scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        it.foreach { case (vb, cv) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (va, qv) = qs(qi)
+            if (va != vb) {
+              val c = cosQ(qv, cv)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((c, vb))
+              else {
+                val (hc, hn) = h.head
+                if (c > hc || (c == hc && vb < hn)) { h.dequeue(); h.enqueue((c, vb)) }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (c, vb) => (qs(qi)._1, vb, c) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
+  /** Float-cosine brute-force top-k (non-quantized baseline API). */
   def bruteKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
@@ -29,19 +109,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
-  /** LSH-bucketed ANN: candidates share the sign-bit bucket; top-k within
-    * bucket. `dims` picks the hyperplane coordinates (1-based).
+  /** LSH-bucketed ANN: candidates share the sign-bit bucket; per-bucket
+    * top-k via a typed groupByKey kernel (the scale path — buckets
+    * partition the corpus, so no all-pairs blow-up).
     */
   def lshKnn(vectors: DataFrame, k: Int, dims: Seq[Int] = Seq(1, 9, 17, 25, 33, 41, 49, 57)): DataFrame = {
-    val b = vectors.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), dims).as("bucket"))
-    val a = b.alias("a"); val c = b.alias("b")
-    val scored = a.join(c, col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors
+      .select(col("vec_id").cast("long"),
+        signBucket(col("embedding"), dims).as("bucket"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, String, Array[Double])]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val members = it.map { case (id, _, v) => (id, v) }.toArray
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        members.iterator.flatMap { case (qid, qv) =>
+          members.iterator
+            .collect { case (nid, nv) if nid != qid => (nid, cos(qv, nv)) }
+            .toArray.sortBy { case (nid, c) => (-c, nid) }
+            .take(k).zipWithIndex
+            .map { case ((nid, c), r) => (qid, nid, (r + 1).toLong, c) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "cos")
   }
 }

@@ -135,7 +135,11 @@ object RelationalQueries {
       (s, d) => {
         val b = bboxen(Tables.events(s, d))
         val a = b.alias("a"); val c = b.alias("b")
-        a.join(c, col("a.frame") === col("b.frame") && col("a.det_id") < col("b.det_id"))
+        // cheap overlap precondition in the join: pairs that can't overlap
+        // (IoU = 0 < threshold) never reach the expensive IoU arithmetic
+        a.join(c, col("a.frame") === col("b.frame") && col("a.det_id") < col("b.det_id") &&
+            col("a.x1") < col("b.x2") && col("b.x1") < col("a.x2") &&
+            col("a.y1") < col("b.y2") && col("b.y1") < col("a.y2"))
           .select(
             col("a.frame").as("frame"),
             col("a.det_id").as("det_a"),

@@ -27,15 +27,10 @@ object SimilarityQueries {
     // Threshold similarity self-join: 50 query vectors vs the corpus.
     // Query side broadcast → corpus never shuffles.
     Q("e01_cosine_threshold",
-      (s, d) => {
-        val e = Tables.embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
-        val q = broadcast(e.filter(col("vec_id") < 50).select(col("vec_id").as("va"), col("qv").as("qa")))
-        q.join(e, col("va") =!= col("vec_id"))
-          .select(col("va"), col("vec_id").as("vb"), cosineQ(col("qa"), col("qv")).as("cos"))
-          .filter(col("cos") >= 0.2)
-          .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
-          .orderBy("va", "vb")
-      },
+      (s, d) => Similarity
+        .cosineThreshold(Tables.embeddings(s, d), col("vec_id") < 50, 0.2)
+        .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+        .orderBy("va", "vb"),
       Some(s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings)
               |SELECT a.vec_id AS va, b.vec_id AS vb, round($cosDuck, 6) AS cos
               |FROM q a JOIN q b ON a.vec_id < 50 AND a.vec_id <> b.vec_id
@@ -44,20 +39,10 @@ object SimilarityQueries {
 
     // Exact top-5 neighbors per query (brute-force baseline for ANN).
     Q("e02_knn_topk",
-      (s, d) => {
-        val e = Tables.embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
-        val q = broadcast(e.filter(col("vec_id") < 100)
-          .select(col("vec_id").as("query_id"), col("qv").as("qa")))
-        val scored = q.join(e, col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            cosineQ(col("qa"), col("qv")).as("cos"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-        scored.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
-          .orderBy("query_id", "rank")
-      },
+      (s, d) => Similarity
+        .quantizedKnn(Tables.embeddings(s, d), col("vec_id") < 100, 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank"),
       Some(s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
               |scored AS (
               |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosDuck AS cos

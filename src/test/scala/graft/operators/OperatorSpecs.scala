@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "s"),
+      (1L, "the quick brown fox jumps over the sleepy dog again and again", "s"), // near-dup of 0
+      (2L, "completely different content about spark query engines at scale", "s"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again", "s"), // exact dup of 0
+      (4L, "tiny", "s")
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("exact dedup groups exact duplicates, keeps smallest id") {
+    val out = Dedup.exact(docs).collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.contains((0L, 2L))) // docs 0 and 3 share a fingerprint
+    assert(out.count(_._2 == 1L) == 3)
+  }
+
+  test("minhash near-dups finds the planted near-duplicate pair, not the distinct doc") {
+    val pairs = Dedup.minhashNearDups(docs, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 3 && p._3 == 1.0), s"exact pair missing: $pairs")
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 1 && p._3 > 0.5), s"near pair missing: $pairs")
+    assert(!pairs.exists(p => p._2 == 2 || p._1 == 2), s"false positive with doc 2: $pairs")
+  }
+
+  test("typed simhash kernel matches the column expression bit-for-bit") {
+    val fast = Dedup.simhashTable(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val colV = docs.select(col("doc_id"),
+        TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == colV)
+  }
+
+  test("simhash: near-dups within small hamming distance, distinct docs far") {
+    val t = Dedup.simhashTable(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(t(0L), t(3L)) == 0)
+    assert(ham(t(0L), t(1L)) <= 12)
+    assert(ham(t(0L), t(2L)) > 10)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val vectors = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0L until 300L).map { i =>
+      val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("quantizedKnn returns k sorted, distinct neighbors per query") {
+    val out = Similarity.quantizedKnn(vectors, col("vec_id") < 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(2)))
+    assert(out.length == 5 * 4)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq)
+      assert(rows.map(_._2).distinct.length == 4)
+    }
+  }
+
+  test("quantizedKnn matches a driver-side brute force") {
+    val data = vectors.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 1000).toLong)))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val expected = (for ((qid, qv) <- data.take(3)) yield {
+      val nn = data.filter(_._1 != qid).map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(3).map(_._1).toSeq
+      qid -> nn
+    }).toMap
+    val got = Similarity.quantizedKnn(vectors, col("vec_id") < 3, 3)
+      .orderBy("query_id", "rank").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
+    assert(got == expected)
+  }
+
+  test("lshKnn achieves reasonable recall vs brute force on bucket-mates") {
+    val lsh = Similarity.lshKnn(vectors, k = 3).collect()
+    assert(lsh.nonEmpty)
+    // every reported neighbor must share the query's sign bucket by construction
+    val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+    val vecs = vectors.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bucket(v: Array[Float]) = dims.map(i => if (v(i - 1) >= 0) '1' else '0').mkString
+    lsh.foreach { r =>
+      assert(bucket(vecs(r.getLong(0))) == bucket(vecs(r.getLong(1))))
+    }
+  }
+}
