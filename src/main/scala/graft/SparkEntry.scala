@@ -14,7 +14,9 @@ object SparkEntry {
     graft.queries.RelationalQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.SimilarityQueries.all ++
-      graft.queries.ControlQueries.all
+      graft.queries.ControlQueries.all ++
+      graft.queries.ArrayQueries.all ++
+      graft.queries.OfflineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

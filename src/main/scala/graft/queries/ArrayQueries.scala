@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Array/tensor operator catalog (SURVEY.md §2.5 window slices, §2.7
+  * numeric kernels): history windows, per-frame grouping, L1 loss,
+  * mean-pooling, array slicing, containment joins, homogeneous projection.
+  *
+  * Float columns are integer-quantized (floor(x*1000)) before summing so
+  * group aggregates are order-independent and engine-exact — at scale this
+  * also makes the partial aggregates cheap fixed-width longs.
+  */
+object ArrayQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // W2: trailing history window (TransMOT input: previous T frames).
+    Q("a01_history_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-3, -1)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_hist"),
+            round(sum("value").over(w), 2).as("hist_sum"))
+          .filter(col("n_hist") === 3)
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, n_hist, hist_sum FROM (
+             | SELECT user_id, event_id,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n_hist,
+             |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 2) AS hist_sum
+             | FROM events) t
+             |WHERE n_hist = 3 ORDER BY user_id, event_id""".stripMargin)),
+
+    // A2: per-frame grouping into detection lists (scalars extracted from
+    // the sorted array so the compare is deterministic).
+    Q("a02_frame_group",
+      (s, d) => Tables.events(s, d)
+        .groupBy((col("event_id") % 500).as("frame"))
+        .agg(collect_list(col("event_id")).as("dets"))
+        .select(col("frame"), size(col("dets")).cast("long").as("n_dets"),
+          array_min(col("dets")).as("first_det"), array_max(col("dets")).as("last_det"))
+        .orderBy("frame"),
+      Some("""SELECT event_id % 500 AS frame, count(*) AS n_dets,
+             | min(event_id) AS first_det, max(event_id) AS last_det
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // M9: L1 prediction loss — zip_with + aggregate over array columns
+    // (reference: nn.L1Loss(sum), social_workload.py:174-197). Quantized
+    // so the grouped sum is exact.
+    Q("a03_l1_loss",
+      (s, d) => {
+        val center = array((1 to 8).map(i => lit(i * 100L)): _*)
+        val pred = transform(slice(col("embedding"), 1, 8),
+          x => floor(x.cast("double") * 1000).cast("long"))
+        Tables.embeddings(s, d)
+          .select(col("label"),
+            aggregate(zip_with(pred, center, (p, c) => abs(p - c)), lit(0L), (a, x) => a + x).as("l1"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum("l1").cast("long").as("total_l1"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*) AS n, CAST(sum(l1) AS BIGINT) AS total_l1 FROM (
+             | SELECT label,
+             |  list_sum(list_transform(generate_series(1, 8),
+             |    i -> abs(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) - i * 100))) AS l1
+             | FROM embeddings) t
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A7: mean-pool feature reduce per label (quantized elementwise sums).
+    Q("a04_mean_pool",
+      (s, d) => {
+        val q = (i: Int) => floor(element_at(col("embedding"), i).cast("double") * 1000).cast("long")
+        Tables.embeddings(s, d)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(sum(q(1)).cast("double") / count(lit(1)) / 1000.0, 4).as("mean_e1"),
+            round(sum(q(32)).cast("double") / count(lit(1)) / 1000.0, 4).as("mean_e32"),
+            round(sum(q(64)).cast("double") / count(lit(1)) / 1000.0, 4).as("mean_e64"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*) AS n,
+             | round(CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE)*1000) AS BIGINT)) AS DOUBLE)/count(*)/1000.0, 4) AS mean_e1,
+             | round(CAST(sum(CAST(floor(CAST(embedding[32] AS DOUBLE)*1000) AS BIGINT)) AS DOUBLE)/count(*)/1000.0, 4) AS mean_e32,
+             | round(CAST(sum(CAST(floor(CAST(embedding[64] AS DOUBLE)*1000) AS BIGINT)) AS DOUBLE)/count(*)/1000.0, 4) AS mean_e64
+             |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // W5: frame sampling within segment — slice the first n of each array.
+    Q("a05_slice_sample",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label"),
+          aggregate(
+            transform(slice(col("embedding"), 1, 16),
+              x => floor(x.cast("double") * 1000).cast("long")),
+            lit(0L), (a, x) => a + x).as("head_sum"))
+        .groupBy("label")
+        .agg(sum("head_sum").cast("long").as("total_head_sum"))
+        .orderBy("label"),
+      Some("""SELECT label, CAST(sum(head_sum) AS BIGINT) AS total_head_sum FROM (
+             | SELECT label,
+             |  list_sum(list_transform(embedding[1:16],
+             |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS head_sum
+             | FROM embeddings) t
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // J6: substring-containment theta join (MOSEI segment-key stitching).
+    Q("a06_containment_join",
+      (s, d) => {
+        val prefixes = s.createDataFrame(Seq(
+          Tuple1("src1"), Tuple1("src2"), Tuple1("src0"))).toDF("prefix")
+        Tables.documents(s, d)
+          .join(broadcast(prefixes), col("source").contains(col("prefix")))
+          .groupBy("prefix")
+          .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
+          .orderBy("prefix")
+      },
+      Some("""WITH prefixes(prefix) AS (VALUES ('src1'), ('src2'), ('src0'))
+             |SELECT prefix, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+             |FROM documents JOIN prefixes ON contains(source, prefix)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P9: homogeneous-coordinate projection (pixel -> world via a literal
+    // 3x3 DLT matrix; covid_measures.py:238-244) + per-frame mean.
+    Q("a07_projection",
+      (s, d) => {
+        // P = [[0.5, 0.1, 20], [-0.05, 0.8, 10], [0.0001, 0.0002, 1]]
+        val id = col("event_id")
+        val cx = (id * 37 % 1280).cast("double")
+        val cy = (id * 53 % 720).cast("double")
+        val wdiv = cx * 0.0001 + cy * 0.0002 + 1.0
+        Tables.events(s, d)
+          .select((id % 500).as("frame"),
+            round((cx * 0.5 + cy * 0.1 + 20.0) / wdiv, 4).as("wx"),
+            round((cx * -0.05 + cy * 0.8 + 10.0) / wdiv, 4).as("wy"))
+          .groupBy("frame")
+          .agg(count(lit(1)).as("n"),
+            round(sum("wx"), 2).as("sum_wx"), round(sum("wy"), 2).as("sum_wy"))
+          .orderBy("frame")
+      },
+      Some("""SELECT frame, count(*) AS n, round(sum(wx),2) AS sum_wx, round(sum(wy),2) AS sum_wy
+             |FROM (SELECT event_id % 500 AS frame,
+             |  round((CAST(event_id*37 % 1280 AS DOUBLE)*0.5 + CAST(event_id*53 % 720 AS DOUBLE)*0.1 + 20.0)
+             |    / (CAST(event_id*37 % 1280 AS DOUBLE)*0.0001 + CAST(event_id*53 % 720 AS DOUBLE)*0.0002 + 1.0), 4) AS wx,
+             |  round((CAST(event_id*37 % 1280 AS DOUBLE)*-0.05 + CAST(event_id*53 % 720 AS DOUBLE)*0.8 + 10.0)
+             |    / (CAST(event_id*37 % 1280 AS DOUBLE)*0.0001 + CAST(event_id*53 % 720 AS DOUBLE)*0.0002 + 1.0), 4) AS wy
+             | FROM events) t
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.KnobTuning
+import graft.ops.TaskSim
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline-phase catalog (SURVEY §2.9): placement search over the runtime
+  * simulator, hill-climbing knob tuning with batch frontier evaluation,
+  * KMeans content categorization, and the forecast training-set builder.
+  */
+object OfflineQueries {
+
+  /** Per-chunk score vectors (shared adapter, see ControlQueries). */
+  private def chunkScores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("stream_id").orderBy("event_id")
+    Tables.events(s, d)
+      .select((col("user_id") % 4).as("stream_id"), col("event_id"),
+        (round(col("value")) % 100 / 100.0).as("s0"))
+      .withColumn("chunk_id", row_number().over(w).cast("long") - 1)
+      .select(col("stream_id"), col("chunk_id"),
+        col("s0"), (col("s0") * 0.8 + 0.1).as("s1"), (col("s0") * 0.5).as("s2"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // X1+X5+D3: placement search — 64 deterministic candidate placements
+    // of a 66-task detect-to-track graph with network transfers, evaluated
+    // on executors, Pareto-filtered on (runtime, cost).
+    Q("n05_placement_pareto",
+      (s, d) => {
+        val base = TaskSim.detectToTrack(10, 60)
+        val g = base.copy(tasks = base.tasks.map(t =>
+          t.copy(inBytes = 200000, outBytes = 80000, rtCloud = t.rtSingle * 0.6)))
+        KnobTuning.placementSearch(g, cores = 4, numCandidates = 64)
+          .select(col("cand_id"), round(col("runtime"), 2).as("runtime"),
+            round(col("cost"), 2).as("cost"), size(col("placement")).as("n_tasks"))
+          .orderBy("runtime")
+      },
+      None, bench = false),
+
+    // X4: hill climbing over a 2-knob cadence space; each round's frontier
+    // is evaluated in ONE Spark aggregation pass (the distributed analog
+    // of the reference's memoized batch eval, knob_tuner.py:291-406).
+    Q("n06_hill_climb",
+      (s, d) => {
+        val events = Tables.events(s, d).select(col("event_id"), col("value")).cache()
+        val total = events.count().toDouble
+        val domains = Seq(Seq(1, 2, 3, 4, 5, 6, 8, 10), Seq(1, 2, 3, 4, 5, 6, 8, 10))
+        def evaluate(configs: Seq[Seq[Int]]): Map[Seq[Int], Double] = {
+          val aggs = configs.zipWithIndex.map { case (c, i) =>
+            sum(when(col("event_id") % c.head === 0 || col("event_id") % c(1) === 0,
+              col("value"))).as(s"q$i")
+          }
+          val row = events.agg(aggs.head, aggs.tail: _*).collect()(0)
+          configs.zipWithIndex.map { case (c, i) =>
+            val quality = row.getDouble(i) / total
+            val cost = 30.0 / c.head + 18.0 / c(1) // denser sampling costs more
+            c -> (quality - cost)
+          }.toMap
+        }
+        val (best, score, evals) = KnobTuning.hillClimb(
+          domains, evaluate, starts = Seq(Seq(10, 10), Seq(1, 1), Seq(4, 4)))
+        s.createDataFrame(Seq((best.head, best(1), math.rint(score * 10000) / 10000, evals)))
+          .toDF("k1", "k2", "score", "n_evals")
+      },
+      None, bench = false),
+
+    // M10: KMeans content categorization over per-chunk quality vectors
+    // (the reference's categories_3.npy — knob_plan.py:279-281).
+    Q("n07_categories",
+      (s, d) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val scores = chunkScores(s, d)
+          .select(array_to_vector(array(col("s0"), col("s1"), col("s2"))).as("features"))
+        val model = new KMeans().setK(3).setSeed(42).setMaxIter(20).fit(scores)
+        val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (i, math.rint(c(0) * 1000) / 1000, math.rint(c(1) * 1000) / 1000,
+            math.rint(c(2) * 1000) / 1000)
+        }
+        val sizes = model.transform(scores).groupBy("prediction").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        s.createDataFrame(centers.toSeq.map { case (i, c0, c1, c2) =>
+          (i, c0, c1, c2, sizes.getOrElse(i, 0L))
+        }).toDF("category", "center_s0", "center_s1", "center_s2", "n_chunks")
+          .orderBy("category")
+      },
+      None, bench = false),
+
+    // M12: forecast training-set builder — input = trailing 8-chunk score
+    // history, label = category histogram over the next 4 chunks, both via
+    // range windows (knob_plan.py:181-228 re-expressed relationally).
+    Q("n08_forecast_trainset",
+      (s, d) => {
+        // nearest-center categorization (argmin |center - s0|, ties to the
+        // lower-indexed center — numpy argmin semantics)
+        val d0 = abs(col("s0") - 0.2); val d1 = abs(col("s0") - 0.5); val d2 = abs(col("s0") - 0.8)
+        val cat = when(d0 <= d1 && d0 <= d2, 0).when(d1 <= d2, 1).otherwise(2)
+        val wHist = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(-8, -1)
+        val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
+        chunkScores(s, d)
+          .withColumn("category", cat)
+          .select(col("stream_id"), col("chunk_id"),
+            collect_list(col("s0")).over(wHist).as("history"),
+            count(lit(1)).over(wFut).as("n_future"),
+            sum(when(col("category") === 0, 1).otherwise(0)).over(wFut).as("f0"),
+            sum(when(col("category") === 1, 1).otherwise(0)).over(wFut).as("f1"),
+            sum(when(col("category") === 2, 1).otherwise(0)).over(wFut).as("f2"))
+          .filter(size(col("history")) === 8 && col("n_future") === 4)
+          .select(col("stream_id"), col("chunk_id"), size(col("history")).as("input_len"),
+            round(aggregate(col("history"), lit(0.0), (a, x) => a + x), 4).as("input_sum"),
+            col("f0"), col("f1"), col("f2"))
+          .orderBy("stream_id", "chunk_id")
+      },
+      None),
+
+    // M11: forecast model — MLP classifier over flattened history windows
+    // predicting the next-interval dominant category (the reference's
+    // Keras input->16->8->|C| softmax net, knob_plan.py:289-317).
+    Q("n09_forecast_mlp",
+      (s, d) => {
+        import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+        import org.apache.spark.ml.functions.array_to_vector
+        val wHist = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(-8, -1)
+        val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
+        val cat = when(col("s0") < 0.35, 0).when(col("s0") < 0.65, 1).otherwise(2)
+        val data = chunkScores(s, d)
+          .withColumn("category", cat)
+          .select(col("stream_id"), col("chunk_id"),
+            collect_list(col("s0")).over(wHist).as("history"),
+            count(lit(1)).over(wFut).as("n_future"),
+            avg(col("category")).over(wFut).as("fut_avg"))
+          .filter(size(col("history")) === 8 && col("n_future") === 4)
+          .select(array_to_vector(col("history")).as("features"),
+            round(col("fut_avg")).cast("double").as("label"))
+        val mlp = new MultilayerPerceptronClassifier()
+          .setLayers(Array(8, 16, 8, 3)).setSeed(42).setMaxIter(25)
+        val model = mlp.fit(data)
+        model.transform(data)
+          .groupBy(col("label").cast("long").as("label"),
+            col("prediction").cast("long").as("prediction"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "prediction")
+      },
+      None, bench = false)
+  )
+}
