@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.all ++
       graft.queries.ControlQueries.all ++
       graft.queries.ArrayQueries.all ++
-      graft.queries.OfflineQueries.all
+      graft.queries.OfflineQueries.all ++
+      graft.queries.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

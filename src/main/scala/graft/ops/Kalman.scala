@@ -13,7 +13,8 @@ import breeze.linalg.{inv, DenseMatrix, DenseVector}
   * Pure, driver-free Scala — runs inside executor state (one instance per
   * live track inside flatMapGroups[WithState]); no Spark types here.
   */
-final class Kalman7 private (var x: DenseVector[Double], var P: DenseMatrix[Double]) {
+final class Kalman7 private (var x: DenseVector[Double], var P: DenseMatrix[Double])
+    extends Serializable {
   import Kalman7._
 
   /** x ← Fx, P ← FPFᵀ + Q. */

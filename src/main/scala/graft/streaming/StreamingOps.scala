@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.control.{Replay, Switcher}
+import graft.ops.SortTracker
+import graft.ops.SortTracker.Det
+import graft.operators.Tracking.{DetRow, TrackRow}
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the stateful operators (SURVEY ST1-ST4):
+  * the same pure kernels (SortTracker, Switcher) carried as
+  * flatMapGroupsWithState state, one state object per stream key.
+  *
+  * Ordering: rows within a micro-batch are sorted in memory per key (a
+  * micro-batch holds seconds of one stream — bounded); ordering ACROSS
+  * batches relies on per-stream sequential ingestion, which is the
+  * reference's own operating assumption (supp. N.2 — the switcher/UDF
+  * dependency is strictly sequential per stream). Scale comes from the
+  * number of independent streams, exactly as in batch mode.
+  */
+object StreamingOps {
+
+  /** Streaming SORT tracking: detections stream in, confirmed tracks
+    * stream out; tracker state persists across micro-batches.
+    */
+  def trackStream(dets: DataFrame, maxAge: Int = 1, minHits: Int = 3,
+                  iouThreshold: Double = 0.3): DataFrame = {
+    val spark = dets.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: org.apache.spark.sql.Encoder[TrackerState] =
+      Encoders.kryo[TrackerState]
+
+    dets.select(
+        col("stream_id").cast("long"), col("frame").cast("long"),
+        col("x1").cast("double"), col("y1").cast("double"),
+        col("x2").cast("double"), col("y2").cast("double"),
+        col("score").cast("double"))
+      .as[DetRow]
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: Long, it: Iterator[DetRow], state: GroupState[TrackerState]) =>
+          val st = state.getOption.getOrElse(
+            TrackerState(new SortTracker(maxAge, minHits, iouThreshold), -1L))
+          val byFrame = it.toSeq.groupBy(_.frame).toSeq.sortBy(_._1)
+          val out = Seq.newBuilder[TrackRow]
+          var last = st.lastFrame
+          byFrame.foreach { case (f, rows) =>
+            // SORT needs one update per frame, including empty gaps
+            var cur = if (last < 0) f else last + 1
+            while (cur <= f) {
+              val frameDets =
+                if (cur == f) rows.map(d => Det(d.x1, d.y1, d.x2, d.y2, d.score)).toArray
+                else Array.empty[Det]
+              val res = st.tracker.update(frameDets)
+              if (cur == f)
+                out ++= res.map(t => TrackRow(sid, f, t.trackId, t.x1, t.y1, t.x2, t.y2))
+              cur += 1
+            }
+            last = f
+          }
+          state.update(TrackerState(st.tracker, last))
+          out.result().iterator
+      }
+      .toDF()
+  }
+
+  /** Streaming knob switcher: per-chunk score rows in, decision log out;
+    * buffer/plan/counter state persists across micro-batches.
+    */
+  def switchStream(chunks: DataFrame, mkSwitcher: () => Switcher): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: org.apache.spark.sql.Encoder[SwitcherState] =
+      Encoders.kryo[SwitcherState]
+
+    chunks.select(col("stream_id").cast("long"), col("chunk_id").cast("long"),
+        col("s0").cast("double"), col("s1").cast("double"), col("s2").cast("double"))
+      .as[(Long, Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: Long, it: Iterator[(Long, Long, Double, Double, Double)],
+         state: GroupState[SwitcherState]) =>
+          val st = state.getOption.getOrElse(SwitcherState(mkSwitcher(), first = true, 0.0))
+          val rows = it.toSeq.sortBy(_._2)
+          val out = rows.map { case (_, chunkId, s0, s1, s2) =>
+            val scores = Array(s0, s1, s2)
+            if (st.first) {
+              st.first = false
+              st.curScore = scores(0)
+              (sid, chunkId, 0, 0, 0.0, 0.0, st.curScore)
+            } else {
+              val (config, placement, cost, rt) = st.switcher.switch(st.curScore)
+              st.curScore = scores(config)
+              (sid, chunkId, config, placement, cost, rt, st.curScore)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF("stream_id", "chunk_id", "config", "placement", "cloud_cost", "runtime_s", "score")
+  }
+
+  /** Event-time windowed quality totals with a watermark (the A1 sums in
+    * streaming form; late data beyond the watermark is dropped).
+    */
+  def windowedQuality(events: DataFrame, window: String = "2 seconds",
+                      watermark: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("stream_id"))
+      .agg(count(lit(1)).as("n"), sum("score").as("sum_quality"))
+      .select(col("window.start").as("window_start"), col("stream_id"),
+        col("n"), col("sum_quality"))
+}
+
+final case class TrackerState(tracker: SortTracker, lastFrame: Long)
+final case class SwitcherState(switcher: Switcher, var first: Boolean, var curScore: Double)
