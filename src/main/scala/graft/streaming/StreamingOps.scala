@@ -101,6 +101,17 @@ object StreamingOps {
       .toDF("stream_id", "chunk_id", "config", "placement", "cloud_cost", "runtime_s", "score")
   }
 
+  /** Streaming exact dedup: drop documents whose content fingerprint was
+    * already seen within the watermark horizon (state is bounded by the
+    * watermark — the streaming form of Dedup.exact for a 100 TB ingest
+    * firehose).
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "1 minute"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Event-time windowed quality totals with a watermark (the A1 sums in
     * streaming form; late data beyond the watermark is dropped).
     */

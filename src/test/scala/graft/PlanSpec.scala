@@ -1,0 +1,66 @@
+package graft
+
+/** Physical-plan quality gates — the 100 TB design assertions.
+  *
+  * These don't check results (the DuckDB oracle does); they check that the
+  * PLANS are the ones we'd want on a 1000-executor cluster: filters and
+  * projections reach the parquet scan, dim joins broadcast, aggregates are
+  * partial (map-side combine), and nothing in the catalog degenerates into
+  * an unkeyed cartesian product.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filters are pushed into the parquet scan (q02)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]")
+      || p.contains("EqualTo(event_type,click)"), s"no pushed filter in:\n$p")
+  }
+
+  test("scans read only referenced columns (q02 projects 3 of 6)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint") &&
+      !p.contains("props"), "scan reads unprojected columns")
+  }
+
+  test("dim-fact joins broadcast the dim side (q07)") {
+    val p = plan("q07_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.indexOf("BroadcastHashJoin") >= 0)
+  }
+
+  test("aggregations are partial before the shuffle (q01)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"no map-side combine:\n$p")
+  }
+
+  test("IoU theta-join stays keyed on frame — no cartesian product (q06)") {
+    val p = plan("q06_iou_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
+
+  test("whole-stage codegen covers the bbox arithmetic (q04)") {
+    // AQE only materializes codegen spans in the final plan — execute first
+    val df = SparkEntry.queries("q04_bbox_clip")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), s"no codegen span:\n$p")
+  }
+
+  test("no catalog query degenerates into an unkeyed cartesian product") {
+    // intentional broadcast-nested-loop joins over provably tiny sides:
+    // a06 (3-row prefix dim) and n05 (<=64 Pareto candidates, group-less
+    // dominance is inherently theta — the grouped form is q10 and hashes)
+    val exempt = Set("a06_containment_join", "n05_placement_pareto")
+    SparkEntry.catalog.filterNot(q => exempt(q.name)).foreach { q =>
+      val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} plans a BroadcastNestedLoopJoin")
+    }
+  }
+}

@@ -104,6 +104,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops same-content docs across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val query = StreamingOps.dedupStream(
+        input.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (t(0), 0L, "the quick brown fox"),
+        (t(1), 1L, "a completely different doc"),
+        (t(2), 2L, "the quick brown fox"))) // dup within batch
+      query.processAllAvailable()
+      input.addData(Seq(
+        (t(3), 3L, "THE QUICK   brown fox!!"), // dup after normalization
+        (t(4), 4L, "a third novel document")))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(0L, 1L, 4L), s"kept $kept")
+    } finally query.stop()
+  }
+
   test("windowed quality with watermark aggregates event-time windows") {
     val s = spark
     import s.implicits._
