@@ -133,6 +133,8 @@ object RelationalQueries {
     // quadratic blow-up is bounded per frame, not global.
     Q("q06_iou_join",
       (s, d) => {
+        // native codegen'd IoU expression (graft.plans.Iou)
+        graft.plans.GraftExtensions.register(s)
         val b = bboxen(Tables.events(s, d))
         val a = b.alias("a"); val c = b.alias("b")
         // cheap overlap precondition in the join: pairs that can't overlap
@@ -144,8 +146,7 @@ object RelationalQueries {
             col("a.frame").as("frame"),
             col("a.det_id").as("det_a"),
             col("b.det_id").as("det_b"),
-            round(iou(col("a.x1"), col("a.y1"), col("a.x2"), col("a.y2"),
-                      col("b.x1"), col("b.y1"), col("b.x2"), col("b.y2")), 4).as("iou"))
+            round(expr("iou(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1, b.x2, b.y2)"), 4).as("iou"))
           .filter(col("iou") > 0.1)
           .orderBy("frame", "det_a", "det_b")
       },
