@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.ControlQueries.all ++
       graft.queries.ArrayQueries.all ++
       graft.queries.OfflineQueries.all ++
-      graft.queries.MultimodalQueries.all
+      graft.queries.MultimodalQueries.all ++
+      graft.queries.SegmentQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -132,21 +132,25 @@ object ArrayQueries {
         val cx = (id * 37 % 1280).cast("double")
         val cy = (id * 53 % 720).cast("double")
         val wdiv = cx * 0.0001 + cy * 0.0002 + 1.0
+        // quantize per-row BEFORE summing: integer partial sums are
+        // order-independent, so the grouped result is engine-exact (a
+        // double sum of 4dp values flips the final rounding when the
+        // total lands on a .005 boundary — seen at sf0.001)
         Tables.events(s, d)
           .select((id % 500).as("frame"),
-            round((cx * 0.5 + cy * 0.1 + 20.0) / wdiv, 4).as("wx"),
-            round((cx * -0.05 + cy * 0.8 + 10.0) / wdiv, 4).as("wy"))
+            round(round((cx * 0.5 + cy * 0.1 + 20.0) / wdiv, 4) * 10000).cast("long").as("wxq"),
+            round(round((cx * -0.05 + cy * 0.8 + 10.0) / wdiv, 4) * 10000).cast("long").as("wyq"))
           .groupBy("frame")
           .agg(count(lit(1)).as("n"),
-            round(sum("wx"), 2).as("sum_wx"), round(sum("wy"), 2).as("sum_wy"))
+            (sum("wxq") / 10000.0).as("sum_wx"), (sum("wyq") / 10000.0).as("sum_wy"))
           .orderBy("frame")
       },
-      Some("""SELECT frame, count(*) AS n, round(sum(wx),2) AS sum_wx, round(sum(wy),2) AS sum_wy
+      Some("""SELECT frame, count(*) AS n, sum(wxq)/10000.0 AS sum_wx, sum(wyq)/10000.0 AS sum_wy
              |FROM (SELECT event_id % 500 AS frame,
-             |  round((CAST(event_id*37 % 1280 AS DOUBLE)*0.5 + CAST(event_id*53 % 720 AS DOUBLE)*0.1 + 20.0)
-             |    / (CAST(event_id*37 % 1280 AS DOUBLE)*0.0001 + CAST(event_id*53 % 720 AS DOUBLE)*0.0002 + 1.0), 4) AS wx,
-             |  round((CAST(event_id*37 % 1280 AS DOUBLE)*-0.05 + CAST(event_id*53 % 720 AS DOUBLE)*0.8 + 10.0)
-             |    / (CAST(event_id*37 % 1280 AS DOUBLE)*0.0001 + CAST(event_id*53 % 720 AS DOUBLE)*0.0002 + 1.0), 4) AS wy
+             |  CAST(round(round((CAST(event_id*37 % 1280 AS DOUBLE)*0.5 + CAST(event_id*53 % 720 AS DOUBLE)*0.1 + 20.0)
+             |    / (CAST(event_id*37 % 1280 AS DOUBLE)*0.0001 + CAST(event_id*53 % 720 AS DOUBLE)*0.0002 + 1.0), 4) * 10000, 0) AS BIGINT) AS wxq,
+             |  CAST(round(round((CAST(event_id*37 % 1280 AS DOUBLE)*-0.05 + CAST(event_id*53 % 720 AS DOUBLE)*0.8 + 10.0)
+             |    / (CAST(event_id*37 % 1280 AS DOUBLE)*0.0001 + CAST(event_id*53 % 720 AS DOUBLE)*0.0002 + 1.0), 4) * 10000, 0) AS BIGINT) AS wyq
              | FROM events) t
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )

@@ -434,6 +434,37 @@ object RelationalQueries {
              |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
              |FROM events ORDER BY user_id, event_id""".stripMargin)),
 
+    // Cube over both grouping dims (free analytics layer).
+    Q("q25_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS qty,
+             | count(*) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Numeric RANGE window frame (value-based history, not row-based).
+    Q("q26_range_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id").rangeBetween(-100, -1)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_in_range"),
+            round(sum("value").over(w), 2).as("range_sum"))
+          .filter(col("n_in_range") > 0)
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, n_in_range, range_sum FROM (
+             | SELECT user_id, event_id,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
+             |    RANGE BETWEEN 100 PRECEDING AND 1 PRECEDING) AS n_in_range,
+             |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+             |    RANGE BETWEEN 100 PRECEDING AND 1 PRECEDING), 2) AS range_sum
+             | FROM events) t
+             |WHERE n_in_range > 0 ORDER BY user_id, event_id""".stripMargin)),
+
     // Rollup (free analytics layer on top of the A-series aggregates).
     Q("q24_rollup",
       (s, d) => Tables.lineitem(s, d)
