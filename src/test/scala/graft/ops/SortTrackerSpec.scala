@@ -128,6 +128,25 @@ class ReplaySpec extends AnyFunSuite {
     assert(math.abs(log.map(_.score).sum - expected) < 1e-9)
   }
 
+  test("skyscraper replay matches the committed golden decision log") {
+    val buffer = new SimBuffer(400.0, profiles.map(p => p.knobConfig -> p.sizeBytes).toMap)
+    val planner = new KnobPlanner(centers, Array(1.9, 1.5, 1.2), 24.0, 2.0)
+    val sw = new Switcher(centers, profiles, planner, 500, 24 * 3600 * 2 + 100.0,
+      Array(0.86, 0.053, 0.086), buffer)
+    val cs = (0 until 400).iterator.map { i =>
+      val base = if (i < 133) 0.2 else if (i < 266) 0.8 else 0.5
+      (i.toLong, Array(base, base * 0.8 + 0.1, base * 0.5))
+    }
+    val got = Replay.skyscraper(cs, sw).map(l =>
+      f"${l.chunkId},${l.chosenConfig},${l.chosenPlacement},${l.cloudCost},${l.runtimeS}%.2f,${l.score}%.4f").toSeq
+    val golden = scala.io.Source.fromResource("golden_skyscraper_log.csv")
+      .getLines().drop(1).toSeq
+    assert(got.length == golden.length)
+    got.zip(golden).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"golden drift at chunk $i: got '$g' expected '$e'")
+    }
+  }
+
   test("LP plan satisfies its constraints") {
     val planner = new KnobPlanner(centers, Array(1.9, 1.5, 1.2), 24.0, 2.0)
     val mixture = Array(0.86, 0.053, 0.086)
