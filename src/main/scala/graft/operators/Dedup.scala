@@ -178,7 +178,9 @@ object Dedup {
   }
 
   def simhashCandidates(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    // persist: the band self-join would otherwise run the hash kernel twice
     val t = simhashTable(docs, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = t.select(col(id), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
