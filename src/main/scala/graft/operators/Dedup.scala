@@ -140,6 +140,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected-component duplicate clusters from a pair table
+    * (doc_a < doc_b): label propagation to the minimum id per component —
+    * the step that turns pairwise near-dup hits into "keep one per
+    * cluster". Driver-coordinated fixpoint of distributed joins; the
+    * iteration count is the component diameter (near-dup clusters are
+    * shallow), each pass a shuffled equi-join.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "ncluster"), "dst")
+        .groupBy(col("src").as("id")).agg(min("ncluster").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+  }
+
   /** SimHash fingerprint table: 64-bit fingerprint per doc, computed in a
     * typed mapPartitions kernel (tight JVM loop; the equivalent column
     * expression — TextFunctions.simhash64 — is interpreted and ~50x

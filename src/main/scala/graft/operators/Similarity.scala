@@ -109,6 +109,67 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: KMeans centroids partition the corpus into
+    * nlist cells; each query probes its nprobe nearest cells and ranks
+    * only those candidates. The classic recall/throughput dial for
+    * billion-vector corpora — cells would be the bucketing key at write
+    * time, so a probe reads nprobe/nlist of the data.
+    */
+  def ivfKnn(vectors: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+             seed: Long = 42): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val feats = vectors.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>").as("v"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .fit(feats.select(array_to_vector(col("v")).as("features")))
+    val centers = model.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centers)
+
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val assigned = feats.as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue
+        var i = 0
+        while (i < cs.length) { val d = dist2(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
+        (id, best, v)
+      }
+      .toDF("vec_id", "cell", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val probes = assigned.select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val cs = bc.value
+        cs.indices.map(i => (dist2(v, cs(i)), i)).sorted.take(nprobe)
+          .map { case (_, cell) => (id, cell, v) }
+      }
+      .toDF("query_id", "cell", "qv")
+
+    val scored = probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("v"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .map { case (q, n, qv, v) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < qv.length) { dot += qv(i) * v(i); na += qv(i) * qv(i); nb += v(i) * v(i); i += 1 }
+        (q, n, dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share the sign-bit bucket; per-bucket
     * top-k via a typed groupByKey kernel (the scale path — buckets
     * partition the corpus, so no all-pairs blow-up).

@@ -82,6 +82,16 @@ object SimilarityQueries {
         .orderBy("query_id", "rank"),
       None),
 
+    // IVF ANN: KMeans cells + nprobe centroid probing (the
+    // billion-vector scale path next to the LSH variant) — rows-only;
+    // recall vs brute force asserted in SimilaritySpec.
+    Q("e06_ivf_knn",
+      (s, d) => Similarity
+        .ivfKnn(Tables.embeddings(s, d), k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
+        .orderBy("query_id", "rank"),
+      None),
+
     // KMeans clustering of the embedding space (spark.ml; content
     // categorization M10 reborn over embeddings) — rows-only.
     Q("e05_kmeans",

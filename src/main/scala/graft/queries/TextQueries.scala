@@ -163,6 +163,47 @@ object TextQueries {
     Q("d03_simhash_candidates",
       (s, d) => Dedup.simhashCandidates(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b"),
-      None)
+      None),
+
+    // Near-dup CLUSTERS: minhash pairs -> connected components (min-id
+    // label propagation). Oracle: recursive-CTE transitive closure over
+    // the same pair set.
+    Q("d04_dup_clusters",
+      (s, d) => Dedup.dupClusters(Dedup.minhashNearDups(Tables.documents(s, d)))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE words AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+             |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+             |mh AS (
+             |  SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || '#' || shingle)) AS mh
+             |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+             |sig AS (
+             |  SELECT doc_id, CAST(seed // 2 AS INT) AS band, min(mh) || max(mh) AS sig
+             |  FROM mh GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+             |cm AS (
+             |  SELECT c.doc_a, c.doc_b, count(*) AS common
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.doc_a
+             |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+             |  GROUP BY 1, 2),
+             |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT doc_a, doc_b FROM cm
+             |  JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+             |  WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.05),
+             |edges AS (
+             |  SELECT doc_a AS s, doc_b AS d FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT DISTINCT s, s FROM edges
+             |  UNION
+             |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+             |SELECT id AS doc_id, min(r) AS cluster_id
+             |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

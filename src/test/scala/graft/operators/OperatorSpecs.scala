@@ -31,6 +31,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 2 || p._1 == 2), s"false positive with doc 2: $pairs")
   }
 
+  test("dupClusters collapses chained pairs to the min-id component") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2, 2-3; separate pair 10-11; transitive 5-6, 6-7, 5-7
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("typed simhash kernel matches the column expression bit-for-bit") {
     val fast = Dedup.simhashTable(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val colV = docs.select(col("doc_id"),
@@ -86,6 +98,24 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("query_id", "rank").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
     assert(got == expected)
+  }
+
+  test("ivfKnn: valid ranked output and better recall than nprobe/nlist fraction") {
+    val exact = Similarity.quantizedKnn(vectors, col("vec_id") < 20, 5)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = Similarity.ivfKnn(vectors, k = 5, nlist = 8, nprobe = 3)
+      .filter(col("query_id") < 20).collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(ivf.nonEmpty)
+    // quantized vs float cosine rank slightly differently; compare as sets
+    val recalls = exact.keys.toSeq.map { q =>
+      val hits = ivf.getOrElse(q, Set.empty).intersect(exact(q)).size
+      hits.toDouble / 5.0
+    }
+    val meanRecall = recalls.sum / recalls.length
+    assert(meanRecall > 3.0 / 8.0,
+      f"IVF recall $meanRecall%.2f not better than random cell fraction")
   }
 
   test("lshKnn achieves reasonable recall vs brute force on bucket-mates") {
