@@ -131,6 +131,11 @@ object RelationalQueries {
     // object_detection.py:51-63). Equi on frame + theta on overlap; at
     // scale the frame key shuffles both sides to the same partition so the
     // quadratic blow-up is bounded per frame, not global.
+    // Measured: a grid-cell pre-bucketing variant (explode to 256px
+    // x-cells, leftmost-cell ownership) returns identical rows at
+    // identical steady-state cost (3.1s vs 3.2s at sf0.1, warm JVM) —
+    // the overlap precondition already short-circuits non-candidates, so
+    // the simpler frame-keyed plan is kept.
     Q("q06_iou_join",
       (s, d) => {
         // native codegen'd IoU expression (graft.plans.Iou)
