@@ -124,7 +124,7 @@ object Similarity {
 
     val feats = vectors.select(col("vec_id").cast("long"),
       col("embedding").cast("array<double>").as("v"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(feats.select(array_to_vector(col("v")).as("features")))
     val centers = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centers)

@@ -118,7 +118,7 @@ object ControlQueries {
     Q("n01_sort_tracks",
       (s, d) => {
         val dets = Tables.events(s, d)
-          .select((col("user_id") % 4).as("stream_id"),
+          .select((col("user_id") % 16).as("stream_id"),
             (col("event_id") % 150).as("frame"),
             (col("user_id") % 3).as("obj"),
             col("event_id"))
