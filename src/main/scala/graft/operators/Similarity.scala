@@ -109,14 +109,22 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) ANN: KMeans centroids partition the corpus into
-    * nlist cells; each query probes its nprobe nearest cells and ranks
-    * only those candidates. The classic recall/throughput dial for
-    * billion-vector corpora — cells would be the bucketing key at write
-    * time, so a probe reads nprobe/nlist of the data.
+  /** IVF index: KMeans centroids + cell-assigned corpus. Built once and
+    * reused across probe calls — at scale `assigned` is written bucketed
+    * by `cell`, so a probe reads nprobe/nlist of the data.
     */
-  def ivfKnn(vectors: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
-             seed: Long = 42): DataFrame = {
+  final case class IvfIndex(centers: Array[Array[Double]], assigned: DataFrame)
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Build the inverted file: train centroids, assign every vector to its
+    * nearest cell (typed kernel, centers broadcast).
+    */
+  def buildIvfIndex(vectors: DataFrame, nlist: Int = 16, seed: Long = 42): IvfIndex = {
     val spark = vectors.sparkSession
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
@@ -128,12 +136,6 @@ object Similarity {
       .fit(feats.select(array_to_vector(col("v")).as("features")))
     val centers = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centers)
-
-    def dist2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
     val assigned = feats.as[(Long, Array[Double])]
       .map { case (id, v) =>
         val cs = bc.value
@@ -144,8 +146,19 @@ object Similarity {
       }
       .toDF("vec_id", "cell", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(centers, assigned)
+  }
 
-    val probes = assigned.select(col("vec_id").as("query_id"), col("v").as("qv"))
+  /** Probe the index: each query ranks candidates from its nprobe nearest
+    * cells only — the recall/throughput dial for billion-vector corpora.
+    */
+  def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centers)
+    val probes = queries
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
       .as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
         val cs = bc.value
@@ -154,7 +167,7 @@ object Similarity {
       }
       .toDF("query_id", "cell", "qv")
 
-    val scored = probes.join(assigned, "cell")
+    val scored = probes.join(index.assigned, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("v"))
       .as[(Long, Long, Array[Double], Array[Double])]
@@ -169,6 +182,11 @@ object Similarity {
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
+
+  /** Self-ANN convenience: build + probe in one call. */
+  def ivfKnn(vectors: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+             seed: Long = 42): DataFrame =
+    probeIvf(buildIvfIndex(vectors, nlist, seed), vectors, k, nprobe)
 
   /** LSH-bucketed ANN: candidates share the sign-bit bucket; per-bucket
     * top-k via a typed groupByKey kernel (the scale path — buckets

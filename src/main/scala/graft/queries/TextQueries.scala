@@ -165,6 +165,46 @@ object TextQueries {
         .orderBy("doc_a", "doc_b"),
       None),
 
+    // Fuzzy duplicate candidates: edit-distance pairs within a brand
+    // block (the Levenshtein fuzzy-match operator; blocking keeps the
+    // pair space per-group).
+    Q("d05_fuzzy_match",
+      (s, d) => {
+        val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_name")
+        val a = p.alias("a"); val b = p.alias("b")
+        a.join(b, col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_brand").as("brand"),
+            col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+            levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+          .filter(col("dist") <= 3 && col("dist") > 0)
+          .groupBy("brand")
+          .agg(count(lit(1)).as("n_pairs"), min("dist").as("min_dist"))
+          .orderBy("brand")
+      },
+      Some("""SELECT brand, count(*) AS n_pairs, min(dist) AS min_dist
+             |FROM (SELECT a.p_brand AS brand, levenshtein(a.p_name, b.p_name) AS dist
+             |      FROM part a JOIN part b
+             |        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey) t
+             |WHERE dist <= 3 AND dist > 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Phonetic-skeleton blocking: first letter + consonant skeleton
+    // (soundex-style dedup blocking; engine-portable formulation).
+    Q("d06_phonetic_block",
+      (s, d) => Tables.part(s, d)
+        .select(concat(upper(substring(col("p_name"), 1, 1)),
+          regexp_replace(lower(substring(col("p_name"), 2, 100)), "[aeiou\\s]", "")).as("code"))
+        .groupBy("code")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .orderBy("code"),
+      Some("""SELECT code, count(*) AS n
+             |FROM (SELECT upper(substr(p_name, 1, 1)) ||
+             |        regexp_replace(lower(substr(p_name, 2, 100)), '[aeiou\s]', '', 'g') AS code
+             |      FROM part) t
+             |GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1""".stripMargin)),
+
     // Near-dup CLUSTERS: minhash pairs -> connected components (min-id
     // label propagation). Oracle: recursive-CTE transitive closure over
     // the same pair set.
