@@ -131,6 +131,56 @@ class SimplexSpec extends AnyFunSuite {
     assert(math.abs(res.x(0) - 1.0) < 1e-9)
   }
 
+  test("matches brute-force vertex enumeration on 100 random small LPs") {
+    // min c·x, Ax <= b, x >= 0: optimum (if bounded+feasible) is at a
+    // vertex — intersect every subset of n active constraints from
+    // {rows of A} ∪ {x_i = 0} and take the feasible minimum
+    val rnd = new scala.util.Random(17)
+    var checked = 0
+    for (_ <- 0 until 100) {
+      val n = 2
+      val m = 3
+      val a = Array.fill(m, n)(rnd.nextDouble() * 4 - 1)
+      val b = Array.fill(m)(rnd.nextDouble() * 5 + 0.5) // b > 0 => feasible at 0
+      val c = Array.fill(n)(rnd.nextDouble() * 4 - 2)
+
+      // brute force: all pairs of constraints (rows + axes) as equalities
+      val rows: Seq[(Array[Double], Double)] =
+        a.zip(b).map { case (r, bi) => (r, bi) }.toSeq ++
+          (0 until n).map(i => (Array.tabulate(n)(j => if (i == j) 1.0 else 0.0), 0.0))
+      val vertices = for {
+        i <- rows.indices; j <- rows.indices if i < j
+        det = rows(i)._1(0) * rows(j)._1(1) - rows(i)._1(1) * rows(j)._1(0)
+        if math.abs(det) > 1e-9
+      } yield {
+        val x0 = (rows(i)._2 * rows(j)._1(1) - rows(j)._2 * rows(i)._1(1)) / det
+        val x1 = (rows(i)._1(0) * rows(j)._2 - rows(j)._1(0) * rows(i)._2) / det
+        Array(x0, x1)
+      }
+      val feasible = vertices.filter(v =>
+        v.forall(_ >= -1e-9) &&
+          a.zip(b).forall { case (r, bi) => r(0) * v(0) + r(1) * v(1) <= bi + 1e-9 })
+      val objs = feasible.map(v => c(0) * v(0) + c(1) * v(1))
+      // unbounded iff an improving ray exists; skip those cases by
+      // requiring the simplex itself not to throw AND a vertex optimum
+      if (objs.nonEmpty) {
+        val best = objs.min
+        try {
+          val res = Simplex.minimize(c, a, b)
+          assert(res.objective <= best + 1e-7,
+            s"simplex ${res.objective} worse than vertex best $best")
+          if (res.objective < best - 1e-7) {
+            // simplex found better than any vertex => problem unbounded;
+            // acceptable only if some direction improves without bound
+          } else checked += 1
+        } catch {
+          case e: IllegalArgumentException if e.getMessage.contains("unbounded") => ()
+        }
+      }
+    }
+    assert(checked >= 50, s"only $checked bounded LPs validated")
+  }
+
   test("reports infeasibility like the reference planner") {
     val ex = intercept[IllegalArgumentException] {
       Simplex.minimize(

@@ -43,6 +43,64 @@ class VetlPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("two-job composition: quality stream feeds the switcher through a file bridge") {
+    // production shape: job 1 (frames -> tracks -> 2s quality windows)
+    // lands chunks on storage; job 2 (switcher FMGWS) consumes them —
+    // stateful-after-aggregation chains are split across jobs exactly as
+    // the paper splits switcher and UDFs (supp. N.2)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val bridge = java.nio.file.Files.createTempDirectory("vetl_bridge").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vetl_ckpt").toString
+
+    // job 1: frames -> tracks -> windowed quality -> parquet bridge
+    val input = MemoryStream[FrameRow]
+    val tracks = VetlPipeline.tracksFromFrames(input.toDF())
+    val quality = tracks
+      .withColumn("ts", VetlPipeline.frameTime(col("frame")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "2 seconds"), col("stream_id"))
+      .agg(avg(col("x1") / 2000.0).as("s0"))
+      .select(col("stream_id"),
+        (unix_timestamp(col("window.start")) / 2).cast("long").as("chunk_id"),
+        col("s0"), (col("s0") * 0.8 + 0.1).as("s1"), (col("s0") * 0.5).as("s2"))
+    val job1 = quality.writeStream.format("parquet")
+      .option("path", bridge).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(mkFrames(3, 0 until 300))
+      job1.processAllAvailable()
+      input.addData(mkFrames(3, 3000 until 3020)) // advance watermark
+      job1.processAllAvailable()
+    } finally job1.stop()
+
+    // job 2: switcher over the bridged chunk stream
+    import graft.control._
+    val profiles = IndexedSeq(
+      Profile(0, 0, 1.9, 0.0, 100), Profile(1, 0, 1.4, 4.0, 100),
+      Profile(2, 1, 1.5, 0.0, 80), Profile(3, 2, 1.2, 0.0, 60))
+    val centers = Array(Array(0.2, 0.25, 0.15), Array(0.5, 0.55, 0.45), Array(0.8, 0.85, 0.75))
+    def mk() = new Switcher(centers, profiles,
+      new KnobPlanner(centers, Array(1.9, 1.5, 1.2), 24.0, 2.0),
+      100, 24 * 3600 * 2 + 100.0, Array(0.86, 0.053, 0.086),
+      new SimBuffer(400.0, profiles.map(p => p.knobConfig -> p.sizeBytes).toMap))
+
+    val chunkStream = spark.readStream
+      .schema("stream_id LONG, chunk_id LONG, s0 DOUBLE, s1 DOUBLE, s2 DOUBLE")
+      .parquet(bridge)
+    val job2 = StreamingOps.switchStream(chunkStream, mk _)
+      .writeStream.format("memory").queryName("bridged_switch")
+      .outputMode("append").start()
+    try {
+      job2.processAllAvailable()
+      val decisions = spark.table("bridged_switch").collect()
+      assert(decisions.length >= 4, s"expected closed chunks, got ${decisions.length}")
+      assert(decisions.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 2))
+    } finally job2.stop()
+  }
+
   test("windowed track quality produces 2s chunks with full boxes") {
     val s = spark
     import s.implicits._
