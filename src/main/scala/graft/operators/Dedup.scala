@@ -26,12 +26,6 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Shingle table: (id, shingle) distinct word-n-gram pairs. */
-  def shingleTable(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
-    docs
-      .select(col(id), explode(shingles(tokens(col(text)), n)).as("shingle"))
-      .distinct()
-
   /** MinHash-LSH near-duplicate candidate pairs + exact Jaccard verify.
     *
     * k seeds, bands of `rowsPerBand`; docs sharing any band signature are

@@ -31,6 +31,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 2 || p._1 == 2), s"false positive with doc 2: $pairs")
   }
 
+  test("column-API minhash signature matches an independent md5 recompute") {
+    import graft.functions.TextFunctions
+    val sigRows = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id"),
+        TextFunctions.minhashSignature(
+          TextFunctions.shingles(TextFunctions.tokens(col("text")), 3), 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // independent driver-side recompute (same contract as the typed
+    // kernel in minhashNearDups)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    docs.filter(col("doc_id") < 3).collect().foreach { r =>
+      val toks = "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq
+      val sh = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      val expect = (0 until 4).map(seed => sh.map(s => md5hex(s"$seed#$s")).min)
+      assert(sigRows(r.getLong(0)) == expect, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("dupClusters collapses chained pairs to the min-id component") {
     val s = spark
     import s.implicits._
