@@ -145,6 +145,42 @@ object OfflineQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy("label", "prediction")
       },
+      None, bench = false),
+
+    // M11 evaluation: forecast MAE — mean |predicted distribution −
+    // actual future category frequencies| (the paper's Table 5 metric,
+    // supp. I.3), computed over the same windowed samples.
+    Q("n10_forecast_mae",
+      (s, d) => {
+        import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+        import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+        val wHist = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(-8, -1)
+        val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
+        val cat = when(col("s0") < 0.35, 0).when(col("s0") < 0.65, 1).otherwise(2)
+        val data = chunkScores(s, d)
+          .withColumn("category", cat)
+          .select(col("stream_id"), col("chunk_id"),
+            collect_list(col("s0")).over(wHist).as("history"),
+            count(lit(1)).over(wFut).as("n_future"),
+            (sum(when(col("category") === 0, 1).otherwise(0)).over(wFut) / 4.0).as("a0"),
+            (sum(when(col("category") === 1, 1).otherwise(0)).over(wFut) / 4.0).as("a1"),
+            (sum(when(col("category") === 2, 1).otherwise(0)).over(wFut) / 4.0).as("a2"))
+          .filter(size(col("history")) === 8 && col("n_future") === 4)
+          .withColumn("features", array_to_vector(col("history")))
+          .withColumn("label",
+            when(col("a0") >= col("a1") && col("a0") >= col("a2"), 0.0)
+              .when(col("a1") >= col("a2"), 1.0).otherwise(2.0))
+        val model = new MultilayerPerceptronClassifier()
+          .setLayers(Array(8, 16, 8, 3)).setSeed(42).setMaxIter(25).fit(data)
+        model.transform(data)
+          .withColumn("p", vector_to_array(col("probability")))
+          .select(
+            abs(element_at(col("p"), 1) - col("a0")).as("e0"),
+            abs(element_at(col("p"), 2) - col("a1")).as("e1"),
+            abs(element_at(col("p"), 3) - col("a2")).as("e2"))
+          .agg(count(lit(1)).as("n_samples"),
+            round(avg((col("e0") + col("e1") + col("e2")) / 3.0), 4).as("mae"))
+      },
       None, bench = false)
   )
 }
