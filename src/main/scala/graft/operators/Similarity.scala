@@ -121,10 +121,14 @@ object Similarity {
     s
   }
 
-  /** Build the inverted file: train centroids, assign every vector to its
-    * nearest cell (typed kernel, centers broadcast).
+  /** Build the inverted file: train centroids on a BOUNDED deterministic
+    * sample (hash-ordered top-N — centroid quality is insensitive to the
+    * sample once it's a few hundred per cell, and a full-corpus fit would
+    * be 10 passes over 100 TB), then assign every vector to its nearest
+    * cell (typed kernel, centers broadcast — ONE pass over the corpus).
     */
-  def buildIvfIndex(vectors: DataFrame, nlist: Int = 16, seed: Long = 42): IvfIndex = {
+  def buildIvfIndex(vectors: DataFrame, nlist: Int = 16, seed: Long = 42,
+                    trainSample: Int = 10000): IvfIndex = {
     val spark = vectors.sparkSession
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
@@ -132,8 +136,11 @@ object Similarity {
 
     val feats = vectors.select(col("vec_id").cast("long"),
       col("embedding").cast("array<double>").as("v"))
+    // xxhash64 order = deterministic pseudo-random sample; TakeOrdered
+    // ships only trainSample rows per partition to one reducer.
+    val train = feats.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(feats.select(array_to_vector(col("v")).as("features")))
+      .fit(train.select(array_to_vector(col("v")).as("features")))
     val centers = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centers)
     val assigned = feats.as[(Long, Array[Double])]
@@ -187,6 +194,18 @@ object Similarity {
   def ivfKnn(vectors: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
              seed: Long = 42): DataFrame =
     probeIvf(buildIvfIndex(vectors, nlist, seed), vectors, k, nprobe)
+
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), IvfIndex]
+
+  /** Build-once / probe-many form: the index for (key, nlist, seed) is
+    * built on first use and reused for the session — the production
+    * shape, where the inverted file is a persisted artifact (bucketed by
+    * `cell` at rest) and a query only pays the nprobe/nlist probe.
+    */
+  def ivfIndexFor(vectors: DataFrame, key: String, nlist: Int = 16,
+                  seed: Long = 42): IvfIndex =
+    indexCache.getOrElseUpdate((key, nlist, seed), buildIvfIndex(vectors, nlist, seed))
 
   /** LSH-bucketed ANN: candidates share the sign-bit bucket; per-bucket
     * top-k via a typed groupByKey kernel (the scale path — buckets

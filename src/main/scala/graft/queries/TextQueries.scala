@@ -165,18 +165,30 @@ object TextQueries {
         .orderBy("doc_a", "doc_b"),
       None),
 
-    // Fuzzy duplicate candidates: edit-distance pairs within a brand
-    // block (the Levenshtein fuzzy-match operator; blocking keeps the
-    // pair space per-group).
+    // Fuzzy duplicate candidates: edit-distance pairs within a
+    // (brand, length-bucket) block. Levenshtein lower bound:
+    // dist(a,b) >= |len(a)-len(b)|, so dist<=3 pairs differ by at most 3
+    // chars. Bucketing lengths by 4 and exploding one side to its
+    // adjacent buckets makes the join an equi-join on high-cardinality
+    // (brand x bucket) keys — same rows out as the plain brand block,
+    // but the pair space shrinks by ~the number of length buckets and
+    // the reducer ceiling is no longer the 25 brands. levenshtein's
+    // threshold form early-exits rows that can't be within 3.
     Q("d05_fuzzy_match",
       (s, d) => {
-        val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_name")
-        val a = p.alias("a"); val b = p.alias("b")
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"),
+            length(col("p_name")).as("len"))
+        val a = p.withColumn("bkt", floor(col("len") / 4)).alias("a")
+        val b = p.withColumn("bkt",
+            explode(array(floor(col("len") / 4) - 1, floor(col("len") / 4),
+              floor(col("len") / 4) + 1))).alias("b")
         a.join(b, col("a.p_brand") === col("b.p_brand") &&
-            col("a.p_partkey") < col("b.p_partkey"))
+            col("a.bkt") === col("b.bkt") &&
+            col("a.p_partkey") < col("b.p_partkey") &&
+            abs(col("a.len") - col("b.len")) <= 3)
           .select(col("a.p_brand").as("brand"),
-            col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
-            levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+            levenshtein(col("a.p_name"), col("b.p_name"), 3).as("dist"))
           .filter(col("dist") <= 3 && col("dist") > 0)
           .groupBy("brand")
           .agg(count(lit(1)).as("n_pairs"), min("dist").as("min_dist"))
