@@ -165,33 +165,35 @@ object TextQueries {
         .orderBy("doc_a", "doc_b"),
       None),
 
-    // Fuzzy duplicate candidates: edit-distance pairs within a
-    // (brand, length-bucket) block. Levenshtein lower bound:
-    // dist(a,b) >= |len(a)-len(b)|, so dist<=3 pairs differ by at most 3
-    // chars. Bucketing lengths by 4 and exploding one side to its
-    // adjacent buckets makes the join an equi-join on high-cardinality
-    // (brand x bucket) keys — same rows out as the plain brand block,
-    // but the pair space shrinks by ~the number of length buckets and
-    // the reducer ceiling is no longer the 25 brands. levenshtein's
-    // threshold form early-exits rows that can't be within 3.
+    // Fuzzy duplicate candidates: edit-distance pairs, counted per brand.
+    // Aggregate-then-pair: the Levenshtein loop runs over the DISTINCT
+    // (brand, name) matrix — cardinality-bound, not row-bound — and a
+    // matched name pair (n_a < n_b) stands for cnt_a*cnt_b row pairs
+    // (each unordered row pair appears exactly once under the partkey
+    // order, and dist>0 excludes same-name pairs). On this data that is
+    // ~50k comparisons instead of the ~8M row-level pairs the round-2
+    // length-bucket block failed to prune (7-12-char names collapse to
+    // ~3 buckets — measured, then replaced). At 100 TB the map-side
+    // combine reduces the scan to the distinct matrix and the quadratic
+    // loop never sees the row count; |len diff|<=3 (Levenshtein lower
+    // bound) plus the threshold form of levenshtein() prune within it.
     Q("d05_fuzzy_match",
       (s, d) => {
-        val p = Tables.part(s, d)
-          .select(col("p_partkey"), col("p_brand"), col("p_name"),
-            length(col("p_name")).as("len"))
-        val a = p.withColumn("bkt", floor(col("len") / 4)).alias("a")
-        val b = p.withColumn("bkt",
-            explode(array(floor(col("len") / 4) - 1, floor(col("len") / 4),
-              floor(col("len") / 4) + 1))).alias("b")
+        val g = Tables.part(s, d)
+          .groupBy(col("p_brand"), col("p_name"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("len", length(col("p_name")))
+        val a = g.alias("a")
+        val b = g.alias("b")
         a.join(b, col("a.p_brand") === col("b.p_brand") &&
-            col("a.bkt") === col("b.bkt") &&
-            col("a.p_partkey") < col("b.p_partkey") &&
+            col("a.p_name") < col("b.p_name") &&
             abs(col("a.len") - col("b.len")) <= 3)
           .select(col("a.p_brand").as("brand"),
-            levenshtein(col("a.p_name"), col("b.p_name"), 3).as("dist"))
+            levenshtein(col("a.p_name"), col("b.p_name"), 3).as("dist"),
+            (col("a.cnt") * col("b.cnt")).as("w"))
           .filter(col("dist") <= 3 && col("dist") > 0)
           .groupBy("brand")
-          .agg(count(lit(1)).as("n_pairs"), min("dist").as("min_dist"))
+          .agg(sum("w").cast("long").as("n_pairs"), min("dist").as("min_dist"))
           .orderBy("brand")
       },
       Some("""SELECT brand, count(*) AS n_pairs, min(dist) AS min_dist
