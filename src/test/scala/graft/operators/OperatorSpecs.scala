@@ -65,6 +65,19 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("dupClusters star contraction is O(log) rounds on a 16-chain, not diameter") {
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, iters) = Dedup.dupClustersWithStats(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 15L).map(_ -> 0L).toMap)
+    // plain min-label propagation needs 15 rounds on this chain; star
+    // contraction should close it out (incl. the convergence-detect round)
+    // in well under half that
+    assert(iters <= 7, s"expected <=7 contraction rounds, took $iters")
+  }
+
   test("typed simhash kernel matches the column expression bit-for-bit") {
     val fast = Dedup.simhashTable(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val colV = docs.select(col("doc_id"),
