@@ -37,7 +37,11 @@ object Tracking {
         col("score").cast("double"))
       .as[DetRow]
       .groupByKey(_.stream_id)
-      .flatMapSortedGroups($"frame".asc) { (sid: Long, it: Iterator[DetRow]) =>
+      // within-frame order is part of SORT's observable behavior (new-track
+      // id assignment follows detection order), so sort the full tuple —
+      // partition-arrival order must never leak into track ids
+      .flatMapSortedGroups($"frame".asc, $"x1".asc, $"y1".asc, $"x2".asc,
+        $"y2".asc, $"score".asc) { (sid: Long, it: Iterator[DetRow]) =>
         val tracker = new SortTracker(maxAge, minHits, iouThreshold)
         val in = it.buffered
         new Iterator[Seq[TrackRow]] {

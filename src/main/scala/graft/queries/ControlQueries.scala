@@ -95,7 +95,11 @@ object ControlQueries {
 
     // Q1: full skyscraper replay — buffer-admission + drift-argmax + LP
     // re-planning, one sequential switcher per stream, parallel across
-    // streams (rows-only; golden-log parity in ReplaySpec).
+    // streams. Semantics are spec-validated against the hand-derived
+    // golden decision log (ReplaySpec / golden_skyscraper_log.csv); the
+    // driver gate checks the full sf0.01 output against a committed
+    // golden snapshot (regenerate via scripts/regen_goldens.sh if the
+    // testdata or replay semantics change).
     Q("n02_skyscraper_replay",
       (s, d) => {
         import s.implicits._
@@ -111,10 +115,17 @@ object ControlQueries {
           .toDF("stream_id", "chunk_id", "config", "placement", "cloud_cost", "runtime_s", "score")
           .orderBy("stream_id", "chunk_id")
       },
-      None),
+      Some("""SELECT * FROM read_csv(
+             |  '/root/repo/src/test/resources/golden_n02_skyscraper_replay.csv',
+             |  header=true, columns={'stream_id':'BIGINT','chunk_id':'BIGINT',
+             |    'config':'INT','placement':'INT','cloud_cost':'DOUBLE',
+             |    'runtime_s':'DOUBLE','score':'DOUBLE'})""".stripMargin)),
 
     // ST1: SORT tracking over deterministic linearly-moving objects
-    // derived from events (rows-only; kernel goldens in SortTrackerSpec).
+    // derived from events. Kernel semantics are spec-validated
+    // (SortTrackerSpec brute-force parity, streaming==batch); the driver
+    // gate checks the full sf0.01 track table against a committed golden
+    // snapshot (scripts/regen_goldens.sh).
     Q("n01_sort_tracks",
       (s, d) => {
         val dets = Tables.events(s, d)
@@ -135,7 +146,11 @@ object ControlQueries {
             round(col("x2"), 2).as("x2"), round(col("y2"), 2).as("y2"))
           .orderBy("stream_id", "frame", "track_id")
       },
-      None),
+      Some("""SELECT * FROM read_csv(
+             |  '/root/repo/src/test/resources/golden_n01_sort_tracks.csv',
+             |  header=true, columns={'stream_id':'BIGINT','frame':'BIGINT',
+             |    'track_id':'INT','x1':'DOUBLE','y1':'DOUBLE',
+             |    'x2':'DOUBLE','y2':'DOUBLE'})""".stripMargin)),
 
     // X1: task-graph runtime/cost simulation — thousands of candidate
     // (graph, cores) points evaluated in parallel on executors.
@@ -156,10 +171,31 @@ object ControlQueries {
           .toDF("graph_id", "cores", "runtime", "cost")
           .orderBy("graph_id", "cores")
       },
-      None),
+      // simulator outputs are deterministic (exact ledger arithmetic,
+      // bit-exact golden in TaskSimSpec — e.g. rt(60,120m,4c)=32110.5),
+      // so the gate golden is a literal table
+      Some("""SELECT * FROM (VALUES
+             |  ('detect_to_track_10', 2, 42786.0, 0.0),
+             |  ('detect_to_track_10', 4, 21393.0, 0.0),
+             |  ('detect_to_track_10', 8, 10696.5, 0.0),
+             |  ('detect_to_track_10', 16, 6645.75, 0.0),
+             |  ('detect_to_track_20', 2, 36963.0, 0.0),
+             |  ('detect_to_track_20', 4, 18481.5, 0.0),
+             |  ('detect_to_track_20', 8, 11835.75, 0.0),
+             |  ('detect_to_track_20', 16, 11107.875, 0.0),
+             |  ('detect_to_track_30', 2, 35022.0, 0.0),
+             |  ('detect_to_track_30', 4, 17511.0, 0.0),
+             |  ('detect_to_track_30', 8, 16540.5, 0.0),
+             |  ('detect_to_track_30', 16, 16055.25, 0.0),
+             |  ('detect_to_track_60', 2, 33081.0, 0.0),
+             |  ('detect_to_track_60', 4, 32110.5, 0.0),
+             |  ('detect_to_track_60', 8, 31625.25, 0.0),
+             |  ('detect_to_track_60', 16, 31382.625, 0.0)
+             |) t(graph_id, cores, runtime, cost)""".stripMargin)),
 
-    // X2: LP knob plan on the replay's literal dims (rows-only;
-    // constraint-satisfaction properties in SimplexSpec).
+    // X2: LP knob plan on the replay's literal dims (constraint-
+    // satisfaction properties + vertex-enumeration parity in SimplexSpec;
+    // the plan itself is deterministic, so the gate golden is a literal).
     Q("n04_lp_plan",
       (s, d) => {
         val planner = new KnobPlanner(categoryCenters, Array(1.9, 1.5, 1.2),
@@ -170,6 +206,11 @@ object ControlQueries {
         s.createDataFrame(rows).toDF("category", "config", "ratio", "expected_score")
           .orderBy("category", "config")
       },
-      None, bench = false)
+      Some("""SELECT * FROM (VALUES
+             |  (0, 0, 0.0, 13718.92), (0, 1, 1.0, 13718.92), (0, 2, 0.0, 13718.92),
+             |  (1, 0, 0.0, 13718.92), (1, 1, 1.0, 13718.92), (1, 2, 0.0, 13718.92),
+             |  (2, 0, 0.0, 13718.92), (2, 1, 1.0, 13718.92), (2, 2, 0.0, 13718.92)
+             |) t(category, config, ratio, expected_score)""".stripMargin),
+      bench = false)
   )
 }

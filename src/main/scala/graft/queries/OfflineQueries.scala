@@ -23,6 +23,13 @@ object OfflineQueries {
       .select(col("stream_id"), col("chunk_id"),
         col("s0"), (col("s0") * 0.8 + 0.1).as("s1"), (col("s0") * 0.5).as("s2"))
   }
+  private val chunkScoresSql =
+    """SELECT user_id % 4 AS stream_id,
+      |  row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1 AS chunk_id,
+      |  (round(value) % 100) / 100.0 AS s0,
+      |  ((round(value) % 100) / 100.0) * 0.8 + 0.1 AS s1,
+      |  ((round(value) % 100) / 100.0) * 0.5 AS s2
+      |FROM events""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -39,7 +46,21 @@ object OfflineQueries {
             round(col("cost"), 2).as("cost"), size(col("placement")).as("n_tasks"))
           .orderBy("runtime")
       },
-      None, bench = false),
+      // candidates and the ledger simulator are deterministic (TaskSimSpec
+      // golden-checked), so the Pareto frontier freezes to a literal
+      Some("""SELECT * FROM (VALUES
+             |  (32, 4363.6, 34226.0, 66), (30, 5017.25, 32150.0, 66),
+             |  (28, 5671.65, 30074.0, 66), (23, 5675.25, 25922.0, 66),
+             |  (47, 5859.85, 17618.0, 66), (41, 5993.3, 17416.0, 66),
+             |  (11, 6645.75, 13062.0, 66), (12, 7131.0, 12860.0, 66),
+             |  (34, 7646.4, 11822.0, 66), (9, 7650.0, 10784.0, 66),
+             |  (10, 8135.25, 10582.0, 66), (7, 8169.0, 8708.0, 66),
+             |  (8, 8654.25, 8506.0, 66), (36, 8684.4, 7670.0, 66),
+             |  (5, 8688.0, 6632.0, 66), (6, 9173.25, 6430.0, 66),
+             |  (4, 9658.5, 4152.0, 66), (2, 10177.5, 2076.0, 66),
+             |  (0, 10696.5, 0.0, 66)
+             |) t(cand_id, runtime, cost, n_tasks)""".stripMargin),
+      bench = false),
 
     // X4: hill climbing over a 2-knob cadence space; each round's frontier
     // is evaluated in ONE Spark aggregation pass (the distributed analog
@@ -66,7 +87,10 @@ object OfflineQueries {
         s.createDataFrame(Seq((best.head, best(1), math.rint(score * 10000) / 10000, evals)))
           .toDF("k1", "k2", "score", "n_evals")
       },
-      None, bench = false),
+      // deterministic search over a fixed grid; the only float is a 4dp-
+      // rounded sum of 0.01-quantized scores, stable across partitionings
+      Some("""SELECT * FROM (VALUES (10, 1, 28.6307, 18)) t(k1, k2, score, n_evals)"""),
+      bench = false),
 
     // M10: KMeans content categorization over per-chunk quality vectors
     // (the reference's categories_3.npy — knob_plan.py:279-281).
@@ -92,7 +116,12 @@ object OfflineQueries {
 
     // M12: forecast training-set builder — input = trailing 8-chunk score
     // history, label = category histogram over the next 4 chunks, both via
-    // range windows (knob_plan.py:181-228 re-expressed relationally).
+    // range windows (knob_plan.py:181-228 re-expressed relationally),
+    // normalized per the reference protocol (knob_plan.py:225-227):
+    // X /= ||X||_F (ONE global Frobenius norm over the whole sample
+    // matrix — a broadcast scalar, not a shuffle) and each y row
+    // normalized to a distribution. Pure window aggregates — no arrays
+    // are materialized, so it is also the DuckDB-oracle-checkable form.
     Q("n08_forecast_trainset",
       (s, d) => {
         // nearest-center categorization (argmin |center - s0|, ties to the
@@ -101,21 +130,55 @@ object OfflineQueries {
         val cat = when(d0 <= d1 && d0 <= d2, 0).when(d1 <= d2, 1).otherwise(2)
         val wHist = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(-8, -1)
         val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
-        chunkScores(s, d)
+        val samples = chunkScores(s, d)
           .withColumn("category", cat)
           .select(col("stream_id"), col("chunk_id"),
-            collect_list(col("s0")).over(wHist).as("history"),
+            count(col("s0")).over(wHist).as("hist_cnt"),
+            sum(col("s0")).over(wHist).as("hist_sum"),
+            sum(col("s0") * col("s0")).over(wHist).as("hist_sq"),
             count(lit(1)).over(wFut).as("n_future"),
             sum(when(col("category") === 0, 1).otherwise(0)).over(wFut).as("f0"),
             sum(when(col("category") === 1, 1).otherwise(0)).over(wFut).as("f1"),
             sum(when(col("category") === 2, 1).otherwise(0)).over(wFut).as("f2"))
-          .filter(size(col("history")) === 8 && col("n_future") === 4)
-          .select(col("stream_id"), col("chunk_id"), size(col("history")).as("input_len"),
-            round(aggregate(col("history"), lit(0.0), (a, x) => a + x), 4).as("input_sum"),
-            col("f0"), col("f1"), col("f2"))
+          .filter(col("hist_cnt") === 8 && col("n_future") === 4)
+        val xnorm = samples.agg(sqrt(sum(col("hist_sq"))).as("xnorm"))
+        samples.crossJoin(broadcast(xnorm))
+          .select(col("stream_id"), col("chunk_id"), col("hist_cnt").as("input_len"),
+            round(col("hist_sum") / col("xnorm"), 6).as("x_sum_norm"),
+            round(col("f0") / (col("f0") + col("f1") + col("f2")), 4).as("y0"),
+            round(col("f1") / (col("f0") + col("f1") + col("f2")), 4).as("y1"),
+            round(col("f2") / (col("f0") + col("f1") + col("f2")), 4).as("y2"))
           .orderBy("stream_id", "chunk_id")
       },
-      None),
+      Some(s"""WITH chunks AS ($chunkScoresSql),
+              |cat AS (
+              |  SELECT *, CASE
+              |    WHEN abs(s0-0.2) <= abs(s0-0.5) AND abs(s0-0.2) <= abs(s0-0.8) THEN 0
+              |    WHEN abs(s0-0.5) <= abs(s0-0.8) THEN 1 ELSE 2 END AS category
+              |  FROM chunks),
+              |w AS (
+              |  SELECT stream_id, chunk_id,
+              |    count(s0) OVER wh AS hist_cnt,
+              |    sum(s0) OVER wh AS hist_sum,
+              |    sum(s0*s0) OVER wh AS hist_sq,
+              |    count(*) OVER wf AS n_future,
+              |    CAST(sum(CASE WHEN category = 0 THEN 1 ELSE 0 END) OVER wf AS BIGINT) AS f0,
+              |    CAST(sum(CASE WHEN category = 1 THEN 1 ELSE 0 END) OVER wf AS BIGINT) AS f1,
+              |    CAST(sum(CASE WHEN category = 2 THEN 1 ELSE 0 END) OVER wf AS BIGINT) AS f2
+              |  FROM cat
+              |  WINDOW
+              |    wh AS (PARTITION BY stream_id ORDER BY chunk_id
+              |           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+              |    wf AS (PARTITION BY stream_id ORDER BY chunk_id
+              |           ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING)),
+              |f AS (SELECT * FROM w WHERE hist_cnt = 8 AND n_future = 4),
+              |nrm AS (SELECT sqrt(sum(hist_sq)) AS xnorm FROM f)
+              |SELECT stream_id, chunk_id, hist_cnt AS input_len,
+              |  round(hist_sum / xnorm, 6) AS x_sum_norm,
+              |  round(f0 / CAST(f0+f1+f2 AS DOUBLE), 4) AS y0,
+              |  round(f1 / CAST(f0+f1+f2 AS DOUBLE), 4) AS y1,
+              |  round(f2 / CAST(f0+f1+f2 AS DOUBLE), 4) AS y2
+              |FROM f, nrm ORDER BY stream_id, chunk_id""".stripMargin)),
 
     // M11: forecast model — MLP classifier over flattened history windows
     // predicting the next-interval dominant category (the reference's
@@ -127,14 +190,18 @@ object OfflineQueries {
         val wHist = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(-8, -1)
         val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
         val cat = when(col("s0") < 0.35, 0).when(col("s0") < 0.65, 1).otherwise(2)
-        val data = chunkScores(s, d)
+        val raw = chunkScores(s, d)
           .withColumn("category", cat)
           .select(col("stream_id"), col("chunk_id"),
             collect_list(col("s0")).over(wHist).as("history"),
+            sum(col("s0") * col("s0")).over(wHist).as("hist_sq"),
             count(lit(1)).over(wFut).as("n_future"),
             avg(col("category")).over(wFut).as("fut_avg"))
           .filter(size(col("history")) === 8 && col("n_future") === 4)
-          .select(array_to_vector(col("history")).as("features"),
+        // protocol feature scaling (knob_plan.py:225-226): X /= ||X||_F
+        val xnorm = raw.agg(sqrt(sum("hist_sq"))).head().getDouble(0)
+        val data = raw
+          .select(array_to_vector(transform(col("history"), x => x / lit(xnorm))).as("features"),
             round(col("fut_avg")).cast("double").as("label"))
         val mlp = new MultilayerPerceptronClassifier()
           .setLayers(Array(8, 16, 8, 3)).setSeed(42).setMaxIter(25)
@@ -157,16 +224,21 @@ object OfflineQueries {
         val wHist = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(-8, -1)
         val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
         val cat = when(col("s0") < 0.35, 0).when(col("s0") < 0.65, 1).otherwise(2)
-        val data = chunkScores(s, d)
+        val raw = chunkScores(s, d)
           .withColumn("category", cat)
           .select(col("stream_id"), col("chunk_id"),
             collect_list(col("s0")).over(wHist).as("history"),
+            sum(col("s0") * col("s0")).over(wHist).as("hist_sq"),
             count(lit(1)).over(wFut).as("n_future"),
             (sum(when(col("category") === 0, 1).otherwise(0)).over(wFut) / 4.0).as("a0"),
             (sum(when(col("category") === 1, 1).otherwise(0)).over(wFut) / 4.0).as("a1"),
             (sum(when(col("category") === 2, 1).otherwise(0)).over(wFut) / 4.0).as("a2"))
           .filter(size(col("history")) === 8 && col("n_future") === 4)
-          .withColumn("features", array_to_vector(col("history")))
+        // protocol feature scaling (knob_plan.py:225-226), as in n08/n09
+        val xnorm = raw.agg(sqrt(sum("hist_sq"))).head().getDouble(0)
+        val data = raw
+          .withColumn("features",
+            array_to_vector(transform(col("history"), x => x / lit(xnorm))))
           .withColumn("label",
             when(col("a0") >= col("a1") && col("a0") >= col("a2"), 0.0)
               .when(col("a1") >= col("a2"), 1.0).otherwise(2.0))

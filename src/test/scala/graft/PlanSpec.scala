@@ -52,9 +52,11 @@ class PlanSpec extends SparkSpec {
 
   test("no catalog query degenerates into an unkeyed cartesian product") {
     // intentional broadcast-nested-loop joins over provably tiny sides:
-    // a06 (3-row prefix dim) and n05 (<=64 Pareto candidates, group-less
-    // dominance is inherently theta — the grouped form is q10 and hashes)
-    val exempt = Set("a06_containment_join", "n05_placement_pareto")
+    // a06 (3-row prefix dim), n05 (<=64 Pareto candidates, group-less
+    // dominance is inherently theta — the grouped form is q10 and hashes),
+    // n08 (ONE-row broadcast of the global ||X|| normalization scalar)
+    val exempt = Set("a06_containment_join", "n05_placement_pareto",
+      "n08_forecast_trainset")
     SparkEntry.catalog.filterNot(q => exempt(q.name)).foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
