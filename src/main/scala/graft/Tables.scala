@@ -31,6 +31,19 @@ object Tables {
   def orders(s: SparkSession, dir: String): DataFrame     = t(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame   = t(s, dir, "lineitem")
   def events(s: SparkSession, dir: String): DataFrame     = t(s, dir, "events")
+
+  private val eventCountCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+
+  /** Row count of `events`, cached per (session, dir) — the scalar that
+    * SF-scales the synthetic adapters (frame/stream counts derived from
+    * data volume, so per-key density stays constant as input grows). A
+    * parquet count() is metadata-cheap; keying on the session identity
+    * avoids serving a count computed by a stopped session.
+    */
+  def eventCount(s: SparkSession, dir: String): Long =
+    eventCountCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir), events(s, dir).count())
   def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 }

@@ -37,15 +37,19 @@ object ArrayQueries {
              |WHERE n_hist = 3 ORDER BY user_id, event_id""".stripMargin)),
 
     // A2: per-frame grouping into detection lists (scalars extracted from
-    // the sorted array so the compare is deterministic).
+    // the sorted array so the compare is deterministic). Frame count
+    // scales with volume (count/20 → ~20 dets/frame at every SF) so the
+    // collect_list group — the per-key memory — stays bounded as data
+    // grows.
     Q("a02_frame_group",
       (s, d) => Tables.events(s, d)
-        .groupBy((col("event_id") % 500).as("frame"))
+        .groupBy((col("event_id") % math.max(Tables.eventCount(s, d) / 20L, 1L)).as("frame"))
         .agg(collect_list(col("event_id")).as("dets"))
         .select(col("frame"), size(col("dets")).cast("long").as("n_dets"),
           array_min(col("dets")).as("first_det"), array_max(col("dets")).as("last_det"))
         .orderBy("frame"),
-      Some("""SELECT event_id % 500 AS frame, count(*) AS n_dets,
+      Some("""SELECT event_id % (SELECT greatest(count(*) // 20, 1) FROM events) AS frame,
+             | count(*) AS n_dets,
              | min(event_id) AS first_det, max(event_id) AS last_det
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -136,8 +140,10 @@ object ArrayQueries {
         // order-independent, so the grouped result is engine-exact (a
         // double sum of 4dp values flips the final rounding when the
         // total lands on a .005 boundary — seen at sf0.001)
+        // frame count scales with volume (count/20, as in a02)
+        val nFrames = math.max(Tables.eventCount(s, d) / 20L, 1L)
         Tables.events(s, d)
-          .select((id % 500).as("frame"),
+          .select((id % nFrames).as("frame"),
             round(round((cx * 0.5 + cy * 0.1 + 20.0) / wdiv, 4) * 10000).cast("long").as("wxq"),
             round(round((cx * -0.05 + cy * 0.8 + 10.0) / wdiv, 4) * 10000).cast("long").as("wyq"))
           .groupBy("frame")
@@ -146,7 +152,7 @@ object ArrayQueries {
           .orderBy("frame")
       },
       Some("""SELECT frame, count(*) AS n, sum(wxq)/10000.0 AS sum_wx, sum(wyq)/10000.0 AS sum_wy
-             |FROM (SELECT event_id % 500 AS frame,
+             |FROM (SELECT event_id % (SELECT greatest(count(*) // 20, 1) FROM events) AS frame,
              |  CAST(round(round((CAST(event_id*37 % 1280 AS DOUBLE)*0.5 + CAST(event_id*53 % 720 AS DOUBLE)*0.1 + 20.0)
              |    / (CAST(event_id*37 % 1280 AS DOUBLE)*0.0001 + CAST(event_id*53 % 720 AS DOUBLE)*0.0002 + 1.0), 4) * 10000, 0) AS BIGINT) AS wxq,
              |  CAST(round(round((CAST(event_id*37 % 1280 AS DOUBLE)*-0.05 + CAST(event_id*53 % 720 AS DOUBLE)*0.8 + 10.0)

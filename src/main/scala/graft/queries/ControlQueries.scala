@@ -19,27 +19,31 @@ object ControlQueries {
 
   // ---- shared adapters --------------------------------------------------
 
-  /** Per-chunk score vectors: 4 streams, chunk = per-stream ordinal,
-    * 3 knob-config quality columns derived from `value`.
+  /** Per-chunk score vectors: stream count scales with data volume
+    * (count/2500 streams → ~2500 chunks per stream at every SF — streams
+    * are the parallel axis, per-stream sequences stay bounded), chunk =
+    * per-stream ordinal, 3 knob-config quality columns derived from
+    * `value`.
     */
   private def chunkScores(s: SparkSession, d: String): DataFrame = {
+    val nStreams = math.max(Tables.eventCount(s, d) / 2500L, 1L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("stream_id").orderBy("event_id")
     Tables.events(s, d)
       .select(
-        (col("user_id") % 4).as("stream_id"), col("event_id"),
+        (col("user_id") % nStreams).as("stream_id"), col("event_id"),
         (round(col("value")) % 100 / 100.0).as("s0"))
       .withColumn("chunk_id", row_number().over(w).cast("long") - 1)
       .select(col("stream_id"), col("chunk_id"),
         col("s0"), (col("s0") * 0.8 + 0.1).as("s1"), (col("s0") * 0.5).as("s2"))
   }
   private val chunkScoresSql =
-    """SELECT user_id % 4 AS stream_id,
-      |  row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1 AS chunk_id,
+    """SELECT user_id % ns AS stream_id,
+      |  row_number() OVER (PARTITION BY user_id % ns ORDER BY event_id) - 1 AS chunk_id,
       |  (round(value) % 100) / 100.0 AS s0,
       |  ((round(value) % 100) / 100.0) * 0.8 + 0.1 AS s1,
       |  ((round(value) % 100) / 100.0) * 0.5 AS s2
-      |FROM events""".stripMargin
+      |FROM events, (SELECT greatest(count(*) // 2500, 1) AS ns FROM events) nrm""".stripMargin
 
   /** The replay's operating points (FIXTURES.md A2 shape). */
   private val profileRows: IndexedSeq[Profile] = IndexedSeq(
@@ -128,8 +132,12 @@ object ControlQueries {
     // snapshot (scripts/regen_goldens.sh).
     Q("n01_sort_tracks",
       (s, d) => {
+        // stream count scales with volume (count/625 → 16 streams at the
+        // sf0.01 gate); per-stream video length stays 150 frames — streams
+        // are the scale axis, matching real camera fleets
+        val nStreams = math.max(Tables.eventCount(s, d) / 625L, 1L)
         val dets = Tables.events(s, d)
-          .select((col("user_id") % 16).as("stream_id"),
+          .select((col("user_id") % nStreams).as("stream_id"),
             (col("event_id") % 150).as("frame"),
             (col("user_id") % 3).as("obj"),
             col("event_id"))

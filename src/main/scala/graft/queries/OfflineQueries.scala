@@ -13,23 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object OfflineQueries {
 
-  /** Per-chunk score vectors (shared adapter, see ControlQueries). */
+  /** Per-chunk score vectors (shared adapter, see ControlQueries):
+    * stream count scales with data volume — count/2500 streams, ~2500
+    * chunks each at every SF.
+    */
   private def chunkScores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val nStreams = math.max(Tables.eventCount(s, d) / 2500L, 1L)
     val w = Window.partitionBy("stream_id").orderBy("event_id")
     Tables.events(s, d)
-      .select((col("user_id") % 4).as("stream_id"), col("event_id"),
+      .select((col("user_id") % nStreams).as("stream_id"), col("event_id"),
         (round(col("value")) % 100 / 100.0).as("s0"))
       .withColumn("chunk_id", row_number().over(w).cast("long") - 1)
       .select(col("stream_id"), col("chunk_id"),
         col("s0"), (col("s0") * 0.8 + 0.1).as("s1"), (col("s0") * 0.5).as("s2"))
   }
   private val chunkScoresSql =
-    """SELECT user_id % 4 AS stream_id,
-      |  row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1 AS chunk_id,
+    """SELECT user_id % ns AS stream_id,
+      |  row_number() OVER (PARTITION BY user_id % ns ORDER BY event_id) - 1 AS chunk_id,
       |  (round(value) % 100) / 100.0 AS s0,
       |  ((round(value) % 100) / 100.0) * 0.8 + 0.1 AS s1,
       |  ((round(value) % 100) / 100.0) * 0.5 AS s2
-      |FROM events""".stripMargin
+      |FROM events, (SELECT greatest(count(*) // 2500, 1) AS ns FROM events) nrm""".stripMargin
 
   val all: Seq[Q] = Seq(
 

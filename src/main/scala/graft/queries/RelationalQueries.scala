@@ -22,11 +22,17 @@ object RelationalQueries {
   // Deterministic bboxes derived from events.event_id; some fall outside
   // the 1280x720 frame so the clipping operator (P4) has work to do.
   // Mirrors: reference detections [x1,y1,x2,y2,score] (sort.py:213).
-  private def bboxen(e: DataFrame): DataFrame = {
+  // The frame count scales with data volume (count/40 frames → ~40 boxes
+  // per frame at EVERY SF) so per-frame density — and the per-frame
+  // quadratic pair space in q06 — stays constant as the input grows; a
+  // fixed modulus would concentrate 100 TB into 250 frames.
+  private def bboxen(s: SparkSession, d: String): DataFrame = {
+    val nFrames = math.max(Tables.eventCount(s, d) / 40L, 1L)
+    val e = Tables.events(s, d)
     val id = col("event_id")
     e.select(
       id.as("det_id"),
-      (id % 250).as("frame"),
+      (id % nFrames).as("frame"),
       ((id * 37) % 1340 - 60).cast("double").as("x1"),
       ((id * 53) % 800 - 40).cast("double").as("y1"),
       ((id * 37) % 1340 - 60 + (id % 200) + 10).cast("double").as("x2"),
@@ -35,7 +41,8 @@ object RelationalQueries {
     )
   }
   private val bboxSql =
-    """SELECT event_id AS det_id, event_id % 250 AS frame,
+    """SELECT event_id AS det_id,
+      |  event_id % (SELECT greatest(count(*) // 40, 1) FROM events) AS frame,
       |  CAST((event_id*37) % 1340 - 60 AS DOUBLE) AS x1,
       |  CAST((event_id*53) % 800 - 40 AS DOUBLE) AS y1,
       |  CAST((event_id*37) % 1340 - 60 + (event_id % 200) + 10 AS DOUBLE) AS x2,
@@ -98,7 +105,7 @@ object RelationalQueries {
 
     // P4: bbox clipping to the 1280x720 frame (object_detection.py:21-36).
     Q("q04_bbox_clip",
-      (s, d) => bboxen(Tables.events(s, d))
+      (s, d) => bboxen(s, d)
         .select(
           col("det_id"),
           greatest(lit(0.0), col("x1")).as("cx1"),
@@ -113,7 +120,7 @@ object RelationalQueries {
 
     // P6/P7: bbox <-> center/area/aspect conversion (sort.py:66-91).
     Q("q05_bbox_convert",
-      (s, d) => bboxen(Tables.events(s, d))
+      (s, d) => bboxen(s, d)
         .select(
           col("det_id"),
           round((col("x1") + col("x2")) / 2.0, 4).as("cx"),
@@ -140,7 +147,7 @@ object RelationalQueries {
       (s, d) => {
         // native codegen'd IoU expression (graft.plans.Iou)
         graft.plans.GraftExtensions.register(s)
-        val b = bboxen(Tables.events(s, d))
+        val b = bboxen(s, d)
         val a = b.alias("a"); val c = b.alias("b")
         // cheap overlap precondition in the join: pairs that can't overlap
         // (IoU = 0 < threshold) never reach the expensive IoU arithmetic

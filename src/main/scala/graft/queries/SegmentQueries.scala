@@ -19,9 +19,11 @@ object SegmentQueries {
 
     Q("s01_mosei_segments",
       (s, d) => {
+        // stream count scales with volume (count/2500, as in ControlQueries)
+        val nStreams = math.max(Tables.eventCount(s, d) / 2500L, 1L)
         val w = Window.partitionBy("stream_id").orderBy("event_id")
         val base = Tables.events(s, d)
-          .select((col("user_id") % 4).as("stream_id"), col("event_id"),
+          .select((col("user_id") % nStreams).as("stream_id"), col("event_id"),
             (col("value") / 500.0).as("t1"),
             ((col("event_id") % 7) / 7.0).as("v1"),
             ((col("event_id") % 13) / 13.0).as("a1"))
@@ -63,10 +65,10 @@ object SegmentQueries {
              | SELECT stream_id, seg, count(*) AS n,
              |  sum(t1)/30.0 AS p_text, sum(v1)/30.0 AS p_visual, sum(a1)/30.0 AS p_acoustic
              | FROM (
-             |  SELECT user_id % 4 AS stream_id,
-             |   CAST(floor((row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1) / 30) AS BIGINT) AS seg,
+             |  SELECT user_id % ns AS stream_id,
+             |   CAST(floor((row_number() OVER (PARTITION BY user_id % ns ORDER BY event_id) - 1) / 30) AS BIGINT) AS seg,
              |   value/500.0 AS t1, (event_id % 7)/7.0 AS v1, (event_id % 13)/13.0 AS a1
-             |  FROM events) f
+             |  FROM events, (SELECT greatest(count(*) // 2500, 1) AS ns FROM events) nrm) f
              | GROUP BY 1, 2) g
              |WHERE n = 30 AND seg % 2 = 0
              |ORDER BY stream_id, seg""".stripMargin))
