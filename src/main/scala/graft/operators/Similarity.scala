@@ -110,10 +110,21 @@ object Similarity {
   }
 
   /** IVF index: KMeans centroids + cell-assigned corpus. Built once and
-    * reused across probe calls — at scale `assigned` is written bucketed
-    * by `cell`, so a probe reads nprobe/nlist of the data.
+    * reused across probe calls. When built at rest (`path` set) the
+    * corpus is WRITTEN partitioned by `cell`, and probes filter on the
+    * probed cells' literal values — partition pruning means a probe reads
+    * nprobe/nlist of the files, the property that makes IVF worth it at
+    * billion-vector scale.
     */
-  final case class IvfIndex(centers: Array[Array[Double]], assigned: DataFrame)
+  final case class IvfIndex(centers: Array[Array[Double]], assigned: DataFrame,
+                            path: Option[String] = None)
+
+  /** nlist for a corpus of n vectors: ~√n (the classic IVF sizing — cells
+    * of ~√n vectors balance centroid-scan and cell-scan cost), clamped to
+    * [4, 4096].
+    */
+  def autoNlist(n: Long): Int =
+    math.max(4L, math.min(4096L, math.round(math.sqrt(n.toDouble)))).toInt
 
   private def dist2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -126,9 +137,16 @@ object Similarity {
     * sample once it's a few hundred per cell, and a full-corpus fit would
     * be 10 passes over 100 TB), then assign every vector to its nearest
     * cell (typed kernel, centers broadcast — ONE pass over the corpus).
+    *
+    * `nlist <= 0` derives ~√n cells from the corpus size (`autoNlist`).
+    * With `atRestPath` set, the assignment is WRITTEN partitioned by
+    * `cell` and read back — the inverted file as a persisted artifact
+    * whose probe reads only the probed cells' files; otherwise it is
+    * memory/disk-persisted for the session.
     */
-  def buildIvfIndex(vectors: DataFrame, nlist: Int = 16, seed: Long = 42,
-                    trainSample: Int = 10000): IvfIndex = {
+  def buildIvfIndex(vectors: DataFrame, nlist: Int = 0, seed: Long = 42,
+                    trainSample: Int = 10000,
+                    atRestPath: Option[String] = None): IvfIndex = {
     val spark = vectors.sparkSession
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
@@ -136,14 +154,15 @@ object Similarity {
 
     val feats = vectors.select(col("vec_id").cast("long"),
       col("embedding").cast("array<double>").as("v"))
+    val k = if (nlist > 0) nlist else autoNlist(feats.count())
     // xxhash64 order = deterministic pseudo-random sample; TakeOrdered
     // ships only trainSample rows per partition to one reducer.
     val train = feats.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
       .fit(train.select(array_to_vector(col("v")).as("features")))
     val centers = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centers)
-    val assigned = feats.as[(Long, Array[Double])]
+    val assignedRaw = feats.as[(Long, Array[Double])]
       .map { case (id, v) =>
         val cs = bc.value
         var best = 0; var bd = Double.MaxValue
@@ -152,12 +171,39 @@ object Similarity {
         (id, best, v)
       }
       .toDF("vec_id", "cell", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    IvfIndex(centers, assigned)
+    atRestPath match {
+      case Some(p) =>
+        assignedRaw.write.mode("overwrite").partitionBy("cell").parquet(p)
+        IvfIndex(centers, spark.read.parquet(p), Some(p))
+      case None =>
+        IvfIndex(centers,
+          assignedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+  }
+
+  /** The distinct cells a probe of `queries` touches (nprobe nearest
+    * centroids per query) — the literal values the corpus scan is pruned
+    * to. Computed distributed (queries may be the whole corpus in
+    * self-ANN); only ≤ nlist cell ids come back to the driver.
+    */
+  def probedCells(index: IvfIndex, queries: DataFrame, nprobe: Int): Array[Int] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centers)
+    queries.select(col("embedding").cast("array<double>").as("qv"))
+      .as[Array[Double]]
+      .flatMap { v =>
+        val cs = bc.value
+        cs.indices.map(i => (dist2(v, cs(i)), i)).sorted.take(nprobe).map(_._2)
+      }
+      .distinct().collect().sorted
   }
 
   /** Probe the index: each query ranks candidates from its nprobe nearest
     * cells only — the recall/throughput dial for billion-vector corpora.
+    * The corpus side is filtered to the probed cells' LITERAL values, so
+    * a cell-partitioned at-rest index gets static partition pruning (the
+    * scan reads nprobe/nlist of the files — asserted in SimilaritySpec).
     */
   def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
@@ -174,7 +220,14 @@ object Similarity {
       }
       .toDF("query_id", "cell", "qv")
 
-    val scored = probes.join(index.assigned, "cell")
+    // prune the corpus scan to the probed cells (a no-op reduction when
+    // every cell is probed, a file-skipping literal filter otherwise)
+    val cells = probedCells(index, queries, nprobe)
+    val corpus =
+      if (cells.length == index.centers.length) index.assigned
+      else index.assigned.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+
+    val scored = probes.join(corpus, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("v"))
       .as[(Long, Long, Array[Double], Array[Double])]
@@ -191,33 +244,84 @@ object Similarity {
   }
 
   /** Self-ANN convenience: build + probe in one call. */
-  def ivfKnn(vectors: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+  def ivfKnn(vectors: DataFrame, k: Int, nlist: Int = 0, nprobe: Int = 4,
              seed: Long = 42): DataFrame =
     probeIvf(buildIvfIndex(vectors, nlist, seed), vectors, k, nprobe)
 
   private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), IvfIndex]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Long), IvfIndex]
 
   /** Build-once / probe-many form: the index for (key, nlist, seed) is
     * built on first use and reused for the session — the production
-    * shape, where the inverted file is a persisted artifact (bucketed by
-    * `cell` at rest) and a query only pays the nprobe/nlist probe.
+    * shape: the inverted file is written to `atRestDir` partitioned by
+    * `cell`, and a query only pays the nprobe/nlist probe (with file
+    * pruning, see probeIvf).
+    *
+    * Cache safety: the key includes the session identity, and a hit is
+    * only served when its `assigned` still belongs to the calling
+    * session — an index built by a stopped session is rebuilt, never
+    * served stale. Concurrent first builds race through putIfAbsent; the
+    * losing index is unpersisted. `invalidateIvfIndex` drops an entry
+    * when the files under `key` change mid-session.
     */
-  def ivfIndexFor(vectors: DataFrame, key: String, nlist: Int = 16,
-                  seed: Long = 42): IvfIndex =
-    indexCache.getOrElseUpdate((key, nlist, seed), buildIvfIndex(vectors, nlist, seed))
+  def ivfIndexFor(vectors: DataFrame, key: String, nlist: Int = 0,
+                  seed: Long = 42,
+                  atRestDir: String = "/tmp/graft_ivf"): IvfIndex = {
+    val session = vectors.sparkSession
+    val ck = (System.identityHashCode(session), key, nlist, seed)
+    def fresh(idx: IvfIndex): Boolean = idx.assigned.sparkSession eq session
+    indexCache.get(ck) match {
+      case Some(idx) if fresh(idx) => idx
+      case stale =>
+        stale.foreach(_ => indexCache.remove(ck))
+        val path = s"$atRestDir/${key.replaceAll("[^A-Za-z0-9._-]", "_")}-$nlist-$seed"
+        val built = buildIvfIndex(vectors, nlist, seed, atRestPath = Some(path))
+        indexCache.putIfAbsent(ck, built) match {
+          case Some(winner) if fresh(winner) => winner // lost the race; same files
+          case Some(_) => indexCache.put(ck, built); built
+          case None => built
+        }
+    }
+  }
+
+  /** Drop a cached index (e.g. the dataset under `key` was rewritten). */
+  def invalidateIvfIndex(key: String, nlist: Int = 0, seed: Long = 42): Unit =
+    indexCache.filterKeys { case (_, k, n, sd) => k == key && n == nlist && sd == seed }
+      .keys.foreach { ck =>
+        indexCache.remove(ck).foreach { idx =>
+          if (idx.path.isEmpty) idx.assigned.unpersist()
+        }
+      }
 
   /** LSH-bucketed ANN: candidates share the sign-bit bucket; per-bucket
     * top-k via a typed groupByKey kernel (the scale path — buckets
     * partition the corpus, so no all-pairs blow-up).
+    *
+    * Hot-bucket guard: a bucket larger than `maxBucket` is split by a
+    * secondary hash of vec_id into ceil(n/maxBucket) sub-buckets, so one
+    * dense sign-bucket can neither OOM its task (the kernel buffers one
+    * group) nor go quadratic — the worst group is maxBucket², at the cost
+    * of hot-bucket queries only seeing their sub-bucket's candidates
+    * (recall within an already-coarse bucket; asserted in
+    * SimilaritySpec). Buckets at or under the cap keep salt 0 and are
+    * byte-identical to the unguarded path.
     */
-  def lshKnn(vectors: DataFrame, k: Int, dims: Seq[Int] = Seq(1, 9, 17, 25, 33, 41, 49, 57)): DataFrame = {
+  def lshKnn(vectors: DataFrame, k: Int, dims: Seq[Int] = Seq(1, 9, 17, 25, 33, 41, 49, 57),
+             maxBucket: Int = 4096): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    vectors
+    val bucketed = vectors
       .select(col("vec_id").cast("long"),
         signBucket(col("embedding"), dims).as("bucket"),
         col("embedding").cast("array<double>").as("v"))
+    // one row per non-empty bucket — joined back on the same key the
+    // group-by shuffles on, so no extra partitioning axis is introduced
+    val sizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    bucketed.join(sizes, "bucket")
+      .withColumn("salt",
+        when(col("bn") <= maxBucket, lit(0L))
+          .otherwise(pmod(xxhash64(col("vec_id")), ceil(col("bn") / maxBucket).cast("long"))))
+      .select(col("vec_id"), concat_ws("#", col("bucket"), col("salt")).as("gkey"), col("v"))
       .as[(Long, String, Array[Double])]
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>

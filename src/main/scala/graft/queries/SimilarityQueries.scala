@@ -85,14 +85,15 @@ object SimilarityQueries {
     // IVF ANN: KMeans cells + nprobe centroid probing (the
     // billion-vector scale path next to the LSH variant) — rows-only;
     // recall vs brute force asserted in SimilaritySpec. The index is
-    // built once per dataset (sample-trained KMeans) and cached; the
-    // steady-state cost — what the bench's measured pass sees — is the
-    // probe, mirroring production where the inverted file is a
-    // persisted artifact.
+    // built once per dataset (sample-trained KMeans, ~√n cells) and
+    // WRITTEN partitioned by cell; the steady-state cost — what the
+    // bench's measured pass sees — is the probe, which reads only the
+    // probed cells' files. NOTE for bench readers: build (KMeans + write)
+    // happens on first use per session and is excluded from the measured
+    // second pass by design — the number is probe throughput.
     Q("e06_ivf_knn",
       (s, d) => {
-        val index = Similarity.ivfIndexFor(Tables.embeddings(s, d), key = d,
-          nlist = 16, seed = 42)
+        val index = Similarity.ivfIndexFor(Tables.embeddings(s, d), key = d)
         Similarity.probeIvf(index, Tables.embeddings(s, d), k = 5, nprobe = 4)
           .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
           .orderBy("query_id", "rank")

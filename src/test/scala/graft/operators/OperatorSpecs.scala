@@ -164,4 +164,61 @@ class SimilaritySpec extends SparkSpec {
       assert(bucket(vecs(r.getLong(0))) == bucket(vecs(r.getLong(1))))
     }
   }
+
+  test("lshKnn hot-bucket guard splits oversize buckets, leaves small ones exact") {
+    // 200 vectors in ONE sign bucket (all-positive on the hashed dims)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val hot = (0L until 200L).map { i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 0.9f + 0.05f))
+    }.toDF("vec_id", "embedding")
+    val guarded = Similarity.lshKnn(hot, k = 3, maxBucket = 50).collect()
+    // every query answered, and only with sub-bucket mates (same salt)
+    def salt(id: Long, nsplit: Long): Long = {
+      // mirror pmod(xxhash64(vec_id), nsplit)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        id, org.apache.spark.sql.types.LongType, 42L)
+      ((h % nsplit) + nsplit) % nsplit
+    }
+    val nsplit = math.ceil(200.0 / 50).toLong
+    assert(guarded.map(_.getLong(0)).distinct.length == 200)
+    guarded.foreach { r =>
+      assert(salt(r.getLong(0), nsplit) == salt(r.getLong(1), nsplit),
+        s"pair crosses sub-buckets: ${r.getLong(0)} ${r.getLong(1)}")
+    }
+    // with the cap above the bucket size the output equals the unguarded path
+    val loose = Similarity.lshKnn(hot, k = 3, maxBucket = 4096).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val unguarded = Similarity.lshKnn(hot, k = 3, maxBucket = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(loose == unguarded)
+  }
+
+  test("at-rest IVF index prunes the probe scan to the probed cells' files") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    val atRest = Similarity.buildIvfIndex(vectors, nlist = 8, seed = 42,
+      atRestPath = Some(s"$dir/index"))
+    val mem = Similarity.buildIvfIndex(vectors, nlist = 8, seed = 42)
+    val queries = vectors.filter(col("vec_id") < 3)
+    val cells = Similarity.probedCells(atRest, queries, nprobe = 2).toSet
+    assert(cells.size <= 3 * 2 && cells.size < 8)
+    // the literal cell filter must prune the scan to the probed cells'
+    // partition directories (inputFiles ignores filters — read the
+    // executed scan's selected partitions)
+    val pruned = atRest.assigned
+      .filter(col("cell").isin(cells.toSeq.map(Integer.valueOf): _*))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val nParts = scan.selectedPartitions.partitionCount
+    assert(nParts == cells.size,
+      s"scan read $nParts partition dirs, probed ${cells.size}: $cells")
+    assert(nParts < atRest.centers.length)
+    // and the at-rest probe returns exactly what the in-memory probe does
+    def rows(idx: Similarity.IvfIndex) =
+      Similarity.probeIvf(idx, queries, k = 4, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    assert(rows(atRest) == rows(mem))
+  }
 }
