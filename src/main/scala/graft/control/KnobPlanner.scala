@@ -84,4 +84,47 @@ final class KnobPlanner(
     val planM = Array.tabulate(numCluster, numPlace)((i, j) => res.x(i * numPlace + j))
     (planM, -res.objective)
   }
+
+  /** X3: greedy knapsack fallback (knob_plan.py:135-177 — the reference
+    * raises NotImplementedError over a dead sketch; paper supp. B).
+    * INTEGRAL assignment: each category runs exactly one config. Start
+    * every category on the cheapest config, then repeatedly take the
+    * affordable upgrade with the best quality-gain-per-extra-cost ratio
+    * (free upgrades first), re-basing that category's remaining upgrade
+    * costs — the reference's heap-adjustment step. Same (plan, score)
+    * contract as the LP; the LP relaxation always scores ≥ this integral
+    * plan (asserted in KnobPlannerSpec).
+    */
+  def assignKnobsKnapsack(mixture: Array[Double], budget: Double): (Array[Array[Double]], Double) = {
+    val horizon = hoursPlanAhead * 3600
+    def costOf(i: Int, j: Int) = mixture(i) * knobCost(j) * horizon
+    def qualOf(i: Int, j: Int) = mixture(i) * categories(i)(j) * horizon / timeInterval
+    val base = knobCost.indices.minBy(j => (knobCost(j), j))
+    val assign = Array.fill(numCluster)(base)
+    var remaining = budget - (0 until numCluster).map(i => costOf(i, base)).sum
+    var improved = true
+    while (improved) {
+      improved = false
+      val candidates = for {
+        i <- 0 until numCluster
+        j <- 0 until numPlace
+        if categories(i)(j) > categories(i)(assign(i))
+        dc = costOf(i, j) - costOf(i, assign(i))
+        if dc <= remaining
+        dq = qualOf(i, j) - qualOf(i, assign(i))
+      } yield (i, j, dc, dq)
+      if (candidates.nonEmpty) {
+        // free/negative-cost upgrades are infinitely efficient; otherwise
+        // highest gain per extra cost, deterministic (i, j) tie-break
+        val (i, j, dc, _) = candidates.maxBy { case (i, j, dc, dq) =>
+          (if (dc <= 0) Double.MaxValue else dq / dc, -i.toDouble, -j.toDouble)
+        }
+        assign(i) = j
+        remaining -= dc
+        improved = true
+      }
+    }
+    val planM = Array.tabulate(numCluster, numPlace)((i, j) => if (assign(i) == j) 1.0 else 0.0)
+    (planM, (0 until numCluster).map(i => qualOf(i, assign(i))).sum)
+  }
 }

@@ -78,6 +78,40 @@ object KnobTuning {
         col("c.cost").as("cost"), col("c.placement").as("placement"))
   }
 
+  /** A8/X4 second half: eta calibration + per-starting-point election
+    * (knob_tuner.py:344-361). Per video: eta_fac = Σacc/Σcost over that
+    * video's samples; etas = linspace(eta_fac·minEta, eta_fac·maxEta,
+    * numEtas); sample idx scores with eta[floor(idx·numEtas/n)] as
+    * score = acc − eta·cost, and each consecutive group of
+    * `samplesPerStart` samples elects its best-scoring sample (first-best
+    * on ties, i.e. lowest idx) as a hill-climb starting point.
+    *
+    * Everything is windowed/grouped by the video key — per-video sums are
+    * partition-local aggregates, so the election scales with the number
+    * of videos, the corpus' natural parallel axis.
+    */
+  def etaElection(samples: DataFrame, vid: String, idx: String,
+                  acc: String, cost: String, samplesPerStart: Int,
+                  numEtas: Int = 10, minEta: Double = 0.1,
+                  maxEta: Double = 10.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(vid)
+    val etaFac = sum(col(acc)).over(w) / sum(col(cost)).over(w)
+    val n = count(lit(1)).over(w)
+    val etaIdx = floor(col(idx) * numEtas / n)
+    val eta = etaFac * minEta + etaIdx * (etaFac * maxEta - etaFac * minEta) / (numEtas - 1)
+    samples
+      .withColumn("eta", eta)
+      .withColumn("score", col(acc) - col("eta") * col(cost))
+      .withColumn("start_id", floor(col(idx) / samplesPerStart))
+      .groupBy(col(vid), col("start_id"))
+      .agg(
+        max_by(struct(col(idx).as("best_idx"), col("eta"), col("score")),
+          struct(col("score"), -col(idx))).as("best"))
+      .select(col(vid), col("start_id"),
+        col("best.best_idx").as("best_idx"), col("best.eta").as("eta"),
+        col("best.score").as("score"))
+  }
+
   /** X4: hill climbing over integer knob domains. `evaluate` scores a
     * batch of configs in ONE Spark pass (the reference memoizes
     * (config, video) evals; here the per-round frontier is evaluated

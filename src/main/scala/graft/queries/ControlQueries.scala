@@ -219,6 +219,67 @@ object ControlQueries {
              |  (1, 0, 0.0, 13718.92), (1, 1, 1.0, 13718.92), (1, 2, 0.0, 13718.92),
              |  (2, 0, 0.0, 13718.92), (2, 1, 1.0, 13718.92), (2, 2, 0.0, 13718.92)
              |) t(category, config, ratio, expected_score)""".stripMargin),
+      bench = false),
+
+    // A8/X4 second half: eta calibration + per-group starting-point
+    // election (knob_tuner.py:344-361) over per-stream (acc, cost)
+    // samples. Per-video sums stay partition-local; spec-checked against
+    // a driver brute force in OperatorSpecs.
+    Q("n11_eta_election",
+      (s, d) => {
+        val samples = chunkScores(s, d)
+          .select(col("stream_id"), col("chunk_id"),
+            col("s0").as("acc"), (col("s1") + 0.5).as("cost"))
+        graft.operators.KnobTuning
+          .etaElection(samples, "stream_id", "chunk_id", "acc", "cost",
+            samplesPerStart = 50, numEtas = 10, minEta = 0.1, maxEta = 10.0)
+          .select(col("stream_id"), col("start_id"), col("best_idx"),
+            round(col("eta"), 6).as("eta"), round(col("score"), 6).as("score"))
+          .orderBy("stream_id", "start_id")
+      },
+      Some(s"""WITH chunks AS ($chunkScoresSql),
+              |s AS (SELECT stream_id, chunk_id, s0 AS acc, s1 + 0.5 AS cost FROM chunks),
+              |w AS (
+              |  SELECT stream_id, chunk_id, acc, cost,
+              |    sum(acc) OVER (PARTITION BY stream_id)
+              |      / sum(cost) OVER (PARTITION BY stream_id) AS eta_fac,
+              |    count(*) OVER (PARTITION BY stream_id) AS n
+              |  FROM s),
+              |sc AS (
+              |  SELECT stream_id, chunk_id // 50 AS start_id, chunk_id,
+              |    eta_fac*0.1 + floor(chunk_id*10/n) * (eta_fac*10 - eta_fac*0.1)/9 AS eta,
+              |    acc - (eta_fac*0.1 + floor(chunk_id*10/n) * (eta_fac*10 - eta_fac*0.1)/9) * cost AS score
+              |  FROM w),
+              |rk AS (
+              |  SELECT *, row_number() OVER (PARTITION BY stream_id, start_id
+              |    ORDER BY score DESC, chunk_id ASC) AS r
+              |  FROM sc)
+              |SELECT stream_id, start_id, chunk_id AS best_idx,
+              |  round(eta, 6) AS eta, round(score, 6) AS score
+              |FROM rk WHERE r = 1 ORDER BY stream_id, start_id""".stripMargin),
+      bench = false),
+
+    // X3: greedy knapsack fallback for the knob plan (knob_plan.py:135-177
+    // — dead NotImplementedError sketch in the reference; paper supp. B).
+    // Deterministic driver computation; LP-dominance + budget properties
+    // in KnobPlannerSpec; the gate golden is a literal.
+    Q("n12_knapsack_plan",
+      (s, d) => {
+        val planner = new KnobPlanner(categoryCenters, Array(1.9, 1.5, 1.2),
+          hoursPlanAhead = 24.0, timeInterval = 2.0)
+        val mix = Array(0.86, 0.053, 0.086)
+        val (plan, score) = planner.assignKnobsKnapsack(
+          mix.map(_ / mix.sum), 24 * 3600 * 2 + 100.0)
+        val rows = for (i <- plan.indices; j <- plan(i).indices)
+          yield (i, j, plan(i)(j), math.rint(score * 100) / 100)
+        s.createDataFrame(rows).toDF("category", "config", "ratio", "expected_score")
+          .orderBy("category", "config")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (0, 0, 0.0, 13718.92), (0, 1, 1.0, 13718.92), (0, 2, 0.0, 13718.92),
+             |  (1, 0, 0.0, 13718.92), (1, 1, 1.0, 13718.92), (1, 2, 0.0, 13718.92),
+             |  (2, 0, 0.0, 13718.92), (2, 1, 1.0, 13718.92), (2, 2, 0.0, 13718.92)
+             |) t(category, config, ratio, expected_score)""".stripMargin),
       bench = false)
   )
 }

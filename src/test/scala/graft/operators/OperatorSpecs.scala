@@ -194,6 +194,33 @@ class SimilaritySpec extends SparkSpec {
     assert(loose == unguarded)
   }
 
+  test("etaElection matches a driver-side brute-force election") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = for (vid <- 0L until 3L; idx <- 0L until 20L)
+      yield (vid, idx, math.rint(rnd.nextDouble() * 100) / 100,
+        0.5 + math.rint(rnd.nextDouble() * 100) / 100)
+    val df = rows.toDF("vid", "idx", "acc", "cost")
+    val got = KnobTuning.etaElection(df, "vid", "idx", "acc", "cost",
+        samplesPerStart = 5, numEtas = 10, minEta = 0.1, maxEta = 10.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force per the reference loop (knob_tuner.py:344-361)
+    val expected = rows.groupBy(_._1).flatMap { case (vid, vs) =>
+      val n = vs.length
+      val etaFac = vs.map(_._3).sum / vs.map(_._4).sum
+      def eta(idx: Long) = {
+        val e = math.floor(idx.toDouble * 10 / n)
+        etaFac * 0.1 + e * (etaFac * 10.0 - etaFac * 0.1) / 9
+      }
+      vs.groupBy(_._2 / 5).map { case (g, grp) =>
+        val best = grp.map(s => (s._2, s._3 - eta(s._2) * s._4))
+          .maxBy { case (idx, score) => (score, -idx.toDouble) }
+        (vid, g) -> best._1
+      }
+    }
+    assert(got == expected)
+  }
+
   test("at-rest IVF index prunes the probe scan to the probed cells' files") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_spec").toString
     val atRest = Similarity.buildIvfIndex(vectors, nlist = 8, seed = 42,

@@ -191,3 +191,65 @@ class SimplexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("infeasible"))
   }
 }
+
+class KnobPlannerSpec extends AnyFunSuite {
+  import graft.control.KnobPlanner
+
+  test("knapsack plan is one-hot, within budget, and never beats the LP relaxation") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 50) {
+      val nc = 2 + rnd.nextInt(3) // categories
+      val np = 2 + rnd.nextInt(3) // configs
+      val categories = Array.fill(nc, np)(math.rint(rnd.nextDouble() * 100) / 100)
+      val knobCost = Array.fill(np)(0.5 + math.rint(rnd.nextDouble() * 150) / 100)
+      val horizon = 24.0
+      val planner = new KnobPlanner(categories, knobCost, horizon, 2.0)
+      val mixRaw = Array.fill(nc)(0.05 + rnd.nextDouble())
+      val mixture = mixRaw.map(_ / mixRaw.sum)
+      // budget between the cheapest-everywhere and the priciest-everywhere plan
+      val minCost = mixture.sum * knobCost.min * horizon * 3600
+      val maxCost = mixture.sum * knobCost.max * horizon * 3600
+      val budget = minCost + rnd.nextDouble() * (maxCost - minCost) * 1.2
+      val (ksPlan, ksScore) = planner.assignKnobsKnapsack(mixture, budget)
+      // one-hot rows
+      ksPlan.foreach { row =>
+        assert(row.count(_ == 1.0) == 1 && row.forall(v => v == 0.0 || v == 1.0))
+      }
+      // within budget
+      val spent = (0 until nc).map { i =>
+        val j = ksPlan(i).indexOf(1.0)
+        mixture(i) * knobCost(j) * horizon * 3600
+      }.sum
+      assert(spent <= budget + 1e-6, s"trial $trial overspent: $spent > $budget")
+      // LP relaxation dominates the integral greedy plan
+      val (_, lpScore) = planner.assignKnobsLinProg(mixture, budget)
+      assert(lpScore >= ksScore - 1e-6,
+        s"trial $trial: LP $lpScore below knapsack $ksScore")
+    }
+  }
+
+  test("knapsack picks each category's best config when the budget is ample") {
+    val categories = Array(Array(0.2, 0.9, 0.5), Array(0.7, 0.3, 0.8))
+    val knobCost = Array(1.0, 2.0, 3.0)
+    val planner = new KnobPlanner(categories, knobCost, 24.0, 2.0)
+    val (plan, _) = planner.assignKnobsKnapsack(Array(0.5, 0.5), budget = 1e12)
+    assert(plan(0).indexOf(1.0) == 1) // best quality 0.9
+    assert(plan(1).indexOf(1.0) == 2) // best quality 0.8
+  }
+
+  test("knapsack agrees with the LP on the replay dims (all categories on config 1)") {
+    val planner = new KnobPlanner(
+      Array(Array(0.20, 0.25, 0.15), Array(0.50, 0.55, 0.45), Array(0.80, 0.85, 0.75)),
+      Array(1.9, 1.5, 1.2), 24.0, 2.0)
+    val mix = Array(0.86, 0.053, 0.086)
+    val mixture = mix.map(_ / mix.sum)
+    val budget = 24 * 3600 * 2 + 100.0
+    val (ksPlan, ksScore) = planner.assignKnobsKnapsack(mixture, budget)
+    val (lpPlan, lpScore) = planner.assignKnobsLinProg(mixture, budget)
+    for (i <- 0 until 3) {
+      assert(ksPlan(i).indexOf(1.0) == 1)
+      assert(math.abs(lpPlan(i)(1) - 1.0) < 1e-9)
+    }
+    assert(math.abs(ksScore - lpScore) < 1e-6)
+  }
+}
