@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.ArrayQueries.all ++
       graft.queries.OfflineQueries.all ++
       graft.queries.MultimodalQueries.all ++
-      graft.queries.SegmentQueries.all
+      graft.queries.SegmentQueries.all ++
+      graft.queries.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming entries of the catalog, driven through the SAME
+  * driver gate as the batch queries: each runs a real streaming query
+  * (file-stream source → watermarked stateful transform → memory sink,
+  * Trigger.AvailableNow) to completion and returns the sink table, which
+  * the DuckDB oracle checks against the batch-equivalent SQL. On a
+  * cluster the same code tails a directory/log indefinitely —
+  * AvailableNow is the bounded-replay form of the identical plan.
+  *
+  * NOTE (streaming parquet): the file-stream source does NOT honor the
+  * nanosAsLong legacy conf, so `events.ts` (parquet TIMESTAMP(NANOS)) is
+  * declared LongType in the explicit schema and converted with
+  * `Tables.tsFromNanos`.
+  */
+object StreamingQueries {
+
+  private val ctr = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the sink table (unique per call — Bench runs each query
+    * twice).
+    */
+  private def runToTable(s: SparkSession, q: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${ctr.incrementAndGet()}"
+    val query = q.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(name)
+  }
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val all: Seq[Q] = Seq(
+
+    // Event-time tumbling-window quality totals as a STREAM (A1 sums in
+    // streaming form, complete mode): watermarked windowed aggregation
+    // whose bounded-replay output equals the batch window SQL.
+    Q("n13_stream_quality",
+      (s, d) => {
+        val nStreams = math.max(Tables.eventCount(s, d) / 2500L, 1L)
+        // glob form: the file-stream source requires a directory or glob
+        // (a literal file path fails basePath validation)
+        val src = s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]")
+        val ev = src.select((col("user_id") % nStreams).as("stream_id"),
+          Tables.tsFromNanos(col("ts")).as("ts"), (col("value") / 500.0).as("score"))
+        runToTable(s, StreamingOps.windowedQuality(ev, "10 seconds", "10 seconds"),
+            "complete")
+          // formatted string: DuckDB buckets to TIMESTAMP_NS, Spark to µs —
+          // same instants, different physical types; a string compares
+          // robustly in the driver's hash
+          .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("stream_id"), col("n"),
+            round(col("sum_quality"), 4).as("sum_quality"))
+          .orderBy("window_start", "stream_id")
+      },
+      Some("""SELECT strftime(time_bucket(INTERVAL '10 seconds', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  user_id % ns AS stream_id, count(*) AS n,
+             |  round(sum(value/500.0), 4) AS sum_quality
+             |FROM events, (SELECT greatest(count(*) // 2500, 1) AS ns FROM events) nrm
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Watermarked streaming exact-dedup (the 100 TB ingest-firehose form
+    // of d01): dropDuplicatesWithinWatermark on the content fingerprint;
+    // the horizon covers the synthesized event-time spread, so the
+    // surviving set is one doc per distinct fingerprint — checked via
+    // fingerprint-set aggregates (WHICH doc survives is arrival-order
+    // dependent by design, the fingerprint set is not).
+    Q("n14_stream_dedup",
+      (s, d) => {
+        // +3600 keeps every synthesized event time strictly above the
+        // initial watermark (epoch 0 itself is treated as late and dropped)
+        val src = s.readStream.schema(documentsSchema).parquet(s"$d/documents.parque[t]")
+          .withColumn("ts", timestamp_seconds(col("doc_id") % 3600 + 3600))
+        runToTable(s, StreamingOps.dedupStream(src, watermark = "2 hours"), "append")
+          .agg(count(lit(1)).as("n_unique"),
+            min("fp").as("min_fp"), max("fp").as("max_fp"))
+      },
+      Some("""SELECT count(DISTINCT fp) AS n_unique, min(fp) AS min_fp, max(fp) AS max_fp
+             |FROM (SELECT md5(array_to_string(
+             |        regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+             |      FROM documents) t""".stripMargin),
+      bench = false)
+  )
+}
