@@ -1,25 +1,34 @@
 #!/bin/sh
 # Regenerate the committed driver-gate goldens (sf0.01 snapshots) after an
 # intentional semantics or testdata change:
-#   n01_sort_tracks / n02_skyscraper_replay -> src/test/resources CSVs
-#   n03/n04/n05/n06 -> VALUES literals printed for manual paste into the
-#   catalog oracle SQL (ControlQueries / OfflineQueries)
+#   n01/n02 (control replay), d03/e04/e06 (hash/ANN tables)
+#     -> src/test/resources CSVs
+#   n03/n04/n05/n06/n12 (simulator/planner), e05/n07/n09/n10 (seeded ML),
+#   m01/m02 (stub multimodal)
+#     -> VALUES literals printed for manual paste into the catalog oracles
 # Kernel semantics stay independently spec-checked (SortTrackerSpec,
-# ReplaySpec, TaskSimSpec, SimplexSpec); these snapshots give the driver's
-# DuckDB gate a hard hash to hold the full-pipeline output to.
+# ReplaySpec, TaskSimSpec, SimplexSpec, KnobPlannerSpec, DedupSpec,
+# SimilaritySpec); these snapshots give the driver's DuckDB gate a hard
+# hash to hold the full-pipeline output to. All snapshot queries were
+# stability-checked across 4/8/16-core runs before freezing.
 set -e
 cd "$(dirname "$0")/.."
 OUT=/tmp/golden_regen
-SPARK_GRAFT_ONLY=n01_sort_tracks,n02_skyscraper_replay,n03_task_sim,n04_lp_plan,n05_placement_pareto,n06_hill_climb \
+SPARK_GRAFT_ONLY=n01_sort_tracks,n02_skyscraper_replay,n03_task_sim,n04_lp_plan,n05_placement_pareto,n06_hill_climb,n12_knapsack_plan,d03_simhash_candidates,e04_lsh_knn,e05_kmeans,e06_ivf_knn,n07_categories,n09_forecast_mlp,n10_forecast_mae,m01_decode_pipeline,m02_frame_features \
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 python3 - <<'EOF'
 import pandas as pd
 for n, f in [('n01_sort_tracks', 'golden_n01_sort_tracks.csv'),
-             ('n02_skyscraper_replay', 'golden_n02_skyscraper_replay.csv')]:
+             ('n02_skyscraper_replay', 'golden_n02_skyscraper_replay.csv'),
+             ('d03_simhash_candidates', 'golden_d03_simhash.csv'),
+             ('e04_lsh_knn', 'golden_e04_lsh_knn.csv'),
+             ('e06_ivf_knn', 'golden_e06_ivf_knn.csv')]:
     df = pd.read_parquet(f'/tmp/golden_regen/{n}')
     df.to_csv(f'src/test/resources/{f}', index=False)
     print(f'wrote src/test/resources/{f} ({len(df)} rows)')
-for n in ['n03_task_sim', 'n04_lp_plan', 'n05_placement_pareto', 'n06_hill_climb']:
+for n in ['n03_task_sim', 'n04_lp_plan', 'n05_placement_pareto', 'n06_hill_climb',
+          'n12_knapsack_plan', 'e05_kmeans', 'n07_categories', 'n09_forecast_mlp',
+          'n10_forecast_mae', 'm01_decode_pipeline', 'm02_frame_features']:
     df = pd.read_parquet(f'/tmp/golden_regen/{n}')
     print(f'-- {n}: paste into the catalog oracle --')
     for t in df.itertuples(index=False):

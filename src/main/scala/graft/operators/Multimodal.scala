@@ -25,12 +25,14 @@ object Multimodal {
       width: Int, height: Int, data: Array[Byte])
 
   /** Deterministic fake frame payload: "GFT0" + w + h + seeded bytes.
-    * Stands in for an H.264 NAL unit / JPEG blob.
+    * Stands in for an H.264 NAL unit / JPEG blob. `nStreams` scales the
+    * camera-fleet width with data volume (streams are the parallel axis;
+    * per-stream length stays 600 frames).
     */
-  def syntheticFrames(events: DataFrame): DataFrame = {
+  def syntheticFrames(events: DataFrame, nStreams: Long = 4L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select((col("user_id") % 4).as("stream_id"), (col("event_id") % 600).as("frame"),
+    events.select((col("user_id") % nStreams).as("stream_id"), (col("event_id") % 600).as("frame"),
         col("event_id"))
       .groupBy("stream_id", "frame").agg(min("event_id").as("seed"))
       .as[(Long, Long, Long)]

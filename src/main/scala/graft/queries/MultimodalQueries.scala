@@ -16,7 +16,9 @@ object MultimodalQueries {
     // per-stream luma statistics.
     Q("m01_decode_pipeline",
       (s, d) => {
-        val frames = Multimodal.syntheticFrames(Tables.events(s, d))
+        // stream count scales with volume (count/2500, as in ControlQueries)
+        val nStreams = math.max(Tables.eventCount(s, d) / 2500L, 1L)
+        val frames = Multimodal.syntheticFrames(Tables.events(s, d), nStreams)
         val sampled = Multimodal.sampleFrames(frames, every = 5)
         Multimodal.decodeStub(sampled)
           .groupBy("stream_id")
@@ -25,14 +27,21 @@ object MultimodalQueries {
             max("width").as("width"), max("height").as("height"))
           .orderBy("stream_id")
       },
-      None),
+      // deterministic synthetic payloads + stub decode → literal sf0.01
+      // gate golden (stability-checked across 4/8/16-core runs)
+      Some("""SELECT * FROM (VALUES
+             |  (0, 119, 15155.77, 1280, 720), (1, 120, 15450.52, 1280, 720),
+             |  (2, 120, 15291.62, 1280, 720), (3, 119, 15166.65, 1280, 720)
+             |) t(stream_id, n_frames, sum_luma, width, height)""".stripMargin)),
 
     // feature extraction over resized frames -> per-stream quantized
     // feature-norm aggregate (M4's 4096-dim features, stub dim=16).
     Q("m02_frame_features",
       (s, d) => {
+        val nStreams = math.max(Tables.eventCount(s, d) / 2500L, 1L)
         val frames = Multimodal.resizeStub(
-          Multimodal.sampleFrames(Multimodal.syntheticFrames(Tables.events(s, d)), every = 10),
+          Multimodal.sampleFrames(
+            Multimodal.syntheticFrames(Tables.events(s, d), nStreams), every = 10),
           640, 360)
         Multimodal.extractFeaturesStub(frames)
           .select(col("stream_id"),
@@ -43,6 +52,8 @@ object MultimodalQueries {
           .agg(count(lit(1)).as("n_frames"), sum("l1_norm_q").cast("long").as("total_l1_q"))
           .orderBy("stream_id")
       },
-      None)
+      Some("""SELECT * FROM (VALUES
+             |  (0, 59, 234647), (1, 60, 236769), (2, 60, 242756), (3, 60, 246212)
+             |) t(stream_id, n_frames, total_l1_q)""".stripMargin))
   )
 }

@@ -116,7 +116,14 @@ object OfflineQueries {
         }).toDF("category", "center_s0", "center_s1", "center_s2", "n_chunks")
           .orderBy("category")
       },
-      None, bench = false),
+      // seeded KMeans over 0.01-quantized scores is partition-stable
+      // (checked across 4/8/16-core runs) → literal sf0.01 gate golden
+      Some("""SELECT * FROM (VALUES
+             |  (0, 0.387, 0.41, 0.194, 3374),
+             |  (1, 0.749, 0.699, 0.375, 2172),
+             |  (2, 0.112, 0.19, 0.056, 4454)
+             |) t(category, center_s0, center_s1, center_s2, n_chunks)""".stripMargin),
+      bench = false),
 
     // M12: forecast training-set builder — input = trailing 8-chunk score
     // history, label = category histogram over the next 4 chunks, both via
@@ -216,7 +223,12 @@ object OfflineQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy("label", "prediction")
       },
-      None, bench = false),
+      // seeded MLP confusion counts are partition-stable (checked across
+      // 4/8/16-core runs) → literal sf0.01 gate golden
+      Some("""SELECT * FROM (VALUES
+             |  (0, 1, 3047), (1, 1, 6665), (2, 1, 240)
+             |) t(label, prediction, n)""".stripMargin),
+      bench = false),
 
     // M11 evaluation: forecast MAE — mean |predicted distribution −
     // actual future category frequencies| (the paper's Table 5 metric,
@@ -257,6 +269,9 @@ object OfflineQueries {
           .agg(count(lit(1)).as("n_samples"),
             round(avg((col("e0") + col("e1") + col("e2")) / 3.0), 4).as("mae"))
       },
-      None, bench = false)
+      // Table-5-protocol MAE on normalized features; partition-stable
+      // (checked across 4/8/16-core runs) → literal sf0.01 gate golden
+      Some("SELECT * FROM (VALUES (9952, 0.2089)) t(n_samples, mae)"),
+      bench = false)
   )
 }

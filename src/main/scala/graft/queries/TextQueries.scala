@@ -158,12 +158,18 @@ object TextQueries {
              |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.05
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // SimHash blocking (xxhash64-based — no portable oracle; rows-only
-    // driver check + property tests in DedupSpec).
+    // SimHash blocking. xxhash64 has no DuckDB twin, so the derivation is
+    // property-tested in DedupSpec (kernel/column parity, hamming bands)
+    // and the gate holds the full sf0.01 candidate table to a committed
+    // golden (stability-checked across 4/8/16-core runs;
+    // scripts/regen_goldens.sh).
     Q("d03_simhash_candidates",
       (s, d) => Dedup.simhashCandidates(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some("""SELECT * FROM read_csv(
+             |  '/root/repo/src/test/resources/golden_d03_simhash.csv',
+             |  header=true, columns={'doc_a':'BIGINT','doc_b':'BIGINT',
+             |    'hamming':'INT'})""".stripMargin)),
 
     // Fuzzy duplicate candidates: edit-distance pairs, counted per brand.
     // Aggregate-then-pair: the Levenshtein loop runs over the DISTINCT
