@@ -40,12 +40,16 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      once()
-      q.name -> once()
+      (q.name, once(), once())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // `queries` = steady-state (2nd pass). `first_pass` keeps the cold
+    // numbers honest: for build/probe operators (e.g. e06's IVF index)
+    // the first pass pays the build, the second measures the probe — both
+    // are reported so the measurement definition is explicit.
+    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fp = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_pass":$fp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,32 @@ object SimilarityQueries {
               |WHERE $cosDuck >= 0.2
               |ORDER BY va, vb""".stripMargin)),
 
+    // Embedding near-dup CLUSTERS: the e01 threshold pairs collapsed to
+    // connected components (min-id label) — the "keep one per duplicate
+    // group" step of an embedding-dedup pipeline, composing the cosine
+    // kernel with the star-contraction clusterer. bench=false: both
+    // halves are benched individually (e01, d04).
+    Q("d07_embedding_dup_clusters",
+      (s, d) => graft.operators.Dedup.dupClusters(
+          Similarity.cosineThreshold(Tables.embeddings(s, d), col("vec_id") < 50, 0.2)
+            .select(col("va").as("doc_a"), col("vb").as("doc_b")))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+              |pairs AS (
+              |  SELECT a.vec_id AS va, b.vec_id AS vb
+              |  FROM q a JOIN q b ON a.vec_id < 50 AND a.vec_id <> b.vec_id
+              |  WHERE $cosDuck >= 0.2),
+              |edges AS (
+              |  SELECT va AS s, vb AS d FROM pairs
+              |  UNION SELECT vb, va FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT s, s FROM edges
+              |  UNION
+              |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+              |SELECT id AS doc_id, min(r) AS cluster_id
+              |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = false),
+
     // Exact top-5 neighbors per query (brute-force baseline for ANN).
     Q("e02_knn_topk",
       (s, d) => Similarity
