@@ -251,6 +251,78 @@ object Dedup {
       .toDF(id, "simhash")
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS algorithm): Rabin-Karp rolling hashes over
+    * character k-grams of the normalized token stream, then the minimum
+    * hash of each w-window is selected (rightmost minimum on ties, per
+    * the paper), positions deduplicated. Guarantees: any shared
+    * substring of length ≥ w+k-1 yields a shared fingerprint, and the
+    * gap between consecutive selections is < w — so fingerprint density
+    * is ~2/(w+1) regardless of document size, the property that lets
+    * 100 TB of text reduce to a joinable fingerprint table.
+    *
+    * Returns (id, fps ARRAY<BIGINT>) — selected fingerprints in position
+    * order. Typed kernel: the rolling hash is one multiply+add per
+    * character (a column-expression equivalent would rebuild each k-gram).
+    */
+  def winnowFingerprints(docs: DataFrame, id: String = "doc_id", text: String = "text",
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(text)).as[(Long, String)]
+      .mapPartitions { it =>
+        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+        val B = 1000003L // polynomial base (spot-check prime)
+        it.map { case (docId, t) =>
+          // normalized stream: tokens joined by single spaces
+          val sb = new java.lang.StringBuilder
+          val m = wordRe.matcher(t.toLowerCase)
+          while (m.find()) {
+            if (sb.length > 0) sb.append(' ')
+            sb.append(m.group())
+          }
+          val s = sb.toString
+          val n = s.length
+          val fps =
+            if (n < k) Array.empty[Long]
+            else {
+              // Rabin-Karp: h(i+1) = (h(i) - s(i)·B^(k-1))·B + s(i+k)
+              var pow = 1L
+              var j = 0
+              while (j < k - 1) { pow *= B; j += 1 }
+              val hs = new Array[Long](n - k + 1)
+              var h = 0L
+              var i = 0
+              while (i < k) { h = h * B + s.charAt(i); i += 1 }
+              hs(0) = h
+              i = 1
+              while (i <= n - k) {
+                h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+                hs(i) = h
+                i += 1
+              }
+              // winnow: rightmost minimum of each w-window, dedup positions
+              val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+              var lastPos = -1
+              var wi = 0
+              val nw = math.max(hs.length - w + 1, 1)
+              while (wi < nw) {
+                var best = wi
+                var p = wi
+                val end = math.min(wi + w, hs.length)
+                while (p < end) { if (hs(p) <= hs(best)) best = p; p += 1 }
+                if (best != lastPos) { sel += hs(best); lastPos = best }
+                wi += 1
+              }
+              sel.toArray
+            }
+          (docId, fps)
+        }
+      }
+      .toDF(id, "fps")
+  }
+
   def simhashCandidates(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     // persist: the band self-join would otherwise run the hash kernel twice
     val t = simhashTable(docs, id, text)

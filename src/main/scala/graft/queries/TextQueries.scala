@@ -17,6 +17,17 @@ object TextQueries {
 
   private val tokensSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  // sf0.01 gate golden for t05 (scripts/regen_goldens.sh; stability-
+  // checked across 4/8-core runs)
+  private val winnowGoldenRows =
+    """('src0', 1639, 1639), ('src1', 1755, 1755), ('src10', 1469, 1469),
+      |('src11', 1720, 1720), ('src12', 1374, 1374), ('src13', 1727, 1727),
+      |('src14', 1459, 1459), ('src15', 1407, 1406), ('src16', 1542, 1542),
+      |('src17', 1522, 1522), ('src18', 1517, 1517), ('src19', 1246, 1246),
+      |('src2', 1547, 1547), ('src3', 1521, 1521), ('src4', 1428, 1427),
+      |('src5', 1458, 1458), ('src6', 1422, 1421), ('src7', 1675, 1637),
+      |('src8', 1257, 1257), ('src9', 1510, 1510)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Language-ID n-gram heuristic: stopword-alternation hit counting.
@@ -208,6 +219,51 @@ object TextQueries {
              |        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey) t
              |WHERE dist <= 3 AND dist > 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling-hash
+    // k-gram minima per w-window — density ~2/(w+1) independent of doc
+    // size. Kernel brute-force-parity + guarantee properties in
+    // DedupSpec; 64-bit wrap arithmetic has no DuckDB twin, so the gate
+    // holds per-source stats to a literal sf0.01 golden.
+    Q("t05_winnow_fingerprints",
+      (s, d) => {
+        // k=24 chars ≈ 4 words on this corpus — measured: 8-char grams
+        // over a ~30-word vocabulary collide across unrelated docs
+        val fps = Dedup.winnowFingerprints(Tables.documents(s, d), k = 24, w = 8)
+        Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(fps, "doc_id")
+          .select(col("source"), explode(col("fps")).as("fp"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("total_fps"),
+            countDistinct(col("fp")).as("distinct_fps"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT * FROM (VALUES $winnowGoldenRows) t(source, total_fps, distinct_fps)""")),
+
+    // Winnowing near-dup candidates: docs sharing >= 4 selected
+    // fingerprints — the blocker winnowing exists for (shared substrings
+    // of length >= w+k-1 guarantee a shared fingerprint, so candidates
+    // surface from an equi-join, never an all-pairs scan).
+    Q("d08_winnow_candidates",
+      (s, d) => {
+        val e = Dedup.winnowFingerprints(Tables.documents(s, d), k = 24, w = 8)
+          .select(col("doc_id"), explode(col("fps")).as("fp")).distinct()
+        val a = e.alias("a"); val b = e.alias("b")
+        a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 4)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (8, 245, 99), (26, 455, 5), (31, 383, 53), (44, 446, 22),
+             |  (45, 267, 89), (45, 413, 89), (58, 293, 74), (61, 185, 63),
+             |  (70, 447, 111), (72, 377, 46), (87, 134, 20), (92, 450, 26),
+             |  (98, 290, 122), (107, 387, 38), (120, 332, 44), (152, 178, 39),
+             |  (166, 323, 74), (267, 413, 89), (285, 301, 107), (295, 374, 35),
+             |  (310, 389, 26), (326, 457, 41), (393, 420, 102), (435, 486, 28),
+             |  (458, 462, 70)
+             |) t(doc_a, doc_b, n_shared)""".stripMargin)),
 
     // Phonetic-skeleton blocking: first letter + consonant skeleton
     // (soundex-style dedup blocking; engine-portable formulation).

@@ -78,6 +78,40 @@ class DedupSpec extends SparkSpec {
     assert(iters <= 7, s"expected <=7 contraction rounds, took $iters")
   }
 
+  test("winnowing matches a direct (non-rolling) brute force and holds the paper's guarantees") {
+    val k = 8; val w = 4
+    val got = Dedup.winnowFingerprints(docs, k = k, w = w)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val B = 1000003L
+    docs.collect().foreach { r =>
+      val s = "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).mkString(" ")
+      val expected =
+        if (s.length < k) Array.empty[Long]
+        else {
+          // direct k-gram hashes (Long overflow == mod 2^64, same as rolling)
+          val hs = (0 to s.length - k).map { i =>
+            s.substring(i, i + k).foldLeft(0L)((h, c) => h * B + c)
+          }.toArray
+          val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var last = -1
+          for (wi <- 0 until math.max(hs.length - w + 1, 1)) {
+            val end = math.min(wi + w, hs.length)
+            val best = (wi until end).reduceLeft((a, b) => if (hs(b) <= hs(a)) b else a)
+            if (best != last) { sel += hs(best); last = best }
+          }
+          sel.toArray
+        }
+      assert(got(r.getLong(0)).toSeq == expected.toSeq, s"doc ${r.getLong(0)}")
+    }
+    // paper guarantee: exact duplicates share ALL fingerprints; the
+    // near-dup (one word changed) still shares most; the unrelated doc
+    // shares none with doc 0
+    assert(got(0L).toSeq == got(3L).toSeq)
+    val inter01 = got(0L).toSet.intersect(got(1L).toSet).size.toDouble
+    assert(inter01 / got(0L).toSet.size > 0.5, "near-dup shares too few fingerprints")
+    assert(got(0L).toSet.intersect(got(2L).toSet).isEmpty)
+  }
+
   test("typed simhash kernel matches the column expression bit-for-bit") {
     val fast = Dedup.simhashTable(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val colV = docs.select(col("doc_id"),
