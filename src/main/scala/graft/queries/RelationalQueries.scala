@@ -477,6 +477,29 @@ object RelationalQueries {
              | FROM events) t
              |WHERE n_in_range > 0 ORDER BY user_id, event_id""".stripMargin)),
 
+    // Skew-safe salted join: half the fact rows collapse onto one key
+    // (the viral-stream shape AQE's skew split may miss when the dim side
+    // must replicate); Partitioning.saltedJoin spreads the hot key over 8
+    // reducers and returns the IDENTICAL result set — the oracle is the
+    // plain join.
+    Q("q27_salted_skew_join",
+      (s, d) => {
+        val fact = Tables.events(s, d).select(
+          when(col("event_id") % 2 === 0, 0L).otherwise(col("user_id")).as("uid"),
+          col("value"))
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("uid"), col("c_nationkey"))
+        graft.operators.Partitioning.saltedJoin(fact, dim, "uid", numSalts = 8)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS uid, value
+             |      FROM events) f
+             |JOIN customer ON f.uid = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Rollup (free analytics layer on top of the A-series aggregates).
     Q("q24_rollup",
       (s, d) => Tables.lineitem(s, d)
