@@ -50,6 +50,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), s"no codegen span:\n$p")
   }
 
+  test("fuzzy-match pairs the aggregated name matrix, not raw rows (d05)") {
+    // the Levenshtein join must sit ABOVE the (brand, name) aggregation —
+    // a join over raw part rows would re-open the row-level pair space
+    val df = SparkEntry.queries("d05_fuzzy_match")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0, s"no join in:\n$p")
+    assert(p.indexOf("HashAggregate", joinAt) >= 0,
+      s"join does not read aggregated inputs:\n$p")
+  }
+
   test("no catalog query degenerates into an unkeyed cartesian product") {
     // intentional broadcast-nested-loop joins over provably tiny sides:
     // a06 (3-row prefix dim), n05 (<=64 Pareto candidates, group-less
