@@ -98,12 +98,17 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
-  /** Float-cosine brute-force top-k (non-quantized baseline API). */
+  /** Float-cosine brute-force top-k (non-quantized baseline API). The
+    * scoring runs as the native codegen'd `cosine_sim` expression — one
+    * fused loop per pair inside whole-stage codegen.
+    */
   def bruteKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(queries.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("cosine_sim", col("qv"), col("cv")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
@@ -227,17 +232,15 @@ object Similarity {
       if (cells.length == index.centers.length) index.assigned
       else index.assigned.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
 
+    // scoring via the native codegen'd cosine_sim expression: the join
+    // output stays in Tungsten rows (no Dataset encode/decode boundary)
+    // and the dot+norms run as one fused generated loop; arithmetic order
+    // matches the former typed kernel, so results are bit-identical
+    graft.plans.GraftExtensions.register(spark)
     val scored = probes.join(corpus, "cell")
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"), col("v"))
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .map { case (q, n, qv, v) =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < qv.length) { dot += qv(i) * v(i); na += qv(i) * qv(i); nb += v(i) * v(i); i += 1 }
-        (q, n, dot / (math.sqrt(na) * math.sqrt(nb)))
-      }
-      .toDF("query_id", "neighbor_id", "cos")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("cosine_sim", col("qv"), col("v")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)

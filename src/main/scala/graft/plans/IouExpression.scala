@@ -72,8 +72,10 @@ case class Iou(children: Seq[Expression]) extends Expression {
   * session build, or `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.iouFunction)
+    ext.injectFunction(GraftExtensions.cosineFunction)
+  }
 }
 
 object GraftExtensions {
@@ -84,13 +86,26 @@ object GraftExtensions {
       if (isDouble) c else Cast(c, DoubleType)
     })
 
+  private def buildCosine(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "cosine_sim takes 2 arguments")
+    CosineSim(children.head, children(1))
+  }
+
   private val iouFunction = (
     FunctionIdentifier("iou"),
     new ExpressionInfo(classOf[Iou].getName, "iou"),
     (children: Seq[Expression]) => build(children))
 
+  private val cosineFunction = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (children: Seq[Expression]) => buildCosine(children))
+
   /** Idempotent registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "iou", build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", buildCosine, "built-in")
+  }
 }
