@@ -28,12 +28,9 @@ object Bench {
     // whole-stage codegen + OS file cache (measured 2x inflation on the
     // first execution); the second pass is the steady-state throughput
     // the engine sustains on a cluster
-    // SPARK_GRAFT_ONLY limits the run for local iteration; the driver
-    // sets nothing and benches the full flagged set.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val keep = SparkEntry.onlyFilter
     val results = SparkEntry.catalog.filter(_.bench)
-      .filter(q => only.isEmpty || only(q.name)).map { q =>
+      .filter(q => keep(q.name)).map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

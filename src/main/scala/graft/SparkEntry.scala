@@ -33,4 +33,13 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** SPARK_GRAFT_ONLY="a,b" query-name filter shared by the Verify and
+    * Bench mains (local iteration aid; the driver sets nothing).
+    */
+  def onlyFilter: String => Boolean = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    name => only.isEmpty || only(name)
+  }
 }

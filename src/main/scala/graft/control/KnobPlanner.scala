@@ -102,6 +102,11 @@ final class KnobPlanner(
     val base = knobCost.indices.minBy(j => (knobCost(j), j))
     val assign = Array.fill(numCluster)(base)
     var remaining = budget - (0 until numCluster).map(i => costOf(i, base)).sum
+    // same contract as the LP sibling: a budget that cannot even cover
+    // the cheapest-config-everywhere baseline is an error, not a silent
+    // over-budget plan
+    require(remaining >= 0,
+      s"knapsack infeasible: budget $budget below baseline cost ${budget - remaining}")
     var improved = true
     while (improved) {
       improved = false

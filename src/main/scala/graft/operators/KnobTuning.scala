@@ -94,6 +94,7 @@ object KnobTuning {
                   acc: String, cost: String, samplesPerStart: Int,
                   numEtas: Int = 10, minEta: Double = 0.1,
                   maxEta: Double = 10.0): DataFrame = {
+    require(numEtas >= 2, s"linspace needs numEtas >= 2, got $numEtas")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(vid)
     val etaFac = sum(col(acc)).over(w) / sum(col(cost)).over(w)
     val n = count(lit(1)).over(w)

@@ -214,6 +214,10 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(index.centers)
+    // persisted so the centroid ranking runs ONCE over the query side —
+    // it feeds both the probed-cell list and the candidate join (the
+    // query side is the small side by contract, so the persist is
+    // bounded by |queries|·nprobe rows)
     val probes = queries
       .select(col("vec_id").cast("long").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
@@ -224,10 +228,12 @@ object Similarity {
           .map { case (_, cell) => (id, cell, v) }
       }
       .toDF("query_id", "cell", "qv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // prune the corpus scan to the probed cells (a no-op reduction when
     // every cell is probed, a file-skipping literal filter otherwise)
-    val cells = probedCells(index, queries, nprobe)
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
     val corpus =
       if (cells.length == index.centers.length) index.assigned
       else index.assigned.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
@@ -263,27 +269,33 @@ object Similarity {
     * Cache safety: the key includes the session identity, and a hit is
     * only served when its `assigned` still belongs to the calling
     * session — an index built by a stopped session is rebuilt, never
-    * served stale. Concurrent first builds race through putIfAbsent; the
-    * losing index is unpersisted. `invalidateIvfIndex` drops an entry
+    * served stale. The build itself is serialized through a per-key lock
+    * (two concurrent overwrite-writes to the SAME at-rest path would
+    * corrupt each other's committed files — a putIfAbsent race guards
+    * the cache, not the filesystem). `invalidateIvfIndex` drops an entry
     * when the files under `key` change mid-session.
     */
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Long), Object]
+
   def ivfIndexFor(vectors: DataFrame, key: String, nlist: Int = 0,
                   seed: Long = 42,
                   atRestDir: String = "/tmp/graft_ivf"): IvfIndex = {
     val session = vectors.sparkSession
     val ck = (System.identityHashCode(session), key, nlist, seed)
     def fresh(idx: IvfIndex): Boolean = idx.assigned.sparkSession eq session
-    indexCache.get(ck) match {
-      case Some(idx) if fresh(idx) => idx
-      case stale =>
-        stale.foreach(_ => indexCache.remove(ck))
-        val path = s"$atRestDir/${key.replaceAll("[^A-Za-z0-9._-]", "_")}-$nlist-$seed"
-        val built = buildIvfIndex(vectors, nlist, seed, atRestPath = Some(path))
-        indexCache.putIfAbsent(ck, built) match {
-          case Some(winner) if fresh(winner) => winner // lost the race; same files
-          case Some(_) => indexCache.put(ck, built); built
-          case None => built
+    def cached: Option[IvfIndex] = indexCache.get(ck).filter(fresh)
+    cached.getOrElse {
+      val lock = buildLocks.getOrElseUpdate(ck, new Object)
+      lock.synchronized {
+        cached.getOrElse { // double-checked: a racer may have built it
+          indexCache.remove(ck)
+          val path = s"$atRestDir/${key.replaceAll("[^A-Za-z0-9._-]", "_")}-$nlist-$seed"
+          val built = buildIvfIndex(vectors, nlist, seed, atRestPath = Some(path))
+          indexCache.put(ck, built)
+          built
         }
+      }
     }
   }
 
@@ -313,10 +325,14 @@ object Similarity {
              maxBucket: Int = 4096): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    // persisted: it feeds both the size aggregation and the join probe
+    // side — without it the scan + bucket hash run twice (same reason
+    // simhashCandidates persists its fingerprint table)
     val bucketed = vectors
       .select(col("vec_id").cast("long"),
         signBucket(col("embedding"), dims).as("bucket"),
         col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per non-empty bucket — joined back on the same key the
     // group-by shuffles on, so no extra partitioning axis is introduced
     val sizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))

@@ -19,12 +19,18 @@ import org.apache.spark.sql.types._
   * the typed kernels (dot/na/nb accumulated in doubles, one final
   * division) so results are bit-identical across all three forms
   * (asserted in CosineExpressionSpec).
+  *
+  * Null semantics match the zip_with form it replaces: a length
+  * mismatch or a null element yields NULL (a malformed vector must not
+  * score a plausible cosine and enter a top-k). The per-element null
+  * check is only COMPILED IN when the input array type admits nulls —
+  * containsNull=false vectors keep the branch-free loop.
   */
 case class CosineSim(left: Expression, right: Expression) extends Expression {
 
   override def children: Seq[Expression] = Seq(left, right)
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(t, _) => t
@@ -54,11 +60,13 @@ case class CosineSim(left: Expression, right: Expression) extends Expression {
     val bv = right.eval(input)
     if (av == null || bv == null) return null
     val a = av.asInstanceOf[ArrayData]; val b = bv.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val ta = elemType(left); val tb = elemType(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = get(a, ta, i); val y = get(b, tb, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -72,24 +80,38 @@ case class CosineSim(left: Expression, right: Expression) extends Expression {
     val n = ctx.freshName("n"); val i = ctx.freshName("i")
     val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
     val x = ctx.freshName("x"); val y = ctx.freshName("y")
-    val nullCheck =
-      if (nullable) s"${ag.isNull} || ${bg.isNull}" else "false"
+    val inputNull =
+      if (left.nullable || right.nullable) s"${ag.isNull} || ${bg.isNull}" else "false"
     val ax = CodeGenerator.getValue(ag.value.toString, ta, i)
     val by = CodeGenerator.getValue(bg.value.toString, tb, i)
+    // element null checks compiled in only when the type admits nulls
+    def admitsNull(e: Expression): Boolean = e.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+    val elemNull =
+      (if (admitsNull(left)) s"${ag.value}.isNullAt($i) || " else "") +
+        (if (admitsNull(right)) s"${bg.value}.isNullAt($i) || " else "") + "false"
     ev.copy(code = code"""
       ${ag.code}
       ${bg.code}
-      boolean ${ev.isNull} = $nullCheck;
+      boolean ${ev.isNull} = $inputNull;
       double ${ev.value} = 0.0;
+      if (!${ev.isNull} && ${ag.value}.numElements() != ${bg.value}.numElements()) {
+        ${ev.isNull} = true;
+      }
       if (!${ev.isNull}) {
-        int $n = Math.min(${ag.value}.numElements(), ${bg.value}.numElements());
+        int $n = ${ag.value}.numElements();
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
+        for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+          if ($elemNull) { ${ev.isNull} = true; break; }
           double $x = (double) $ax;
           double $y = (double) $by;
           $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         }
-        ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+        if (!${ev.isNull}) {
+          ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+        }
       }""")
   }
 

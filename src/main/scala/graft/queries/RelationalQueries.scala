@@ -491,10 +491,15 @@ object RelationalQueries {
           .select(col("c_custkey").as("uid"), col("c_nationkey"))
         graft.operators.Partitioning.saltedJoin(fact, dim, "uid", numSalts = 8)
           .groupBy("c_nationkey")
-          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+          // quantize BEFORE summing: integer partial sums are
+          // order-independent, so the 2dp rounding can't flip on a
+          // cross-engine summation-order boundary (the a05 lesson)
+          .agg(count(lit(1)).as("n"),
+            round(sum(floor(col("value") * 1000).cast("long")) / 1000.0, 2).as("total_value"))
           .orderBy("c_nationkey")
       },
-      Some("""SELECT c_nationkey, count(*) AS n, round(sum(value), 2) AS total_value
+      Some("""SELECT c_nationkey, count(*) AS n,
+             |  round(sum(CAST(floor(value * 1000) AS BIGINT)) / 1000.0, 2) AS total_value
              |FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS uid, value
              |      FROM events) f
              |JOIN customer ON f.uid = c_custkey

@@ -228,6 +228,15 @@ class KnobPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("knapsack rejects a budget below the cheapest baseline, like the LP") {
+    val planner = new KnobPlanner(
+      Array(Array(0.2, 0.9), Array(0.7, 0.3)), Array(1.0, 2.0), 24.0, 2.0)
+    val ex = intercept[IllegalArgumentException] {
+      planner.assignKnobsKnapsack(Array(0.5, 0.5), budget = 1.0)
+    }
+    assert(ex.getMessage.contains("infeasible"))
+  }
+
   test("knapsack picks each category's best config when the budget is ample") {
     val categories = Array(Array(0.2, 0.9, 0.5), Array(0.7, 0.3, 0.8))
     val knobCost = Array(1.0, 2.0, 3.0)

@@ -49,6 +49,21 @@ class CosineExpressionSpec extends SparkSpec {
     df.collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("cosine_sim is NULL on length mismatch or null elements (zip_with semantics)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)), // length mismatch
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))        // well-formed
+    ).toDF("a", "b")
+    val out = df.select(call_function("cosine_sim", col("a"), col("b")).as("c")).collect()
+    assert(out(0).isNullAt(0), "length mismatch must score NULL")
+    assert(!out(1).isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c").collect()
+    assert(withNullElem(0).isNullAt(0), "null element must score NULL")
+  }
+
   test("cosine_sim interpreted eval (non-codegen path) agrees with codegen") {
     GraftExtensions.register(spark)
     // force interpreted evaluation by calling eval directly
