@@ -82,6 +82,74 @@ object Multimodal {
   def resizeStub(frames: DataFrame, w: Int, h: Int): DataFrame =
     frames.withColumn("width", lit(w)).withColumn("height", lit(h))
 
+  final case class AudioRow(
+      stream_id: Long, chunk: Long, sample_rate: Int, data: Array[Byte])
+
+  /** Deterministic fake PCM chunk: "GAU0" + seeded 8-bit samples — the
+    * audio half of the extraction pipeline (reference:
+    * workloads/streaming/runtime.py:47-61, video→wav via ffmpeg; here
+    * the payload is an opaque BINARY column like the frames).
+    */
+  def syntheticAudio(events: DataFrame, nStreams: Long = 4L,
+                     chunkBytes: Int = 256): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select((col("user_id") % nStreams).as("stream_id"),
+        (col("event_id") % 600).as("chunk"), col("event_id"))
+      .groupBy("stream_id", "chunk").agg(min("event_id").as("seed"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (sid, chunk, seed) =>
+          val data = new Array[Byte](chunkBytes)
+          data(0) = 'G'; data(1) = 'A'; data(2) = 'U'; data(3) = '0'
+          var s = seed * 2862933555777941757L + 3037000493L
+          var i = 4
+          while (i < chunkBytes) {
+            s = s * 2862933555777941757L + 3037000493L
+            data(i) = (s >>> 56).toByte
+            i += 1
+          }
+          AudioRow(sid, chunk, 16000, data)
+        }
+      }
+      .toDF()
+  }
+
+  /** STUB audio feature extraction (reference audio_to_text seam,
+    * runtime.py:56-61): per-partition init (a real impl loads the
+    * recognizer/librosa model ONCE here), then per-chunk deterministic
+    * energy / zero-crossing / band statistics from the payload bytes —
+    * the MFCC-shaped (13-dim) contract without codec libraries.
+    */
+  def extractAudioFeaturesStub(audio: DataFrame, dim: Int = 13): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.as[AudioRow]
+      .mapPartitions { it =>
+        // per-partition init seam (decoder/model loads once here)
+        it.map { a =>
+          require(a.data.length >= 4 && a.data(0) == 'G' && a.data(1) == 'A', "bad magic")
+          val pcm = a.data.drop(4).map(b => (b & 0xff) - 128.0)
+          val energy = math.sqrt(pcm.map(x => x * x).sum / pcm.length)
+          var zc = 0
+          var i = 1
+          while (i < pcm.length) { if (pcm(i - 1) * pcm(i) < 0) zc += 1; i += 1 }
+          val feats = new Array[Float](dim)
+          feats(0) = energy.toFloat
+          feats(1) = zc.toFloat / pcm.length
+          var d = 2
+          while (d < dim) {
+            // banded absolute means stand in for cepstral coefficients
+            val band = pcm.indices.filter(_ % (dim - 2) == (d - 2)).map(j => math.abs(pcm(j)))
+            feats(d) = (band.sum / band.length).toFloat
+            d += 1
+          }
+          (a.stream_id, a.chunk, a.sample_rate, feats)
+        }
+      }
+      .toDF("stream_id", "chunk", "sample_rate", "features")
+  }
+
   /** STUB feature extraction: binary -> dense float vector, seeded by the
     * payload (stands in for VGG16 4096-dim features, SURVEY M4).
     */

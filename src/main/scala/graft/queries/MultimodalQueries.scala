@@ -29,7 +29,8 @@ object MultimodalQueries {
       },
       // deterministic synthetic payloads + stub decode → literal sf0.01
       // gate golden (stability-checked across 4/8/16-core runs)
-      Some("""SELECT * FROM (VALUES
+      Some("""SELECT stream_id::BIGINT AS stream_id, n_frames::BIGINT AS n_frames,
+             |       sum_luma, width, height FROM (VALUES
              |  (0, 119, 15155.77, 1280, 720), (1, 120, 15450.52, 1280, 720),
              |  (2, 120, 15291.62, 1280, 720), (3, 119, 15166.65, 1280, 720)
              |) t(stream_id, n_frames, sum_luma, width, height)""".stripMargin)),
@@ -52,8 +53,35 @@ object MultimodalQueries {
           .agg(count(lit(1)).as("n_frames"), sum("l1_norm_q").cast("long").as("total_l1_q"))
           .orderBy("stream_id")
       },
-      Some("""SELECT * FROM (VALUES
+      Some("""SELECT stream_id::BIGINT AS stream_id, n_frames::BIGINT AS n_frames,
+             |       total_l1_q::BIGINT AS total_l1_q FROM (VALUES
              |  (0, 59, 234647), (1, 60, 236769), (2, 60, 242756), (3, 60, 246212)
-             |) t(stream_id, n_frames, total_l1_q)""".stripMargin))
+             |) t(stream_id, n_frames, total_l1_q)""".stripMargin)),
+
+    // S12 audio half of the extraction pipeline: synthetic PCM chunks ->
+    // stubbed MFCC-shaped features -> per-stream quantized energy /
+    // zero-crossing aggregates (reference runtime.py:47-61 audio seam).
+    Q("m03_audio_features",
+      (s, d) => {
+        val nStreams = math.max(Tables.eventCount(s, d) / 2500L, 1L)
+        val audio = Multimodal.syntheticAudio(Tables.events(s, d), nStreams)
+        Multimodal.extractAudioFeaturesStub(audio)
+          .select(col("stream_id"),
+            floor(element_at(col("features"), 1).cast("double") * 100).cast("long").as("energy_q"),
+            floor(element_at(col("features"), 2).cast("double") * 100000).cast("long").as("zcr_q"))
+          .groupBy("stream_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum("energy_q").as("sum_energy_q"),
+            sum("zcr_q").as("sum_zcr_q"))
+          .orderBy("stream_id")
+      },
+      // deterministic stub → literal sf0.01 gate golden
+      // (stability-checked across 4/8/16-core runs)
+      Some("""SELECT stream_id::BIGINT AS stream_id, n_chunks::BIGINT AS n_chunks,
+             |       sum_energy_q::BIGINT AS sum_energy_q, sum_zcr_q::BIGINT AS sum_zcr_q
+             |FROM (VALUES
+             |  (0, 597, 4410316, 29594553), (1, 596, 4401650, 29605262),
+             |  (2, 598, 4414286, 29497728), (3, 594, 4390892, 29314404)
+             |) t(stream_id, n_chunks, sum_energy_q, sum_zcr_q)""".stripMargin))
   )
 }

@@ -118,7 +118,8 @@ object OfflineQueries {
       },
       // seeded KMeans over 0.01-quantized scores is partition-stable
       // (checked across 4/8/16-core runs) → literal sf0.01 gate golden
-      Some("""SELECT * FROM (VALUES
+      Some("""SELECT category, center_s0, center_s1, center_s2,
+             |       n_chunks::BIGINT AS n_chunks FROM (VALUES
              |  (0, 0.387, 0.41, 0.194, 3374),
              |  (1, 0.749, 0.699, 0.375, 2172),
              |  (2, 0.112, 0.19, 0.056, 4454)
@@ -225,7 +226,8 @@ object OfflineQueries {
       },
       // seeded MLP confusion counts are partition-stable (checked across
       // 4/8/16-core runs) → literal sf0.01 gate golden
-      Some("""SELECT * FROM (VALUES
+      Some("""SELECT label::BIGINT AS label, prediction::BIGINT AS prediction,
+             |       n::BIGINT AS n FROM (VALUES
              |  (0, 1, 3047), (1, 1, 6665), (2, 1, 240)
              |) t(label, prediction, n)""".stripMargin),
       bench = false),
@@ -271,7 +273,7 @@ object OfflineQueries {
       },
       // Table-5-protocol MAE on normalized features; partition-stable
       // (checked across 4/8/16-core runs) → literal sf0.01 gate golden
-      Some("SELECT * FROM (VALUES (9952, 0.2089)) t(n_samples, mae)"),
+      Some("SELECT n_samples::BIGINT AS n_samples, mae FROM (VALUES (9952, 0.2089)) t(n_samples, mae)"),
       bench = false)
   )
 }

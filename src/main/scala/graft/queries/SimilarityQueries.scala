@@ -153,7 +153,7 @@ object SimilarityQueries {
       },
       // seeded KMeans cluster sizes are partition-stable (checked across
       // 4/8/16-core runs) → literal sf0.01 gate golden
-      Some("""SELECT * FROM (VALUES
+      Some("""SELECT cluster::BIGINT AS cluster, n::BIGINT AS n FROM (VALUES
              |  (0, 47), (1, 1), (2, 113), (3, 1), (4, 43),
              |  (5, 60), (6, 9), (7, 52), (8, 133), (9, 41)
              |) t(cluster, n)""".stripMargin),

@@ -210,7 +210,7 @@ object TextQueries {
             (col("a.cnt") * col("b.cnt")).as("w"))
           .filter(col("dist") <= 3 && col("dist") > 0)
           .groupBy("brand")
-          .agg(sum("w").cast("long").as("n_pairs"), min("dist").as("min_dist"))
+          .agg(sum("w").cast("long").as("n_pairs"), min("dist").cast("long").as("min_dist"))
           .orderBy("brand")
       },
       Some("""SELECT brand, count(*) AS n_pairs, min(dist) AS min_dist
@@ -238,7 +238,8 @@ object TextQueries {
             countDistinct(col("fp")).as("distinct_fps"))
           .orderBy("source")
       },
-      Some(s"""SELECT * FROM (VALUES $winnowGoldenRows) t(source, total_fps, distinct_fps)""")),
+      Some(s"""SELECT source, total_fps::BIGINT AS total_fps, distinct_fps::BIGINT AS distinct_fps
+              |FROM (VALUES $winnowGoldenRows) t(source, total_fps, distinct_fps)""".stripMargin)),
 
     // Winnowing near-dup candidates: docs sharing >= 4 selected
     // fingerprints — the blocker winnowing exists for (shared substrings
@@ -255,7 +256,8 @@ object TextQueries {
           .filter(col("n_shared") >= 4)
           .orderBy("doc_a", "doc_b")
       },
-      Some("""SELECT * FROM (VALUES
+      Some("""SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+             |       n_shared::BIGINT AS n_shared FROM (VALUES
              |  (8, 245, 99), (26, 455, 5), (31, 383, 53), (44, 446, 22),
              |  (45, 267, 89), (45, 413, 89), (58, 293, 74), (61, 185, 63),
              |  (70, 447, 111), (72, 377, 46), (87, 134, 20), (92, 450, 26),
