@@ -31,6 +31,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 2 || p._1 == 2), s"false positive with doc 2: $pairs")
   }
 
+  test("ngram Jaccard finds planted near/exact dups with exact scores, no false positives") {
+    val pairs = Dedup.ngramJaccardDups(docs, maxDf = 4, minJaccard = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.get((0L, 3L)).contains(1.0), s"exact pair missing: $pairs")
+    // doc 1 differs from doc 0 in one word (position 7 of 12): 5 of the 8
+    // distinct 5-grams change -> |A∩B| = 3, |A∪B| = 13
+    assert(pairs.get((0L, 1L)).exists(j => math.abs(j - 3.0 / 13.0) < 1e-9), s"near pair: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 2 || p._2 == 2), s"false positive: $pairs")
+  }
+
+  test("ngram Jaccard df cap drops pairs that share only ubiquitous grams") {
+    val s = spark
+    import s.implicits._
+    // 4 docs opening with the same hot 5-gram; only docs 0/1 share more
+    val hot = "alpha beta gamma delta epsilon"
+    val corpus = Seq(
+      (0L, s"$hot unique rare payload one two three", "s"),
+      (1L, s"$hot unique rare payload four five six", "s"),
+      (2L, s"$hot totally different matter here now", "s"),
+      (3L, s"$hot other unrelated words entirely present", "s")
+    ).toDF("doc_id", "text", "source")
+    // permissive cap: the hot gram (df=4) pairs everyone
+    val loose = Dedup.ngramJaccardDups(corpus, maxDf = 4, minJaccard = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.exists(p => p._1 >= 2 || p._2 >= 2), s"expected hot-gram pairs: $loose")
+    // df cap at 3 drops the hot gram: docs 2/3 share nothing else
+    val strict = Dedup.ngramJaccardDups(corpus, maxDf = 3, minJaccard = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((0L, 1L)))
+    assert(!strict.exists(p => p._1 >= 2 || p._2 >= 2), s"hot-gram pair leaked: $strict")
+  }
+
   test("column-API minhash signature matches an independent md5 recompute") {
     import graft.functions.TextFunctions
     val sigRows = docs.filter(col("doc_id") < 3)
