@@ -153,20 +153,65 @@ object Dedup {
     * checksum agg over 263 cached edges took 4.2 s by round 2), so flat
     * per-round plans are what keep deep-component runs O(rounds).
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    dupClustersWithStats(pairs, maxIter)._1
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+                  smallGraphEdges: Long = 5000000L): DataFrame = {
+    // size-dependent physical strategy (the AQE-broadcast analog for an
+    // iterative op): a near-dup pair table is normally orders of
+    // magnitude smaller than the corpus — when the canonical edge set
+    // fits the driver comfortably, path-compressed union-find resolves
+    // it in milliseconds, versus O(log d) distributed rounds each paying
+    // multi-job scheduling overhead. The contraction loop remains the
+    // path for genuinely huge pair tables (and stays spec-covered via
+    // dupClustersWithStats).
+    val canon = pairs
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).cast("long").as("src"),
+        least(col("doc_a"), col("doc_b")).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    if (canon.count() <= smallGraphEdges) {
+      val spark = canon.sparkSession
+      val edges = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // min-root union: the component label IS the minimum member id
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keysIterator.map(k => (k, find(k))).toSeq.sortBy(_._1)
+      spark.createDataFrame(rows).toDF("doc_id", "cluster_id")
+    } else {
+      contractionLoop(canon, maxIter)._1
+    }
+  }
 
   /** dupClusters plus the number of contraction rounds executed (for
     * convergence tests and ops visibility).
     */
   private[graft] def dupClustersWithStats(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     // canonical parent edges: (src, dst) with src > dst
-    var ee = pairs
+    val canon = pairs
       .filter(col("doc_a") =!= col("doc_b"))
-      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
-        least(col("doc_a"), col("doc_b")).as("dst"))
+      .select(greatest(col("doc_a"), col("doc_b")).cast("long").as("src"),
+        least(col("doc_a"), col("doc_b")).cast("long").as("dst"))
       .distinct()
       .localCheckpoint(true)
+    contractionLoop(canon, maxIter)
+  }
+
+  /** Distributed star-contraction rounds over a canonical (src > dst)
+    * edge table — the large-pair-table path of [[dupClusters]].
+    */
+  private def contractionLoop(canon: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    var ee = canon
     var iter = 0
     var prev = (-1L, -1L, -1L)
     var done = false

@@ -353,6 +353,89 @@ object TextQueries {
              |  UNION
              |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
              |SELECT id AS doc_id, min(r) AS cluster_id
-             |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // End-to-end corpus preparation — the training-data pipeline the
+    // individual operators exist for, composed: quality gate (t02's
+    // predicate) -> global exact dedup (d01, min-id survivor) -> MinHash
+    // near-dup pairs (d02) -> cluster collapse (d04, keep component min)
+    // -> surviving-corpus stats (t03's BPE-ish token count). Each stage
+    // is one declarative transform, so Catalyst fuses the whole chain —
+    // at 100 TB the only shuffles are the dedup groupBys and the band
+    // join, exactly the per-stage scale shapes proven by d01/d02/d04.
+    Q("d10_corpus_prep",
+      (s, d) => {
+        val ok = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            size(tokens(col("text"))).as("n_words"),
+            stopwordHits(col("text"), enStopwords).as("stop_hits"))
+          .filter(col("n_words").between(20, 1000) && col("stop_hits") > 0)
+          .select("doc_id", "source", "text")
+        val keep1 = ok
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .groupBy("fp").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+          .join(ok, "doc_id")
+        val clusters = Dedup.dupClusters(Dedup.minhashNearDups(keep1))
+        val dropped = clusters
+          .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+        keep1.join(dropped, Seq("doc_id"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(bpeishTokenCount(col("text"))).cast("long").as("total_bpe_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH RECURSIVE okd AS (
+             |  SELECT doc_id, source, text FROM (
+             |    SELECT doc_id, source, text,
+             |      len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+             |      len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS stop_hits
+             |    FROM documents) t
+             |  WHERE n_words BETWEEN 20 AND 1000 AND stop_hits > 0),
+             |keep1 AS (
+             |  SELECT k.doc_id, k.source, k.text FROM okd k JOIN (
+             |    SELECT min(doc_id) AS doc_id FROM (
+             |      SELECT doc_id, md5(array_to_string(
+             |        regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+             |      FROM okd) f GROUP BY fp) m USING (doc_id)),
+             |words AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM keep1),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+             |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+             |mh AS (
+             |  SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || '#' || shingle)) AS mh
+             |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+             |sig AS (
+             |  SELECT doc_id, CAST(seed // 2 AS INT) AS band, min(mh) || max(mh) AS sig
+             |  FROM mh GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+             |cm AS (
+             |  SELECT c.doc_a, c.doc_b, count(*) AS common
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.doc_a
+             |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+             |  GROUP BY 1, 2),
+             |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT doc_a, doc_b FROM cm
+             |  JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+             |  WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.05),
+             |edges AS (
+             |  SELECT doc_a AS s, doc_b AS d FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT DISTINCT s, s FROM edges
+             |  UNION
+             |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+             |dropped AS (
+             |  SELECT id AS doc_id FROM reach GROUP BY 1 HAVING id <> min(r))
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(len(regexp_extract_all(lower(text),
+             |    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens
+             |FROM keep1 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -97,6 +97,22 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("union-find fast path and contraction loop label components identically") {
+    val s = spark
+    import s.implicits._
+    // mixed shapes: chains, a triangle, a star, reversed/duplicate pairs
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (12L, 11L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), (20L, 21L), (20L, 22L),
+      (20L, 23L), (2L, 1L), (1L, 2L))).toDF("doc_a", "doc_b")
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = labelSet(Dedup.dupClusters(pairs))
+    val loop = labelSet(Dedup.dupClustersWithStats(pairs)._1)
+    val forcedLoop = labelSet(Dedup.dupClusters(pairs, smallGraphEdges = 0L))
+    assert(fast == loop, s"fast=$fast loop=$loop")
+    assert(forcedLoop == loop)
+  }
+
   test("dupClusters star contraction is O(log) rounds on a 16-chain, not diameter") {
     val s = spark
     import s.implicits._
