@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.operators.Gcn
+import graft.queries.RelationalQueries.bboxSql
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -158,6 +160,68 @@ object ArrayQueries {
              |  CAST(round(round((CAST(event_id*37 % 1280 AS DOUBLE)*-0.05 + CAST(event_id*53 % 720 AS DOUBLE)*0.8 + 10.0)
              |    / (CAST(event_id*37 % 1280 AS DOUBLE)*0.0001 + CAST(event_id*53 % 720 AS DOUBLE)*0.0002 + 1.0), 4) * 10000, 0) AS BIGINT) AS wyq
              | FROM events) t
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // M7: one GCN layer (`spmm(adj, X·W)`, pygcn.py:47-94) over the
+    // per-frame IoU graph (TransMOT's spatial adjacency, transmot.py) —
+    // the sparse matmul IS an edge-join + per-destination sum; see
+    // operators/Gcn.scala for the scale/determinism design. Output:
+    // per-frame sums of the quantized activations.
+    Q("a08_gcn_layer",
+      (s, d) => {
+        val gcnW = Array.tabulate(4, 4)((f, c) => (((f * 4 + c) * 7) % 19 - 9) / 10.0)
+        val b = RelationalQueries.bboxen(s, d)
+        val a = b.alias("a"); val c = b.alias("b")
+        val edges = a.join(c,
+            col("a.frame") === col("b.frame") && col("a.det_id") < col("b.det_id") &&
+              col("a.x1") < col("b.x2") && col("b.x1") < col("a.x2") &&
+              col("a.y1") < col("b.y2") && col("b.y1") < col("a.y2"))
+          .filter(round(RelationalQueries.iou(
+            col("a.x1"), col("a.y1"), col("a.x2"), col("a.y2"),
+            col("b.x1"), col("b.y1"), col("b.x2"), col("b.y2")), 4) > 0.1)
+          .select(col("a.det_id").as("src"), col("b.det_id").as("dst"))
+        val nodes = b.select(col("det_id").as("node_id"),
+          array(col("x1"), col("y1"), col("x2"), col("y2")).as("features"))
+        Gcn.layer(nodes, edges, gcnW)
+          .join(b.select(col("det_id").as("node_id"), col("frame")), "node_id")
+          .groupBy("frame")
+          .agg(count(lit(1)).as("n_nodes"),
+            sum("h0").as("sum_h0"), sum("h1").as("sum_h1"),
+            sum("h2").as("sum_h2"), sum("h3").as("sum_h3"))
+          .orderBy("frame")
+      },
+      Some(s"""WITH b AS ($bboxSql),
+              |e AS (
+              |  SELECT a.det_id AS i, b.det_id AS j
+              |  FROM b a JOIN b b ON a.frame = b.frame AND a.det_id < b.det_id
+              |  WHERE round(greatest(0.0, least(a.x2,b.x2)-greatest(a.x1,b.x1))
+              |      * greatest(0.0, least(a.y2,b.y2)-greatest(a.y1,b.y1))
+              |   / ((a.x2-a.x1)*(a.y2-a.y1) + (b.x2-b.x1)*(b.y2-b.y1)
+              |      - greatest(0.0, least(a.x2,b.x2)-greatest(a.x1,b.x1))
+              |      * greatest(0.0, least(a.y2,b.y2)-greatest(a.y1,b.y1))), 4) > 0.1),
+              |xw AS (
+              |  SELECT det_id, frame,
+              |    CAST(floor((x1*-0.9 + y1*0.0 + x2*0.9 + y2*-0.1)*1000000) AS BIGINT) AS q0,
+              |    CAST(floor((x1*-0.2 + y1*0.7 + x2*-0.3 + y2*0.6)*1000000) AS BIGINT) AS q1,
+              |    CAST(floor((x1*0.5 + y1*-0.5 + x2*0.4 + y2*-0.6)*1000000) AS BIGINT) AS q2,
+              |    CAST(floor((x1*-0.7 + y1*0.2 + x2*-0.8 + y2*0.1)*1000000) AS BIGINT) AS q3
+              |  FROM b),
+              |adj AS (
+              |  SELECT i, j FROM e
+              |  UNION ALL SELECT j AS i, i AS j FROM e
+              |  UNION ALL SELECT det_id AS i, det_id AS j FROM b),
+              |agg AS (
+              |  SELECT adj.i AS det_id, count(*) AS deg,
+              |    sum(x.q0) AS s0, sum(x.q1) AS s1, sum(x.q2) AS s2, sum(x.q3) AS s3
+              |  FROM adj JOIN xw x ON x.det_id = adj.j GROUP BY 1),
+              |h AS (
+              |  SELECT x.frame,
+              |    greatest(s0, 0) // deg AS h0, greatest(s1, 0) // deg AS h1,
+              |    greatest(s2, 0) // deg AS h2, greatest(s3, 0) // deg AS h3
+              |  FROM agg JOIN xw x USING (det_id))
+              |SELECT frame, count(*) AS n_nodes,
+              |  CAST(sum(h0) AS BIGINT) AS sum_h0, CAST(sum(h1) AS BIGINT) AS sum_h1,
+              |  CAST(sum(h2) AS BIGINT) AS sum_h2, CAST(sum(h3) AS BIGINT) AS sum_h3
+              |FROM h GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -26,7 +26,7 @@ object RelationalQueries {
   // per frame at EVERY SF) so per-frame density — and the per-frame
   // quadratic pair space in q06 — stays constant as the input grows; a
   // fixed modulus would concentrate 100 TB into 250 frames.
-  private def bboxen(s: SparkSession, d: String): DataFrame = {
+  private[queries] def bboxen(s: SparkSession, d: String): DataFrame = {
     val nFrames = math.max(Tables.eventCount(s, d) / 40L, 1L)
     val e = Tables.events(s, d)
     val id = col("event_id")
@@ -40,7 +40,7 @@ object RelationalQueries {
       (col("value") / 500.0).as("score")
     )
   }
-  private val bboxSql =
+  private[queries] val bboxSql =
     """SELECT event_id AS det_id,
       |  event_id % (SELECT greatest(count(*) // 40, 1) FROM events) AS frame,
       |  CAST((event_id*37) % 1340 - 60 AS DOUBLE) AS x1,

@@ -331,3 +331,50 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(atRest) == rows(mem))
   }
 }
+
+class GcnSpec extends graft.SparkSpec {
+
+  test("gcn layer matches a dense driver-side recompute") {
+    val s = spark
+    import s.implicits._
+    val w = Array.tabulate(3, 2)((f, c) => (f + 1) * 0.3 - c * 0.55)
+    val feats = Map(
+      0L -> Array(1.0, -2.0, 3.0), 1L -> Array(0.5, 0.5, -0.5),
+      2L -> Array(-1.0, 4.0, 2.0), 3L -> Array(2.5, 0.0, 1.0),
+      4L -> Array(0.0, 0.0, 0.0)) // isolated node: self-loop only
+    val edgeList = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val nodes = feats.toSeq.map { case (i, f) => (i, f) }.toDF("node_id", "features")
+    val edges = edgeList.toDF("src", "dst")
+
+    val got = Gcn.layer(nodes, edges, w).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // dense recompute: quantize X·W per node, mean over N(i)∪{i}, ReLU
+    val q = feats.map { case (i, f) =>
+      i -> (0 until 2).map(d =>
+        math.floor((0 until 3).map(k => f(k) * w(k)(d)).sum * 1e6).toLong)
+    }
+    val nbrs = feats.keys.map { i =>
+      i -> (edgeList.collect { case (a, b) if a == i => b } ++
+        edgeList.collect { case (a, b) if b == i => a } ++ Seq(i))
+    }.toMap
+    val want = feats.keys.map { i =>
+      val deg = nbrs(i).size
+      val sums = (0 until 2).map(d => nbrs(i).map(j => q(j)(d)).sum)
+      i -> ((math.max(sums(0), 0L) / deg, math.max(sums(1), 0L) / deg))
+    }.toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("gcn layer output is stable across input partitionings") {
+    val s = spark
+    import s.implicits._
+    val w = Array.tabulate(2, 2)((f, c) => if (f == c) 1.0 else -0.25)
+    val nodes = (0L until 40L).map(i => (i, Array(i * 0.7, 40.0 - i))).toDF("node_id", "features")
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
+    def run(np: Int) =
+      Gcn.layer(nodes.repartition(np), edges.repartition(np), w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) == run(7))
+  }
+}
