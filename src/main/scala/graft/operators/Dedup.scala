@@ -134,6 +134,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Distinct word-n-gram posting table (doc_id, gram) in a typed kernel —
+    * the interpreted higher-order shingle expression is ~10x slower on
+    * this path (measured at sf0.1: 19 s vs 2 s for the 8-gram case), as
+    * with d02's minhash kernel. Same gram semantics as
+    * `TextFunctions.shingles(tokens(text), n)`.
+    */
+  private[graft] def gramTable(docs: DataFrame, id: String = "doc_id",
+                               text: String = "text", n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(id).cast("long"), col(text)).as[(Long, String)]
+      .mapPartitions { it =>
+        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+        it.flatMap { case (docId, t) =>
+          val toks = {
+            val m = wordRe.matcher(t.toLowerCase)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (m.find()) buf += m.group()
+            buf
+          }
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+            var i = 0
+            while (i + n <= toks.length) {
+              seen += toks.slice(i, i + n).mkString(" ")
+              i += 1
+            }
+            seen.iterator.map(g => (docId, g))
+          }
+        }
+      }
+      .toDF(id, "gram")
+  }
+
   /** Connected-component duplicate clusters from a pair table
     * (doc_a < doc_b): each doc labelled with the minimum id of its
     * component — the step that turns pairwise near-dup hits into "keep
@@ -397,34 +433,7 @@ object Dedup {
     // raw pairs -> 1.12M distinct candidates, 21 s); 5-grams are 90%
     // df=1 -> 1460 candidates, sub-second. Size n to the corpus's
     // vocabulary entropy, not to a fixed convention.
-    // posting table in a typed kernel (the interpreted higher-order
-    // shingle expression measured ~10x slower here, as in d02's kernel)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sh = docs
-      .select(col(id).cast("long"), col(text)).as[(Long, String)]
-      .mapPartitions { it =>
-        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
-        it.flatMap { case (docId, t) =>
-          val toks = {
-            val m = wordRe.matcher(t.toLowerCase)
-            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-            while (m.find()) buf += m.group()
-            buf
-          }
-          if (toks.length < n) Iterator.empty
-          else {
-            val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-            var i = 0
-            while (i + n <= toks.length) {
-              seen += toks.slice(i, i + n).mkString(" ")
-              i += 1
-            }
-            seen.iterator.map(g => (docId, g))
-          }
-        }
-      }
-      .toDF("doc_id", "gram")
+    val sh = gramTable(docs, id, text, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // posting lists capped at maxDf: df=1 grams cannot form a pair, and
     // df>maxDf grams are skew (near-stopword n-grams) — dropped for

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication catalog over the `documents` table —
@@ -297,6 +298,75 @@ object TextQueries {
              |FROM cm JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
              |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.05
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Benchmark decontamination (the GPT-3-style n-gram overlap rule):
+    // flag training docs sharing ANY 8-token gram with the benchmark set
+    // (src0 stands in for an eval suite). Scale shape: the benchmark gram
+    // set is dim-sized next to a training corpus — it broadcasts — and
+    // the corpus side streams through explode + semi-join; nothing
+    // pairwise, nothing quadratic.
+    Q("d11_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // typed gram kernel (the interpreted 8-gram shingle expression
+        // measured 19 s vs 2 s at sf0.1 — see Dedup.gramTable)
+        val bgrams = Dedup.gramTable(docs.filter(col("source") === "src0"), n = 8)
+          .select("gram").distinct()
+        val contaminated = Dedup.gramTable(docs.filter(col("source") =!= "src0"), n = 8)
+          .join(broadcast(bgrams), Seq("gram"), "left_semi")
+          .select("doc_id").distinct()
+        docs.filter(col("source") =!= "src0")
+          .join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("hit"), lit(0L)).cast("long").as("n_contaminated"))
+          .orderBy("source")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |  FROM documents),
+             |g AS (
+             |  SELECT DISTINCT doc_id, source,
+             |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+             |    ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS gram
+             |  FROM words, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+             |cont AS (
+             |  SELECT DISTINCT doc_id FROM g
+             |  WHERE source <> 'src0'
+             |    AND gram IN (SELECT gram FROM g WHERE source = 'src0'))
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+             |FROM documents WHERE source <> 'src0'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sequence packing for pretraining batches: documents laid end-to-end
+    // in id order, split into fixed token-budget bins (bin = which chunk
+    // the doc STARTS in). Windowed per source — the shard axis; at 100 TB
+    // packing runs per ingest shard exactly like this, never globally.
+    Q("t06_sequence_pack",
+      (s, d) => {
+        val budget = 512
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            bpeishTokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("bin", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("bin_tokens"))
+          .orderBy("source", "bin")
+      },
+      Some("""SELECT source, bin, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+             |FROM (
+             |  SELECT source, doc_id, n_tokens,
+             |    CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+             |          - n_tokens) / 512) AS BIGINT) AS bin
+             |  FROM (SELECT source, doc_id,
+             |          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens
+             |        FROM documents) t) b
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Phonetic-skeleton blocking: first letter + consonant skeleton
     // (soundex-style dedup blocking; engine-portable formulation).
