@@ -368,6 +368,26 @@ object TextQueries {
              |        FROM documents) t) b
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Deterministic stratified split (train/val carve-out): membership by
+    // content-hash prefix, so the split is reproducible, data-parallel
+    // (no global sampling state), and stable under re-partitioning /
+    // re-ingestion — md5 hex compares lexicographically the same in any
+    // engine. '19' / '100' hex ≈ 10% validation.
+    Q("t07_hash_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("split",
+          when(substring(md5(col("text")), 1, 2) < "1a", "val").otherwise("train"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(bpeishTokenCount(col("text"))).cast("long").as("n_tokens"))
+        .orderBy("source", "split"),
+      Some("""SELECT source,
+             |  CASE WHEN substr(md5(text), 1, 2) < '1a' THEN 'val' ELSE 'train' END AS split,
+             |  count(*) AS n_docs,
+             |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_tokens
+             |FROM documents
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Phonetic-skeleton blocking: first letter + consonant skeleton
     // (soundex-style dedup blocking; engine-portable formulation).
     Q("d06_phonetic_block",
