@@ -17,6 +17,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // size file splits to the data: at sf0.1 every table is <= ~10 MB,
+      // so the default 128 MB split leaves each scan single-task; 4 MB
+      // lets the 32 cores participate (at 100 TB the default is right —
+      // this is the local-mode analog of "partitions sized to the SF")
+      .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
