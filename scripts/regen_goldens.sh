@@ -33,5 +33,9 @@ for n in ['n03_task_sim', 'n04_lp_plan', 'n05_placement_pareto', 'n06_hill_climb
     df = pd.read_parquet(f'/tmp/golden_regen/{n}')
     print(f'-- {n}: paste into the catalog oracle --')
     for t in df.itertuples(index=False):
-        print('(' + ', '.join(f"'{v}'" if isinstance(v, str) else repr(v) if isinstance(v, float) else str(v) for v in t) + '),')
+        # float(v): numpy 2.x repr is 'np.float64(..)'; escape ' in strings
+        print('(' + ', '.join(
+            "'" + v.replace("'", "''") + "'" if isinstance(v, str)
+            else repr(float(v)) if isinstance(v, float)
+            else str(v) for v in t) + '),')
 EOF

@@ -175,6 +175,12 @@ object Dedup {
     * component — the step that turns pairwise near-dup hits into "keep
     * one per cluster".
     *
+    * Precondition: pairs relate two DISTINCT docs. Self-pairs (a,a) are
+    * dropped during canonicalization and contribute no output row — a
+    * doc with no true pair is simply absent (treat absence as "its own
+    * cluster"), matching every candidate generator here (all emit
+    * doc_a < doc_b strictly).
+    *
     * Alternating large-star / small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14): each round
     * rewires nodes to the minimum of their neighborhood, so convergence
@@ -190,7 +196,7 @@ object Dedup {
     * per-round plans are what keep deep-component runs O(rounds).
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
-                  smallGraphEdges: Long = 5000000L): DataFrame = {
+                  smallGraphEdges: Long = 2000000L): DataFrame = {
     // size-dependent physical strategy (the AQE-broadcast analog for an
     // iterative op): a near-dup pair table is normally orders of
     // magnitude smaller than the corpus — when the canonical edge set

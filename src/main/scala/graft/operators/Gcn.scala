@@ -47,11 +47,16 @@ object Gcn {
     val xw = nodes.select(
       (col(idCol).cast("long").as("j")) +:
         (0 until fout).map(d => xwDim(d).as(s"q$d")): _*)
-    // adjacency with both directions + self-loops
-    val sym = edges
+    // adjacency with both directions + self-loops; canonicalize + distinct
+    // first so duplicate rows, reversed duplicates, or an
+    // already-symmetrized input can't double-count messages/deg
+    val canon = edges
       .select(col(srcCol).cast("long").as("i"), col(dstCol).cast("long").as("j"))
-    val adj = sym
-      .union(sym.select(col("j").as("i"), col("i").as("j")))
+      .filter(col("i") =!= col("j"))
+      .select(least(col("i"), col("j")).as("i"), greatest(col("i"), col("j")).as("j"))
+      .distinct()
+    val adj = canon
+      .union(canon.select(col("j").as("i"), col("i").as("j")))
       .union(nodes.select(col(idCol).cast("long").as("i"),
         col(idCol).cast("long").as("j")))
     // spmm: messages summed per destination; mean + ReLU on exact integers

@@ -269,14 +269,17 @@ object Similarity {
     * Cache safety: the key includes the session identity, and a hit is
     * only served when its `assigned` still belongs to the calling
     * session — an index built by a stopped session is rebuilt, never
-    * served stale. The build itself is serialized through a per-key lock
-    * (two concurrent overwrite-writes to the SAME at-rest path would
-    * corrupt each other's committed files — a putIfAbsent race guards
-    * the cache, not the filesystem). `invalidateIvfIndex` drops an entry
-    * when the files under `key` change mid-session.
+    * served stale. The build itself is serialized through a per-PATH
+    * lock — keyed on (key, nlist, seed) WITHOUT the session, because two
+    * sessions in one JVM rebuilding the same key write the same at-rest
+    * directory, and two concurrent overwrite-writes to one path corrupt
+    * each other's committed files (a putIfAbsent race guards the cache,
+    * not the filesystem; cross-process builds still race — production
+    * would fence via the object store). `invalidateIvfIndex` drops an
+    * entry when the files under `key` change mid-session.
     */
   private val buildLocks =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Long), Object]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Object]
 
   def ivfIndexFor(vectors: DataFrame, key: String, nlist: Int = 0,
                   seed: Long = 42,
@@ -286,7 +289,7 @@ object Similarity {
     def fresh(idx: IvfIndex): Boolean = idx.assigned.sparkSession eq session
     def cached: Option[IvfIndex] = indexCache.get(ck).filter(fresh)
     cached.getOrElse {
-      val lock = buildLocks.getOrElseUpdate(ck, new Object)
+      val lock = buildLocks.getOrElseUpdate((key, nlist, seed), new Object)
       lock.synchronized {
         cached.getOrElse { // double-checked: a racer may have built it
           indexCache.remove(ck)

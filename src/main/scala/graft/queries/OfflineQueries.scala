@@ -142,21 +142,28 @@ object OfflineQueries {
         val cat = when(d0 <= d1 && d0 <= d2, 0).when(d1 <= d2, 1).otherwise(2)
         val wHist = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(-8, -1)
         val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
+        // integer history sums: s0 is k/100 by construction, so summing
+        // k (= s0*100, a long) keeps every window sum AND the global
+        // Frobenius norm exact — a whole-corpus double sum varies in the
+        // last ulp with partition order, and round(·, 6) on ~10k rows
+        // WILL eventually flip a digit across engines (the a05 lesson at
+        // corpus scale); the /100 scale factors cancel in x_sum_norm
         val samples = chunkScores(s, d)
           .withColumn("category", cat)
+          .withColumn("s0q", round(col("s0") * 100).cast("long"))
           .select(col("stream_id"), col("chunk_id"),
-            count(col("s0")).over(wHist).as("hist_cnt"),
-            sum(col("s0")).over(wHist).as("hist_sum"),
-            sum(col("s0") * col("s0")).over(wHist).as("hist_sq"),
+            count(col("s0q")).over(wHist).as("hist_cnt"),
+            sum(col("s0q")).over(wHist).as("hist_sum_q"),
+            sum(col("s0q") * col("s0q")).over(wHist).as("hist_sq_q"),
             count(lit(1)).over(wFut).as("n_future"),
             sum(when(col("category") === 0, 1).otherwise(0)).over(wFut).as("f0"),
             sum(when(col("category") === 1, 1).otherwise(0)).over(wFut).as("f1"),
             sum(when(col("category") === 2, 1).otherwise(0)).over(wFut).as("f2"))
           .filter(col("hist_cnt") === 8 && col("n_future") === 4)
-        val xnorm = samples.agg(sqrt(sum(col("hist_sq"))).as("xnorm"))
+        val xnorm = samples.agg(sqrt(sum(col("hist_sq_q"))).as("xnorm_q"))
         samples.crossJoin(broadcast(xnorm))
           .select(col("stream_id"), col("chunk_id"), col("hist_cnt").as("input_len"),
-            round(col("hist_sum") / col("xnorm"), 6).as("x_sum_norm"),
+            round(col("hist_sum_q") / col("xnorm_q"), 6).as("x_sum_norm"),
             round(col("f0") / (col("f0") + col("f1") + col("f2")), 4).as("y0"),
             round(col("f1") / (col("f0") + col("f1") + col("f2")), 4).as("y1"),
             round(col("f2") / (col("f0") + col("f1") + col("f2")), 4).as("y2"))
@@ -164,15 +171,15 @@ object OfflineQueries {
       },
       Some(s"""WITH chunks AS ($chunkScoresSql),
               |cat AS (
-              |  SELECT *, CASE
+              |  SELECT *, CAST(round(s0 * 100, 0) AS BIGINT) AS s0q, CASE
               |    WHEN abs(s0-0.2) <= abs(s0-0.5) AND abs(s0-0.2) <= abs(s0-0.8) THEN 0
               |    WHEN abs(s0-0.5) <= abs(s0-0.8) THEN 1 ELSE 2 END AS category
               |  FROM chunks),
               |w AS (
               |  SELECT stream_id, chunk_id,
-              |    count(s0) OVER wh AS hist_cnt,
-              |    sum(s0) OVER wh AS hist_sum,
-              |    sum(s0*s0) OVER wh AS hist_sq,
+              |    count(s0q) OVER wh AS hist_cnt,
+              |    sum(s0q) OVER wh AS hist_sum_q,
+              |    sum(s0q*s0q) OVER wh AS hist_sq_q,
               |    count(*) OVER wf AS n_future,
               |    CAST(sum(CASE WHEN category = 0 THEN 1 ELSE 0 END) OVER wf AS BIGINT) AS f0,
               |    CAST(sum(CASE WHEN category = 1 THEN 1 ELSE 0 END) OVER wf AS BIGINT) AS f1,
@@ -184,9 +191,9 @@ object OfflineQueries {
               |    wf AS (PARTITION BY stream_id ORDER BY chunk_id
               |           ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING)),
               |f AS (SELECT * FROM w WHERE hist_cnt = 8 AND n_future = 4),
-              |nrm AS (SELECT sqrt(sum(hist_sq)) AS xnorm FROM f)
+              |nrm AS (SELECT sqrt(sum(hist_sq_q)) AS xnorm_q FROM f)
               |SELECT stream_id, chunk_id, hist_cnt AS input_len,
-              |  round(hist_sum / xnorm, 6) AS x_sum_norm,
+              |  round(hist_sum_q / xnorm_q, 6) AS x_sum_norm,
               |  round(f0 / CAST(f0+f1+f2 AS DOUBLE), 4) AS y0,
               |  round(f1 / CAST(f0+f1+f2 AS DOUBLE), 4) AS y1,
               |  round(f2 / CAST(f0+f1+f2 AS DOUBLE), 4) AS y2
@@ -204,14 +211,19 @@ object OfflineQueries {
         val cat = when(col("s0") < 0.35, 0).when(col("s0") < 0.65, 1).otherwise(2)
         val raw = chunkScores(s, d)
           .withColumn("category", cat)
+          .withColumn("s0q", round(col("s0") * 100).cast("long"))
           .select(col("stream_id"), col("chunk_id"),
             collect_list(col("s0")).over(wHist).as("history"),
-            sum(col("s0") * col("s0")).over(wHist).as("hist_sq"),
+            sum(col("s0q") * col("s0q")).over(wHist).as("hist_sq_q"),
             count(lit(1)).over(wFut).as("n_future"),
             avg(col("category")).over(wFut).as("fut_avg"))
           .filter(size(col("history")) === 8 && col("n_future") === 4)
-        // protocol feature scaling (knob_plan.py:225-226): X /= ||X||_F
-        val xnorm = raw.agg(sqrt(sum("hist_sq"))).head().getDouble(0)
+        // protocol feature scaling (knob_plan.py:225-226): X /= ||X||_F,
+        // with the norm from EXACT integer sums (s0 = k/100, so k² longs
+        // sum partition-order-independently; /100 restores the scale) —
+        // the norm, hence every feature, is bit-stable across runs
+        val xnorm = math.sqrt(
+          raw.agg(sum("hist_sq_q")).head().getLong(0).toDouble) / 100.0
         val data = raw
           .select(array_to_vector(transform(col("history"), x => x / lit(xnorm))).as("features"),
             round(col("fut_avg")).cast("double").as("label"))
@@ -244,16 +256,19 @@ object OfflineQueries {
         val cat = when(col("s0") < 0.35, 0).when(col("s0") < 0.65, 1).otherwise(2)
         val raw = chunkScores(s, d)
           .withColumn("category", cat)
+          .withColumn("s0q", round(col("s0") * 100).cast("long"))
           .select(col("stream_id"), col("chunk_id"),
             collect_list(col("s0")).over(wHist).as("history"),
-            sum(col("s0") * col("s0")).over(wHist).as("hist_sq"),
+            sum(col("s0q") * col("s0q")).over(wHist).as("hist_sq_q"),
             count(lit(1)).over(wFut).as("n_future"),
             (sum(when(col("category") === 0, 1).otherwise(0)).over(wFut) / 4.0).as("a0"),
             (sum(when(col("category") === 1, 1).otherwise(0)).over(wFut) / 4.0).as("a1"),
             (sum(when(col("category") === 2, 1).otherwise(0)).over(wFut) / 4.0).as("a2"))
           .filter(size(col("history")) === 8 && col("n_future") === 4)
-        // protocol feature scaling (knob_plan.py:225-226), as in n08/n09
-        val xnorm = raw.agg(sqrt(sum("hist_sq"))).head().getDouble(0)
+        // protocol feature scaling (knob_plan.py:225-226), exact-integer
+        // norm as in n08/n09
+        val xnorm = math.sqrt(
+          raw.agg(sum("hist_sq_q")).head().getLong(0).toDouble) / 100.0
         val data = raw
           .withColumn("features",
             array_to_vector(transform(col("history"), x => x / lit(xnorm))))

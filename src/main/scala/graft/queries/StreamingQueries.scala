@@ -57,8 +57,13 @@ object StreamingQueries {
         // glob form: the file-stream source requires a directory or glob
         // (a literal file path fails basePath validation)
         val src = s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]")
+        // quantize BEFORE the windowed sum (the a05 lesson): the state
+        // aggregates integer-valued doubles exactly, so the result is
+        // micro-batch- and partition-order-independent; the final /500
+        // happens once on the exact total
         val ev = src.select((col("user_id") % nStreams).as("stream_id"),
-          Tables.tsFromNanos(col("ts")).as("ts"), (col("value") / 500.0).as("score"))
+          Tables.tsFromNanos(col("ts")).as("ts"),
+          floor(col("value") * 1000).as("score"))
         runToTable(s, StreamingOps.windowedQuality(ev, "10 seconds", "10 seconds"),
             "complete")
           // formatted string: DuckDB buckets to TIMESTAMP_NS, Spark to µs —
@@ -66,12 +71,12 @@ object StreamingQueries {
           // robustly in the driver's hash
           .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
             col("stream_id"), col("n"),
-            round(col("sum_quality"), 4).as("sum_quality"))
+            round(col("sum_quality") / 500000.0, 4).as("sum_quality"))
           .orderBy("window_start", "stream_id")
       },
       Some("""SELECT strftime(time_bucket(INTERVAL '10 seconds', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
              |  user_id % ns AS stream_id, count(*) AS n,
-             |  round(sum(value/500.0), 4) AS sum_quality
+             |  round(sum(floor(value * 1000)) / 500000.0, 4) AS sum_quality
              |FROM events, (SELECT greatest(count(*) // 2500, 1) AS ns FROM events) nrm
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 

@@ -42,7 +42,12 @@ object StreamingOps {
         (sid: Long, it: Iterator[DetRow], state: GroupState[TrackerState]) =>
           val st = state.getOption.getOrElse(
             TrackerState(new SortTracker(maxAge, minHits, iouThreshold), -1L))
-          val byFrame = it.toSeq.groupBy(_.frame).toSeq.sortBy(_._1)
+          // within-frame order is part of SORT's observable behavior (as in
+          // the batch path, Tracking.track): sort the full tuple so
+          // micro-batch arrival order never leaks into track-id assignment
+          val byFrame = it.toSeq
+            .sortBy(d => (d.frame, d.x1, d.y1, d.x2, d.y2, d.score))
+            .groupBy(_.frame).toSeq.sortBy(_._1)
           val out = Seq.newBuilder[TrackRow]
           var last = st.lastFrame
           byFrame.foreach { case (f, rows) =>

@@ -366,6 +366,21 @@ class GcnSpec extends graft.SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("gcn layer is invariant to duplicate and reversed edge rows") {
+    val s = spark
+    import s.implicits._
+    val w = Array.tabulate(2, 2)((f, c) => f * 0.4 + c * 0.2 - 0.3)
+    val nodes = (0L until 6L).map(i => (i, Array(i + 0.5, 3.0 - i))).toDF("node_id", "features")
+    val edges = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("src", "dst")
+    val messy = edges
+      .union(edges.select(col("dst"), col("src"))) // already-symmetrized
+      .union(edges)                                // plus duplicates
+    def rows(e: org.apache.spark.sql.DataFrame) =
+      Gcn.layer(nodes, e, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(edges) == rows(messy))
+  }
+
   test("gcn layer output is stable across input partitionings") {
     val s = spark
     import s.implicits._
