@@ -46,7 +46,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      minJaccard: Double = 0.05): DataFrame = {
+      minJaccard: Double = 0.05,
+      maxBucket: Int = 64): DataFrame = {
 
     val numBands = numHashes / rowsPerBand
     // shingle arrays + signatures computed ONCE in a typed kernel (tight
@@ -115,7 +116,21 @@ object Dedup {
       }: _*)).as("bs"))
       .select(col(id), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
 
-    val a = bands.alias("a"); val b = bands.alias("b")
+    // hot-bucket cap (the d09 maxDf / lshKnn maxBucket guard, applied to
+    // the band self-join): one boilerplate string duplicated 100k× at
+    // corpus scale puts 100k rows on one (band, bsig) key → 10^10 pairs
+    // from a single key. Keys are kept only when 2 <= size <= maxBucket —
+    // singleton buckets cannot pair, and docs in an over-cap bucket are
+    // near-identical boilerplate already collapsed by exact dedup (their
+    // full 4-band signature collides at that multiplicity), so pruning
+    // bounds every join key's fan-out at maxBucket² without losing the
+    // near-dup pairs this operator exists to find (planted-boilerplate
+    // bound asserted in DedupSpec).
+    val okKeys = bands.groupBy("band", "bsig").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2 && col("bn") <= maxBucket)
+      .select("band", "bsig")
+    val pruned = bands.join(okKeys, Seq("band", "bsig"))
+    val a = pruned.alias("a"); val b = pruned.alias("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col(s"a.$id") < col(s"b.$id"))
@@ -408,6 +423,38 @@ object Dedup {
         }
       }
       .toDF(id, "fps")
+  }
+
+  /** Winnowing near-dup candidates: pairs of docs sharing >= `minShared`
+    * selected fingerprints, from an equi-self-join of the exploded
+    * (doc, fp) posting table — the blocker winnowing exists for (shared
+    * substrings of length >= w+k-1 guarantee a shared fingerprint, so
+    * candidates surface from an equi-join, never an all-pairs scan).
+    *
+    * The posting table is df-pruned exactly like [[ngramJaccardDups]]:
+    * only fingerprints with 2 <= df <= maxDf generate candidates, so a
+    * boilerplate string repeated 100k× at corpus scale (100k docs on one
+    * fp key → 10^10 pairs) is bounded at maxDf² pairs per key. Docs whose
+    * every shared fingerprint is over-cap are near-identical boilerplate
+    * already collapsed by exact dedup; the planted-boilerplate bound is
+    * asserted in DedupSpec.
+    *
+    * Returns (doc_a, doc_b, n_shared >= minShared).
+    */
+  def winnowCandidates(docs: DataFrame, id: String = "doc_id", text: String = "text",
+                       k: Int = 8, w: Int = 4, minShared: Int = 4,
+                       maxDf: Int = 64): DataFrame = {
+    val e = winnowFingerprints(docs, id, text, k, w)
+      .select(col(id), explode(col("fps")).as("fp")).distinct()
+    val ok = e.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("fp")
+    val pruned = e.join(ok, "fp")
+    val a = pruned.alias("a"); val b = pruned.alias("b")
+    a.join(b, col("a.fp") === col("b.fp") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Direct n-gram Jaccard near-duplicates via a document-frequency-pruned

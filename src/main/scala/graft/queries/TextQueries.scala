@@ -247,16 +247,8 @@ object TextQueries {
     // of length >= w+k-1 guarantee a shared fingerprint, so candidates
     // surface from an equi-join, never an all-pairs scan).
     Q("d08_winnow_candidates",
-      (s, d) => {
-        val e = Dedup.winnowFingerprints(Tables.documents(s, d), k = 24, w = 8)
-          .select(col("doc_id"), explode(col("fps")).as("fp")).distinct()
-        val a = e.alias("a"); val b = e.alias("b")
-        a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= 4)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => Dedup.winnowCandidates(Tables.documents(s, d), k = 24, w = 8)
+        .orderBy("doc_a", "doc_b"),
       Some("""SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
              |       n_shared::BIGINT AS n_shared FROM (VALUES
              |  (8, 245, 99), (26, 455, 5), (31, 383, 53), (44, 446, 22),
