@@ -48,10 +48,17 @@ object Bench {
     // numbers honest: for build/probe operators (e.g. e06's IVF index)
     // the first pass pays the build, the second measures the probe — both
     // are reported so the measurement definition is explicit.
-    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val fp = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    //
+    // The harness captures only a ~4 KB tail of stdout, so the cold map is
+    // printed on its OWN line first and the headline line (steady-state)
+    // comes LAST, with seconds rounded to 1 ms to keep it well under the
+    // capture window.
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val fp = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_pass":$fp,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_first_pass","value":${ms(results.map(_._2).sum)},"unit":"sec","first_pass":$fp}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

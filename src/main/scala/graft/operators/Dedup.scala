@@ -103,7 +103,12 @@ object Dedup {
         }
       }
       .toDF(id, "sh", "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist: same materialize-once (MEMORY_AND_DISK)
+      // semantics for the double use below, but the blocks are freed by the
+      // context cleaner when the result frame is dropped — a persist() here
+      // registers in the CacheManager and accumulates for the session unless
+      // every caller remembers to unpersist
+      .localCheckpoint(true)
 
     // band table carries only (id, band, bsig) — the self-join shuffles
     // ~100 bytes/doc/band, never the shingle arrays
@@ -270,7 +275,7 @@ object Dedup {
   private def contractionLoop(canon: DataFrame, maxIter: Int): (DataFrame, Int) = {
     var ee = canon
     var iter = 0
-    var prev = (-1L, -1L, -1L)
+    var prev: Option[(Long, BigDecimal, BigDecimal, BigDecimal)] = None
     var done = false
     while (!done && iter < maxIter) {
       // large-star: every strictly-larger neighbor of u re-points to the
@@ -298,18 +303,27 @@ object Dedup {
       // the context cleaner once dereferenced
       val next = small.localCheckpoint(true)
       // convergence checksum in ONE agg over the checkpointed round
-      // output: the edge set is stationary iff (count, sum(src),
-      // sum(dst)) is — parents only ever decrease, so a stable checksum
-      // means a stable set
-      val row = next.agg(count(lit(1)), sum("src"), sum("dst")).head()
-      val cur = (row.getLong(0),
-        if (row.isNullAt(1)) 0L else row.getLong(1),
-        if (row.isNullAt(2)) 0L else row.getLong(2))
+      // output: (count, sum(src), sum(dst), sum(xxhash64(src,dst))) —
+      // the order-independent edge-set hash makes a collision between
+      // two DISTINCT consecutive edge sets effectively impossible (the
+      // plain count/sum triple alone could collide). Sums run in
+      // decimal(38,0): a long sum of 64-bit hashes overflows under ANSI
+      val row = next.agg(count(lit(1)),
+        sum(col("src").cast("decimal(38,0)")),
+        sum(col("dst").cast("decimal(38,0)")),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+      def nz(i: Int): BigDecimal =
+        if (row.isNullAt(i)) BigDecimal(0) else BigDecimal(row.getDecimal(i))
+      val cur = Some((row.getLong(0), nz(1), nz(2), nz(3)))
       done = cur == prev
       prev = cur
       ee = next
       iter += 1
     }
+    if (!done)
+      System.err.println(s"[graft] dupClusters: star contraction hit maxIter=$maxIter " +
+        "without stationarity — cluster labels may be incomplete (raise maxIter; " +
+        "chains converge in O(log diameter) rounds)")
     val labels = ee.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
       .union(ee.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
       .distinct()
@@ -487,7 +501,7 @@ object Dedup {
     // df=1 -> 1460 candidates, sub-second. Size n to the corpus's
     // vocabulary entropy, not to a fixed convention.
     val sh = gramTable(docs, id, text, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // materialize-once without a session-lifetime cache entry
     // posting lists capped at maxDf: df=1 grams cannot form a pair, and
     // df>maxDf grams are skew (near-stopword n-grams) — dropped for
     // candidate generation only
@@ -516,9 +530,11 @@ object Dedup {
   }
 
   def simhashCandidates(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
-    // persist: the band self-join would otherwise run the hash kernel twice
+    // checkpoint: the band self-join would otherwise run the hash kernel
+    // twice (localCheckpoint over persist so the blocks don't outlive the
+    // result frame in the session cache)
     val t = simhashTable(docs, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val banded = t.select(col(id), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -214,10 +214,13 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(index.centers)
-    // persisted so the centroid ranking runs ONCE over the query side —
+    // checkpointed so the centroid ranking runs ONCE over the query side —
     // it feeds both the probed-cell list and the candidate join (the
-    // query side is the small side by contract, so the persist is
-    // bounded by |queries|·nprobe rows)
+    // query side is the small side by contract, so the materialized size
+    // is bounded by |queries|·nprobe rows). localCheckpoint over persist:
+    // the cells collect() below forces it immediately anyway, and the
+    // blocks are released with the frame instead of sitting in the
+    // session cache until an unpersist nobody owns
     val probes = queries
       .select(col("vec_id").cast("long").as("query_id"),
         col("embedding").cast("array<double>").as("qv"))
@@ -228,7 +231,7 @@ object Similarity {
           .map { case (_, cell) => (id, cell, v) }
       }
       .toDF("query_id", "cell", "qv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // prune the corpus scan to the probed cells (a no-op reduction when
     // every cell is probed, a file-skipping literal filter otherwise)
@@ -269,17 +272,20 @@ object Similarity {
     * Cache safety: the key includes the session identity, and a hit is
     * only served when its `assigned` still belongs to the calling
     * session — an index built by a stopped session is rebuilt, never
-    * served stale. The build itself is serialized through a per-PATH
-    * lock — keyed on (key, nlist, seed) WITHOUT the session, because two
-    * sessions in one JVM rebuilding the same key write the same at-rest
-    * directory, and two concurrent overwrite-writes to one path corrupt
-    * each other's committed files (a putIfAbsent race guards the cache,
-    * not the filesystem; cross-process builds still race — production
-    * would fence via the object store). `invalidateIvfIndex` drops an
-    * entry when the files under `key` change mid-session.
+    * served stale. Every build writes to a UNIQUE immutable subdirectory
+    * (session identity + a monotone build counter in the path), so a
+    * second session — or even another process, the counter is seeded
+    * from the PID — rebuilding the same key can never overwrite files a
+    * live index's lazily-evaluated probes still read; superseded build
+    * dirs are cheap parquet left for tmp cleanup (production would fence
+    * and garbage-collect via the object store's versioning).
+    * `invalidateIvfIndex` drops an entry when the files under `key`
+    * change mid-session. The per-cache-key lock only dedups concurrent
+    * same-session builds.
     */
   private val buildLocks =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Object]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Long), Object]
+  private val buildCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   def ivfIndexFor(vectors: DataFrame, key: String, nlist: Int = 0,
                   seed: Long = 42,
@@ -289,11 +295,13 @@ object Similarity {
     def fresh(idx: IvfIndex): Boolean = idx.assigned.sparkSession eq session
     def cached: Option[IvfIndex] = indexCache.get(ck).filter(fresh)
     cached.getOrElse {
-      val lock = buildLocks.getOrElseUpdate((key, nlist, seed), new Object)
+      val lock = buildLocks.getOrElseUpdate(ck, new Object)
       lock.synchronized {
         cached.getOrElse { // double-checked: a racer may have built it
           indexCache.remove(ck)
-          val path = s"$atRestDir/${key.replaceAll("[^A-Za-z0-9._-]", "_")}-$nlist-$seed"
+          val pid = ProcessHandle.current().pid()
+          val path = s"$atRestDir/${key.replaceAll("[^A-Za-z0-9._-]", "_")}-$nlist-$seed/" +
+            s"build-$pid-${System.identityHashCode(session)}-${buildCounter.incrementAndGet()}"
           val built = buildIvfIndex(vectors, nlist, seed, atRestPath = Some(path))
           indexCache.put(ck, built)
           built
@@ -328,14 +336,15 @@ object Similarity {
              maxBucket: Int = 4096): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    // persisted: it feeds both the size aggregation and the join probe
+    // checkpointed: it feeds both the size aggregation and the join probe
     // side — without it the scan + bucket hash run twice (same reason
-    // simhashCandidates persists its fingerprint table)
+    // simhashCandidates checkpoints its fingerprint table; localCheckpoint
+    // over persist so the blocks don't accumulate in the session cache)
     val bucketed = vectors
       .select(col("vec_id").cast("long"),
         signBucket(col("embedding"), dims).as("bucket"),
         col("embedding").cast("array<double>").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // one row per non-empty bucket — joined back on the same key the
     // group-by shuffles on, so no extra partitioning axis is introduced
     val sizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))

@@ -25,7 +25,7 @@ object ControlQueries {
     * per-stream ordinal, 3 knob-config quality columns derived from
     * `value`.
     */
-  private def chunkScores(s: SparkSession, d: String): DataFrame = {
+  private[queries] def chunkScores(s: SparkSession, d: String): DataFrame = {
     val nStreams = math.max(Tables.eventCount(s, d) / 2500L, 1L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("stream_id").orderBy("event_id")
@@ -45,6 +45,28 @@ object ControlQueries {
       |  ((round(value) % 100) / 100.0) * 0.5 AS s2
       |FROM events, (SELECT greatest(count(*) // 2500, 1) AS ns FROM events) nrm""".stripMargin
 
+  /** Deterministic linearly-moving detections derived from events (the
+    * ST1 input adapter, shared by batch n01 and streaming n15): stream
+    * count scales with volume (count/625 → 16 streams at the sf0.01
+    * gate); per-stream video length stays 150 frames — streams are the
+    * scale axis, matching real camera fleets.
+    */
+  private[queries] def sortDetections(s: SparkSession, d: String): DataFrame = {
+    val nStreams = math.max(Tables.eventCount(s, d) / 625L, 1L)
+    Tables.events(s, d)
+      .select((col("user_id") % nStreams).as("stream_id"),
+        (col("event_id") % 150).as("frame"),
+        (col("user_id") % 3).as("obj"),
+        col("event_id"))
+      .groupBy("stream_id", "frame", "obj")
+      .agg(min("event_id").as("eid"))
+      .select(col("stream_id"), col("frame"),
+        (lit(50.0) + col("frame") * 2.0 + col("obj") * 300.0 + (col("eid") % 5) * 0.5).as("x1"),
+        (lit(100.0) + col("frame") * 1.5 + col("obj") * 50.0).as("y1"))
+      .select(col("stream_id"), col("frame"), col("x1"), col("y1"),
+        (col("x1") + 60.0).as("x2"), (col("y1") + 80.0).as("y2"), lit(0.9).as("score"))
+  }
+
   /** The replay's operating points (FIXTURES.md A2 shape). */
   private val profileRows: IndexedSeq[Profile] = IndexedSeq(
     Profile(0, 0, 1.9, 0.0, 100), Profile(1, 0, 1.4, 4.0, 100), Profile(2, 0, 1.0, 8.0, 100),
@@ -54,7 +76,7 @@ object ControlQueries {
   private val categoryCenters: Array[Array[Double]] = Array(
     Array(0.20, 0.25, 0.15), Array(0.50, 0.55, 0.45), Array(0.80, 0.85, 0.75))
 
-  private def mkSwitcher(): Switcher = {
+  private[queries] def mkSwitcher(): Switcher = {
     val buffer = new SimBuffer(
       space = 400.0,
       sizePerConfig = profileRows.map(p => p.knobConfig -> p.sizeBytes).toMap)
@@ -132,23 +154,7 @@ object ControlQueries {
     // snapshot (scripts/regen_goldens.sh).
     Q("n01_sort_tracks",
       (s, d) => {
-        // stream count scales with volume (count/625 → 16 streams at the
-        // sf0.01 gate); per-stream video length stays 150 frames — streams
-        // are the scale axis, matching real camera fleets
-        val nStreams = math.max(Tables.eventCount(s, d) / 625L, 1L)
-        val dets = Tables.events(s, d)
-          .select((col("user_id") % nStreams).as("stream_id"),
-            (col("event_id") % 150).as("frame"),
-            (col("user_id") % 3).as("obj"),
-            col("event_id"))
-          .groupBy("stream_id", "frame", "obj")
-          .agg(min("event_id").as("eid"))
-          .select(col("stream_id"), col("frame"),
-            (lit(50.0) + col("frame") * 2.0 + col("obj") * 300.0 + (col("eid") % 5) * 0.5).as("x1"),
-            (lit(100.0) + col("frame") * 1.5 + col("obj") * 50.0).as("y1"))
-          .select(col("stream_id"), col("frame"), col("x1"), col("y1"),
-            (col("x1") + 60.0).as("x2"), (col("y1") + 80.0).as("y2"), lit(0.9).as("score"))
-        Tracking.track(dets)
+        Tracking.track(sortDetections(s, d))
           .select(col("stream_id"), col("frame"), col("track_id"),
             round(col("x1"), 2).as("x1"), round(col("y1"), 2).as("y1"),
             round(col("x2"), 2).as("x2"), round(col("y2"), 2).as("y2"))

@@ -484,8 +484,11 @@ object RelationalQueries {
     // plain join.
     Q("q27_salted_skew_join",
       (s, d) => {
+        // hot key 1L = an EXISTING c_custkey (keys start at 1), so the
+        // replicated hot half actually joins and the salt-spread path is
+        // exercised on matching rows, not silently dropped by the inner join
         val fact = Tables.events(s, d).select(
-          when(col("event_id") % 2 === 0, 0L).otherwise(col("user_id")).as("uid"),
+          when(col("event_id") % 2 === 0, 1L).otherwise(col("user_id")).as("uid"),
           col("value"))
         val dim = Tables.customer(s, d)
           .select(col("c_custkey").as("uid"), col("c_nationkey"))
@@ -500,7 +503,7 @@ object RelationalQueries {
       },
       Some("""SELECT c_nationkey, count(*) AS n,
              |  round(sum(CAST(floor(value * 1000) AS BIGINT)) / 1000.0, 2) AS total_value
-             |FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS uid, value
+             |FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE user_id END AS uid, value
              |      FROM events) f
              |JOIN customer ON f.uid = c_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
