@@ -373,4 +373,47 @@ object Similarity {
       }
       .toDF("query_id", "neighbor_id", "rank", "cos")
   }
+
+  /** Scalar int8 quantization of an embedding column — the 4× memory
+    * cut that makes a billion-vector ANN corpus fit executor RAM (codes
+    * ship over the shuffle; reconstruction happens at score time). One
+    * typed-kernel pass per vector: per-vector (min, max) → 255-step
+    * scale → codes, plus the integer-quantized reconstruction error
+    * (floor(|x − recon|·1e7)) so quality is auditable with exact
+    * cross-engine arithmetic (every op — sub, div, round, mul, abs,
+    * floor — is IEEE-exact, so DuckDB reproduces the sums bit-for-bit).
+    * Degenerate constant vectors quantize to all-zero codes.
+    *
+    * Returns (vec_id, code_sum, code_max, err_q) — the audit projection;
+    * production would carry the code array itself.
+    */
+  def int8Quantize(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        var mn = Float.MaxValue; var mx = Float.MinValue
+        var i = 0
+        while (i < v.length) { val x = v(i); if (x < mn) mn = x; if (x > mx) mx = x; i += 1 }
+        if (v.isEmpty || mx <= mn) (id, 0L, 0L, 0L)
+        else {
+          val mnD = mn.toDouble
+          val scale = (mx.toDouble - mnD) / 255.0
+          var codeSum = 0L; var codeMax = 0L; var errQ = 0L
+          i = 0
+          while (i < v.length) {
+            val x = v(i).toDouble
+            val code = math.round((x - mnD) / scale)
+            val recon = mnD + code * scale
+            codeSum += code
+            if (code > codeMax) codeMax = code
+            errQ += math.floor(math.abs(x - recon) * 1e7).toLong
+            i += 1
+          }
+          (id, codeSum, codeMax, errQ)
+        }
+      }
+      .toDF("vec_id", "code_sum", "code_max", "err_q")
+  }
 }

@@ -157,6 +157,30 @@ object SimilarityQueries {
              |  (0, 47), (1, 1), (2, 113), (3, 1), (4, 43),
              |  (5, 60), (6, 9), (7, 52), (8, 133), (9, 41)
              |) t(cluster, n)""".stripMargin),
-      bench = false)
+      bench = false),
+
+    // Scalar int8 quantization audit (the 4× ANN memory cut): per-vector
+    // codes + integer-quantized reconstruction error. Every arithmetic
+    // op in the kernel is IEEE-exact (sub/div/round/mul/abs/floor over
+    // nonnegative operands), so the DuckDB oracle recomputes the same
+    // longs from the raw floats — a live independent oracle, no golden.
+    Q("e07_int8_quantize",
+      (s, d) => Similarity.int8Quantize(Tables.embeddings(s, d)).orderBy("vec_id"),
+      Some("""WITH v AS (SELECT vec_id, embedding,
+             |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+             |    CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),
+             |c AS (SELECT vec_id, embedding, mn, (mx - mn) / 255.0 AS scale FROM v WHERE mx > mn)
+             |SELECT vec_id,
+             |  CAST(list_sum(list_transform(embedding,
+             |    x -> round((CAST(x AS DOUBLE) - mn) / scale))) AS BIGINT) AS code_sum,
+             |  CAST(list_max(list_transform(embedding,
+             |    x -> round((CAST(x AS DOUBLE) - mn) / scale))) AS BIGINT) AS code_max,
+             |  CAST(list_sum(list_transform(embedding,
+             |    x -> floor(abs(CAST(x AS DOUBLE) -
+             |      (mn + round((CAST(x AS DOUBLE) - mn) / scale) * scale)) * 1e7))) AS BIGINT) AS err_q
+             |FROM c
+             |UNION ALL
+             |SELECT vec_id, 0, 0, 0 FROM v WHERE mx <= mn
+             |ORDER BY vec_id""".stripMargin))
   )
 }

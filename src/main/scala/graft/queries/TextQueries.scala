@@ -518,6 +518,158 @@ object TextQueries {
              |  CAST(sum(len(regexp_extract_all(lower(text),
              |    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens
              |FROM keep1 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): a
+    // doc fails when its most-frequent word dominates (top_cnt/n_tokens
+    // > 10%) or its duplicate-bigram mass is high (> 5%). Per-doc stats
+    // come from ONE typed kernel pass (tokenize + count in a tight JVM
+    // loop — the column-expression equivalent needs an interpreted
+    // aggregate over a map state); thresholds compare as integer
+    // cross-products so no double boundary can flip across engines.
+    Q("t08_gopher_repetition",
+      (s, d) => {
+        import s.implicits._
+        val stats = Tables.documents(s, d)
+          .select(col("doc_id").cast("long"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .mapPartitions { it =>
+            val re = java.util.regex.Pattern.compile("[a-z0-9]+")
+            it.map { case (_, src, t) =>
+              val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+              val m = re.matcher(t.toLowerCase)
+              while (m.find()) toks += m.group()
+              val counts = scala.collection.mutable.HashMap.empty[String, Int]
+              toks.foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+              val topCnt = if (counts.isEmpty) 0L else counts.valuesIterator.max.toLong
+              val bigs = scala.collection.mutable.HashSet.empty[String]
+              var i = 0
+              while (i + 1 < toks.length) { bigs += toks(i) + " " + toks(i + 1); i += 1 }
+              (src, toks.length.toLong, topCnt,
+                math.max(toks.length - 1, 0).toLong, bigs.size.toLong)
+            }
+          }
+          .toDF("source", "n_tokens", "top_cnt", "n_bigrams", "n_dist")
+        stats.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("top_cnt") * 10 > col("n_tokens"), 1L).otherwise(0L)).as("n_top_fail"),
+            sum(when((col("n_bigrams") - col("n_dist")) * 20 > col("n_bigrams"), 1L)
+              .otherwise(0L)).as("n_rep_fail"),
+            round(sum("top_cnt").cast("double") / sum("n_tokens"), 6).as("top_frac"),
+            round((sum("n_bigrams") - sum("n_dist")).cast("double") / sum("n_bigrams"), 6)
+              .as("dup_bigram_frac"))
+          .orderBy("source")
+      },
+      Some("""WITH docs AS (SELECT doc_id, source,
+             |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+             |tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+             |topw AS (SELECT doc_id, max(c) AS top_cnt
+             |         FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+             |big AS (SELECT doc_id, source, len(toks) AS n_tokens,
+             |         greatest(len(toks) - 1, 0) AS n_bigrams,
+             |         len(list_distinct(list_transform(list_zip(toks[1:-2], toks[2:-1]),
+             |           x -> x[1] || ' ' || x[2]))) AS n_dist
+             |        FROM docs)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN coalesce(top_cnt, 0) * 10 > n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_top_fail,
+             |  CAST(sum(CASE WHEN (n_bigrams - n_dist) * 20 > n_bigrams THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_fail,
+             |  round(CAST(sum(coalesce(top_cnt, 0)) AS DOUBLE) / sum(n_tokens), 6) AS top_frac,
+             |  round(CAST(sum(n_bigrams - n_dist) AS DOUBLE) / sum(n_bigrams), 6) AS dup_bigram_frac
+             |FROM big LEFT JOIN topw USING (doc_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Corpus mixture weights (the LLaMA/Pile recipe shape): per-source
+    // token mass → temperature-scaled sampling share. alpha = 0.5 on
+    // purpose: sqrt is the one power IEEE 754 requires to be correctly
+    // rounded, so the weight is bit-identical across engines (pow(x, .7)
+    // is not); the weight is then floor-quantized so the share division
+    // runs over exact integers.
+    Q("t09_domain_mixture",
+      (s, d) => {
+        val m = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(bpeishTokenCount(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("w_q", floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
+        val total = m.agg(sum("w_q").cast("long").as("w_total"))
+        m.crossJoin(broadcast(total))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("w_q").cast("double") / col("w_total"), 6).as("mix_share"),
+            round(col("w_q").cast("double") / col("w_total") * col("n_docs") /
+              sum("n_docs").over(), 8).as("doc_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (SELECT source, count(*) AS n_docs,
+             |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w_q FROM m)
+             |SELECT source, n_docs, n_tokens,
+             |  round(CAST(w_q AS DOUBLE) / (SELECT sum(w_q) FROM w), 6) AS mix_share,
+             |  round(CAST(w_q AS DOUBLE) / (SELECT sum(w_q) FROM w) * n_docs
+             |        / (SELECT sum(n_docs) FROM w), 8) AS doc_rate
+             |FROM w ORDER BY 1""".stripMargin)),
+
+    // PII scrubbing: deterministic synthetic PII (email/phone/IPv4 —
+    // the raw corpus has none, so the redaction path is actually
+    // exercised) counted and redacted per source; scrub effectiveness is
+    // measured as exact integer char deltas. Patterns stay in the
+    // RE2-compatible subset so Spark (java.util.regex) and DuckDB (RE2)
+    // agree.
+    Q("t10_pii_scrub",
+      (s, d) => {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "\\d{3}-\\d{3}-\\d{4}"
+        val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+        val withPii = Tables.documents(s, d).withColumn("text2",
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .when(col("doc_id") % 4 === 1,
+              concat(col("text"), lit(" call 555-010-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .when(col("doc_id") % 4 === 2,
+              concat(col("text"), lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+                lit("."), ((col("doc_id") / 256).cast("long") % 256).cast("string")))
+            .otherwise(col("text")))
+        val scrubbed = withPii.select(
+          col("source"),
+          size(regexp_extract_all(col("text2"), lit(email), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("text2"), lit(phone), lit(0))).as("n_phone"),
+          size(regexp_extract_all(col("text2"), lit(ip), lit(0))).as("n_ip"),
+          (length(col("text2")) - length(
+            regexp_replace(regexp_replace(regexp_replace(col("text2"),
+              email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>"))).as("char_delta"))
+        scrubbed.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_email").cast("long").as("emails"),
+            sum("n_phone").cast("long").as("phones"),
+            sum("n_ip").cast("long").as("ips"),
+            sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L).otherwise(0L))
+              .as("docs_with_pii"),
+            sum("char_delta").cast("long").as("chars_redacted"))
+          .orderBy("source")
+      },
+      Some("""WITH p AS (SELECT source,
+             |  CASE WHEN doc_id % 4 = 0 THEN text || ' contact user' || doc_id || '@example.com now'
+             |       WHEN doc_id % 4 = 1 THEN text || ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |       WHEN doc_id % 4 = 2 THEN text || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+             |       ELSE text END AS text2
+             |  FROM documents),
+             |f AS (SELECT source,
+             |  len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+             |  len(regexp_extract_all(text2, '\d{3}-\d{3}-\d{4}')) AS n_phone,
+             |  len(regexp_extract_all(text2, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ip,
+             |  length(text2) - length(
+             |    regexp_replace(regexp_replace(regexp_replace(text2,
+             |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+             |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')) AS char_delta
+             |  FROM p)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_email) AS BIGINT) AS emails,
+             |  CAST(sum(n_phone) AS BIGINT) AS phones,
+             |  CAST(sum(n_ip) AS BIGINT) AS ips,
+             |  CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             |  CAST(sum(char_delta) AS BIGINT) AS chars_redacted
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
