@@ -57,8 +57,20 @@ object Bench {
     val qs = results.map { case (k, _, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val fp = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = results.map(_._3).sum
-    println(s"""{"metric":"total_first_pass","value":${ms(results.map(_._2).sum)},"unit":"sec","first_pass":$fp}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldLine = s"""{"metric":"total_first_pass","value":${ms(results.map(_._2).sum)},"unit":"sec","first_pass":$fp}"""
+    val headline = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(coldLine)
+    println(headline)
+    // stdout under sbt carries an "[info] " prefix that breaks strict
+    // JSON-line parsers, so the same two lines also land in a file
+    // (override the path with SPARK_GRAFT_BENCH_OUT)
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out,
+        (coldLine + "\n" + headline + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] write failed: $e") }
     spark.stop()
   }
 }

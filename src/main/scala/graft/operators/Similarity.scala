@@ -299,6 +299,17 @@ object Similarity {
       lock.synchronized {
         cached.getOrElse { // double-checked: a racer may have built it
           indexCache.remove(ck)
+          // sweep entries owned by stopped sessions (and their lock
+          // objects): a long-lived JVM cycling many sessions otherwise
+          // accumulates dead locks and stale IvfIndex entries that `fresh`
+          // filters but never evicts. Our own ck's session is live, so the
+          // sweep can't remove the lock we hold.
+          indexCache.foreach { case (k, idx) =>
+            if (idx.assigned.sparkSession.sparkContext.isStopped) {
+              indexCache.remove(k)
+              buildLocks.remove(k)
+            }
+          }
           val pid = ProcessHandle.current().pid()
           val path = s"$atRestDir/${key.replaceAll("[^A-Za-z0-9._-]", "_")}-$nlist-$seed/" +
             s"build-$pid-${System.identityHashCode(session)}-${buildCounter.incrementAndGet()}"

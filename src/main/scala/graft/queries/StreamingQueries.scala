@@ -109,8 +109,7 @@ object StreamingQueries {
     // cross-check that the streaming path reproduces the batch tracks
     // exactly, not a snapshot of itself.
     Q("n15_stream_tracks",
-      (s, d) => {
-        val src = stageToFiles(s, ControlQueries.sortDetections(s, d), "n15")
+      (s, d) => withStaged(s, ControlQueries.sortDetections(s, d), "n15") { src =>
         val dets = s.readStream.schema(detsSchema).parquet(src)
         runToTable(s, StreamingOps.trackStream(dets), "append")
           .select(col("stream_id"), col("frame"), col("track_id"),
@@ -130,8 +129,7 @@ object StreamingQueries {
     // (StreamingSpec); the gate freezes the sf0.01 log as a golden
     // snapshot (scripts/regen_goldens.sh).
     Q("n16_stream_switch",
-      (s, d) => {
-        val src = stageToFiles(s, ControlQueries.chunkScores(s, d), "n16")
+      (s, d) => withStaged(s, ControlQueries.chunkScores(s, d), "n16") { src =>
         val chunks = s.readStream.schema(chunksSchema).parquet(src)
         runToTable(s,
             StreamingOps.switchStream(chunks, () => ControlQueries.mkSwitcher()),
@@ -162,13 +160,24 @@ object StreamingQueries {
 
   /** Stage a batch-derived adapter frame as parquet files for the
     * file-stream source to tail (unique dir per call — Bench runs each
-    * query twice). The staged write is part of the measured query: a
-    * production tracker pays exactly this landing-zone write on the
-    * detector side.
+    * query twice), run `body` against the staged dir, then DELETE the dir:
+    * by the time `body` returns, runToTable's memory sink has fully
+    * materialized, so nothing reads the files again. The staged write is
+    * part of the measured query: a production tracker pays exactly this
+    * landing-zone write on the detector side.
     */
-  private def stageToFiles(s: SparkSession, df: DataFrame, tag: String): String = {
+  private def withStaged(s: SparkSession, df: DataFrame, tag: String)
+                        (body: String => DataFrame): DataFrame = {
     val dir = s"/tmp/graft_stream_stage/$tag-${ProcessHandle.current().pid()}-${ctr.incrementAndGet()}"
     df.write.mode("overwrite").parquet(dir)
-    dir
+    try body(dir)
+    finally deleteRecursively(java.nio.file.Paths.get(dir))
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
 }

@@ -591,11 +591,14 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(bpeishTokenCount(col("text"))).cast("long").as("n_tokens"))
           .withColumn("w_q", floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
-        val total = m.agg(sum("w_q").cast("long").as("w_total"))
-        m.crossJoin(broadcast(total))
-          .select(col("source"), col("n_docs"), col("n_tokens"),
-            round(col("w_q").cast("double") / col("w_total"), 6).as("mix_share"),
-            round(col("w_q").cast("double") / col("w_total") * col("n_docs") /
+        // corpus totals as empty-frame window sums over the ALREADY
+        // AGGREGATED per-source frame (|sources| rows — the SinglePartition
+        // exchange is over dozens of rows, and the scan runs once; a
+        // crossJoin(agg) form re-scans documents and plans a nested-loop
+        // cross join)
+        m.select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("w_q").cast("double") / sum("w_q").over(), 6).as("mix_share"),
+            round(col("w_q").cast("double") / sum("w_q").over() * col("n_docs") /
               sum("n_docs").over(), 8).as("doc_rate"))
           .orderBy("source")
       },

@@ -16,8 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * micro-batch holds seconds of one stream — bounded); ordering ACROSS
   * batches relies on per-stream sequential ingestion, which is the
   * reference's own operating assumption (supp. N.2 — the switcher/UDF
-  * dependency is strictly sequential per stream). Scale comes from the
-  * number of independent streams, exactly as in batch mode.
+  * dependency is strictly sequential per stream). When that assumption is
+  * violated (a file source splitting batches, a late detector write), the
+  * tracker DROPS the late frames without touching its state and counts
+  * them in the `graft.trackStream.lateRows` accumulator — bounded data
+  * loss that is visible, never silent track corruption. Scale comes from
+  * the number of independent streams, exactly as in batch mode.
   */
 object StreamingOps {
 
@@ -30,6 +34,10 @@ object StreamingOps {
     import spark.implicits._
     implicit val stateEnc: org.apache.spark.sql.Encoder[TrackerState] =
       Encoders.kryo[TrackerState]
+    // counts rows that arrived in a later micro-batch than a frame the
+    // tracker already processed — observable via
+    // spark.sparkContext.longAccumulator registry / the Spark UI
+    val lateRows = spark.sparkContext.longAccumulator("graft.trackStream.lateRows")
 
     dets.select(
         col("stream_id").cast("long"), col("frame").cast("long"),
@@ -51,18 +59,28 @@ object StreamingOps {
           val out = Seq.newBuilder[TrackRow]
           var last = st.lastFrame
           byFrame.foreach { case (f, rows) =>
-            // SORT needs one update per frame, including empty gaps
-            var cur = if (last < 0) f else last + 1
-            while (cur <= f) {
-              val frameDets =
-                if (cur == f) rows.map(d => Det(d.x1, d.y1, d.x2, d.y2, d.score)).toArray
-                else Array.empty[Det]
-              val res = st.tracker.update(frameDets)
-              if (cur == f)
-                out ++= res.map(t => TrackRow(sid, f, t.trackId, t.x1, t.y1, t.x2, t.y2))
-              cur += 1
+            if (last >= 0 && f <= last) {
+              // A frame the tracker already advanced past arrived in a later
+              // micro-batch (file source split the input, or a genuinely
+              // late detector write). Re-running it would corrupt track
+              // identity, and regressing `last` would replay empty-detection
+              // updates over the gap — drop the rows, KEEP the state, and
+              // count the loss instead of silently corrupting tracks.
+              lateRows.add(rows.size.toLong)
+            } else {
+              // SORT needs one update per frame, including empty gaps
+              var cur = if (last < 0) f else last + 1
+              while (cur <= f) {
+                val frameDets =
+                  if (cur == f) rows.map(d => Det(d.x1, d.y1, d.x2, d.y2, d.score)).toArray
+                  else Array.empty[Det]
+                val res = st.tracker.update(frameDets)
+                if (cur == f)
+                  out ++= res.map(t => TrackRow(sid, f, t.trackId, t.x1, t.y1, t.x2, t.y2))
+                cur += 1
+              }
+              last = f
             }
-            last = f
           }
           state.update(TrackerState(st.tracker, last))
           out.result().iterator

@@ -62,6 +62,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late frames across micro-batches are dropped without corrupting state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[DetRow]
+    val query = StreamingOps.trackStream(input.toDF())
+      .writeStream.format("memory").queryName("tracks_late_frames")
+      .outputMode("append").start()
+    try {
+      input.addData(detFrames(2, 0 until 8))
+      query.processAllAvailable()
+      // frames 4-5 arrive AGAIN in the next batch (out-of-order delivery);
+      // the guard must drop them without regressing lastFrame, so 8-11
+      // continue the same tracks as a clean sequential run
+      input.addData(detFrames(2, 4 until 6) ++ detFrames(2, 8 until 12))
+      query.processAllAvailable()
+      val streaming = spark.table("tracks_late_frames")
+        .orderBy("frame", "track_id")
+        .collect().map(r => (r.getLong(1), r.getInt(2), math.rint(r.getDouble(3))))
+      val batch = Tracking.track(detFrames(2, 0 until 12).toDF())
+        .orderBy("frame", "track_id")
+        .collect().map(r => (r.getLong(1), r.getInt(2), math.rint(r.getDouble(3))))
+      assert(streaming.nonEmpty)
+      assert(streaming.toSeq == batch.toSeq,
+        "late frames corrupted tracker state")
+    } finally query.stop()
+  }
+
   test("streaming switcher decisions match the batch replay") {
     val s = spark
     import s.implicits._
