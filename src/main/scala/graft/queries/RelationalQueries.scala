@@ -508,6 +508,76 @@ object RelationalQueries {
              |JOIN customer ON f.uid = c_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // As-of join (TemporalJoins.asofJoin): every purchase aligned to the
+    // same user's latest strictly-earlier click — the union+window form,
+    // one shuffle on user_id, no range probe. All temporal math in µs:
+    // the parquet carries TIMESTAMP(NANOS) but DuckDB truncates to µs on
+    // read, so both engines order and subtract the SAME integers.
+    Q("q28_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"),
+          expr("ts div 1000").as("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val clicks = ev.filter(col("event_type") === "click")
+        graft.operators.TemporalJoins.asofJoin(
+            purchases, clicks, keys = Seq("user_id"),
+            orderCols = Seq("ts", "event_id"),
+            payload = Seq("event_id", "ts", "value"))
+          .filter(col("asof_event_id").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            round(col("value"), 2).as("value"),
+            col("asof_event_id").as("prior_click_id"),
+            round(col("asof_value"), 2).as("prior_click_value"),
+            expr("(ts - asof_ts) div 1000000").as("gap_s"))
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS ts, value, event_type,
+             |         CASE WHEN event_type = 'click'
+             |              THEN {'id': event_id, 'ts': epoch_us(ts), 'v': value} END AS c
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |w AS (
+             |  SELECT *, last_value(c IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+             |  FROM u)
+             |SELECT event_id, user_id, round(value, 2) AS value,
+             |  pc.id AS prior_click_id, round(pc.v, 2) AS prior_click_value,
+             |  (ts - pc.ts) // 1000000 AS gap_s
+             |FROM w WHERE event_type = 'purchase' AND pc IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
+
+    // Interval-overlap join (TemporalJoins.overlapJoin): purchase vs
+    // error 30-minute activity windows that intersect, bucketed into
+    // 1-hour keys (≤2 buckets per interval) so the join stays an
+    // equi-join — a naive range-predicate join plans a nested-loop cross
+    // product. Output is aggregated per day (pair-level rows are
+    // join-order noise at bench SF).
+    Q("q29_interval_overlap",
+      (s, d) => {
+        val halfHourUs = 1800L * 1000000
+        def iv(tpe: String) = Tables.events(s, d)
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as("id"), expr("ts div 1000").as("s"),
+            (expr("ts div 1000") + halfHourUs).as("e"))
+        graft.operators.TemporalJoins
+          .overlapJoin(iv("purchase"), iv("error"), bucket = 3600L * 1000000)
+          .select(expr("a_s div 86400000000").as("day"),
+            expr("abs(a_s - b_s) div 1000000").as("gap_s"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_pairs"), sum("gap_s").as("sum_gap_s"))
+          .orderBy("day")
+      },
+      Some("""WITH a AS (SELECT event_id AS id, epoch_us(ts) AS s,
+             |    epoch_us(ts) + 1800000000 AS e FROM events WHERE event_type = 'purchase'),
+             |b AS (SELECT event_id AS id, epoch_us(ts) AS s,
+             |    epoch_us(ts) + 1800000000 AS e FROM events WHERE event_type = 'error')
+             |SELECT a.s // 86400000000 AS day, count(*) AS n_pairs,
+             |  CAST(sum(abs(a.s - b.s) // 1000000) AS BIGINT) AS sum_gap_s
+             |FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Rollup (free analytics layer on top of the A-series aggregates).
     Q("q24_rollup",
       (s, d) => Tables.lineitem(s, d)
