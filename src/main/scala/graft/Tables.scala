@@ -45,6 +45,13 @@ object Tables {
     eventCountCache.getOrElseUpdate(
       (System.identityHashCode(s), dir), events(s, dir).count())
   def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
+
+  /** Row count of `documents`, cached per (session, dir) — same contract
+    * and rationale as `eventCount` (SF-scaling scalar, metadata-cheap).
+    */
+  def docCount(s: SparkSession, dir: String): Long =
+    eventCountCache.getOrElseUpdate(
+      (System.identityHashCode(s), s"$dir#documents"), documents(s, dir).count())
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 }
 

@@ -673,6 +673,58 @@ object TextQueries {
              |  CAST(sum(n_ip) AS BIGINT) AS ips,
              |  CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
              |  CAST(sum(char_delta) AS BIGINT) AS chars_redacted
-             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Heavy hitters by document frequency: tokens present in >= 1/4 of
+    // the corpus (stopword/boilerplate detection, the prune list d09's
+    // df cap drops). EXACT two-phase hash-agg — partial map-side counts
+    // then one shuffle on the token — which IS the 100 TB shape for
+    // heavy hitters with a group-by-able key: a CountMinSketch/
+    // Misra-Gries pass only wins when the key set itself cannot be
+    // shuffled, and its estimates would break the bit-exact gate. The
+    // typed gramTable kernel (n=1) dedups tokens per doc, so count(*)
+    // is df directly.
+    Q("t11_heavy_hitters",
+      (s, d) => {
+        val thresh = Tables.docCount(s, d) / 4
+        Dedup.gramTable(Tables.documents(s, d), n = 1)
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= thresh)
+          .select(col("gram").as("token"), col("df"))
+          .orderBy(desc("df"), col("token"))
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+             |  FROM documents)
+             |SELECT token, count(*) AS df FROM g GROUP BY 1
+             |HAVING count(*) >= (SELECT count(*) // 4 FROM documents)
+             |ORDER BY df DESC, token""".stripMargin)),
+
+    // Distributed exact quantiles (percentile_disc, upper-rank): one
+    // window sort per group, rank filter picks ceil(q*n) — no
+    // collect_list, no driver materialization, scales to any group size
+    // the sort shuffle handles. Deterministic: the sort key includes
+    // doc_id and both engines evaluate the same IEEE double q*n.
+    Q("t12_rank_quantiles",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("n_chars", "doc_id")
+        val wn = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        Tables.documents(s, d).select("source", "n_chars", "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .withColumn("q", explode(array(Seq(0.25, 0.5, 0.75, 0.9).map(lit): _*)))
+          .filter(col("rn") === ceil(col("q") * col("n")))
+          .select(col("source"), col("q"), col("n_chars").as("q_value"))
+          .orderBy("source", "q")
+      },
+      Some("""WITH r AS (SELECT source, n_chars,
+             |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS n
+             |  FROM documents)
+             |SELECT source, q, n_chars AS q_value
+             |FROM r, (SELECT unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q) qs
+             |WHERE rn = ceil(q * n)
+             |ORDER BY source, q""".stripMargin))
   )
 }
