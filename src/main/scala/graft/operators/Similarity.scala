@@ -178,7 +178,13 @@ object Similarity {
       .toDF("vec_id", "cell", "v")
     atRestPath match {
       case Some(p) =>
-        assignedRaw.write.mode("overwrite").partitionBy("cell").parquet(p)
+        // repartition on cell first: otherwise every write task emits one
+        // file per cell it happens to hold (tasks × cells small files);
+        // hash-clustered, the at-rest layout is ~one file per cell, which
+        // is both the fast commit path and the layout the pruned probe
+        // wants to read. The shuffle is one pass over (id, cell, vec).
+        assignedRaw.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(p)
         IvfIndex(centers, spark.read.parquet(p), Some(p))
       case None =>
         IvfIndex(centers,
