@@ -578,6 +578,37 @@ object RelationalQueries {
              |FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Gap-based sessionization (Sessionize.sessionize): per-user
+    // sessions split at >30-minute silences, aggregated per session.
+    // One sort shuffle on user_id; value sums stay integer (milli-units)
+    // so the aggregation is order-independent on both engines.
+    Q("q30_sessionize",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("ts"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("v"))
+        graft.operators.Sessionize.sessionize(ev, keys = Seq("user_id"),
+            orderCols = Seq("ts", "event_id"), gapCol = col("ts"),
+            gap = 1800L * 1000000)
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min("ts").as("start_us"),
+            expr("(max(ts) - min(ts)) div 1000000").as("dur_s"),
+            sum("v").as("value_sum_milli"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+             |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+             |f AS (SELECT *, CASE WHEN ts - lag(ts) OVER w > 1800000000
+             |                     THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM f)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts) AS start_us, (max(ts) - min(ts)) // 1000000 AS dur_s,
+             |  CAST(sum(v) AS BIGINT) AS value_sum_milli
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Rollup (free analytics layer on top of the A-series aggregates).
     Q("q24_rollup",
       (s, d) => Tables.lineitem(s, d)

@@ -725,6 +725,35 @@ object TextQueries {
              |SELECT source, q, n_chars AS q_value
              |FROM r, (SELECT unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q) qs
              |WHERE rn = ceil(q * n)
-             |ORDER BY source, q""".stripMargin))
+             |ORDER BY source, q""".stripMargin)),
+
+    // Deterministic stratified downsampling (Sampling.equalizeByKey):
+    // every source is hash-sampled down to the smallest source's size —
+    // the execution step of a domain-mixture plan (t09 computes weights;
+    // this applies them). Content-hash membership = reproducible across
+    // repartitioning/retries, integer-exact on both engines. Checked via
+    // per-source totals + the exact id-set checksum of the kept rows.
+    Q("t13_stratified_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sampled = graft.operators.Sampling.equalizeByKey(docs, "source", "text")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("id_sum"))
+        docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .join(sampled, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+             |s AS (SELECT d.source, d.doc_id, c.cnt,
+             |    (SELECT min(cnt) FROM c) AS mn,
+             |    CAST(('0x' || substr(md5(d.text), 1, 4)) AS INTEGER) AS bucket
+             |  FROM documents d JOIN c USING (source))
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN bucket * cnt < 65536 * mn THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             |  CAST(sum(CASE WHEN bucket * cnt < 65536 * mn THEN doc_id ELSE 0 END) AS BIGINT) AS id_sum
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

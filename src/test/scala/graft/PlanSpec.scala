@@ -62,6 +62,16 @@ class PlanSpec extends SparkSpec {
       s"join does not read aggregated inputs:\n$p")
   }
 
+  test("as-of join is the union+window form — no join node, one hash shuffle (q28)") {
+    val p = plan("q28_asof_join")
+    assert(!p.contains("Join"), s"asofJoin planned a join:\n$p")
+    // exactly the window's hash exchange plus the presentation sort's
+    // range exchange — a third shuffle means the union or filter broke
+    // the single-pass shape
+    val n = "Exchange ".r.findAllIn(p).length
+    assert(n <= 2, s"expected <=2 exchanges, got $n:\n$p")
+  }
+
   test("no catalog query degenerates into an unkeyed cartesian product") {
     // intentional broadcast-nested-loop joins over provably tiny sides:
     // a06 (3-row prefix dim), n05 (<=64 Pareto candidates, group-less
