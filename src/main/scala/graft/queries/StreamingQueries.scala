@@ -144,8 +144,49 @@ object StreamingQueries {
              |  '/root/repo/src/test/resources/golden_n16_stream_switch.csv',
              |  header=true, columns={'stream_id':'BIGINT','chunk_id':'BIGINT',
              |    'config':'INT','placement':'INT','cloud_cost':'DOUBLE',
-             |    'runtime_s':'DOUBLE','score':'DOUBLE'})""".stripMargin))
+             |    'runtime_s':'DOUBLE','score':'DOUBLE'})""".stripMargin)),
+
+    // Event-time SESSION windows as a stream (the streaming twin of
+    // q30): watermarked session_window state, append mode — a session
+    // emits once the watermark passes its end. A sentinel event 2 h past
+    // the corpus max advances the final watermark so every real session
+    // closes under Trigger.AvailableNow; the sentinel's own (still-open)
+    // session is never emitted. Session boundary is session_window's
+    // strict form (new session at diff >= gap), mirrored in the oracle.
+    Q("n17_stream_sessions",
+      (s, d) => {
+        val base = Tables.events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          floor(col("value") * 1000).cast("long").as("v"))
+        val sentinel = base.agg(max("ts_us").as("m"))
+          .select(lit(-1L).as("user_id"),
+            (col("m") + 7200L * 1000000).as("ts_us"), lit(0L).as("v"))
+        withStaged(s, base.unionByName(sentinel), "n17") { src =>
+          val ev = s.readStream.schema(sessionSchema).parquet(src)
+            .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("v"))
+          runToTable(s, StreamingOps.sessionQuality(ev, "30 minutes"), "append")
+            .filter(col("user_id") =!= -1L)
+            .orderBy("user_id", "start_us")
+        }
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts,
+             |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+             |f AS (SELECT *, CASE WHEN ts - lag(ts) OVER w >= 1800000000
+             |                     THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM f)
+             |SELECT min(ts) AS start_us, max(ts) + 1800000000 AS end_us,
+             |  user_id, count(*) AS n_events,
+             |  CAST(sum(v) AS BIGINT) AS value_sum_milli
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, start_us""".stripMargin))
   )
+
+  private val sessionSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts_us", LongType),
+    StructField("v", LongType)))
 
   private val detsSchema = StructType(Seq(
     StructField("stream_id", LongType), StructField("frame", LongType),

@@ -135,6 +135,23 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Event-time session windows (the streaming twin of
+    * Sessionize.sessionize): per-key sessions merge while consecutive
+    * events are < gap apart; a session is emitted (append mode) once the
+    * watermark passes its end (= last event + gap). State per open
+    * session only — the watermark bounds it, which is what makes
+    * gap-sessions viable on an unbounded 100 TB stream.
+    */
+  def sessionQuality(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "1 second"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("v").as("value_sum_milli"))
+      .select(unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("user_id"), col("n_events"), col("value_sum_milli"))
+
   /** Event-time windowed quality totals with a watermark (the A1 sums in
     * streaming form; late data beyond the watermark is dropped).
     */
