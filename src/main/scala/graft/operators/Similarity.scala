@@ -433,4 +433,112 @@ object Similarity {
       }
       .toDF("vec_id", "code_sum", "code_max", "err_q")
   }
+
+  /** Product quantization (Jégou et al., TPAMI'11): the vector is split
+    * into `m` subvectors and each is replaced by the index of its
+    * nearest per-subspace centroid — m bytes/vector instead of 4·d,
+    * the compression layer under IVF-PQ at billion-vector scale.
+    *
+    * Codebooks are fit on the driver over a BOUNDED deterministic
+    * sample (xxhash64-ordered top-N — the same sampling contract as
+    * buildIvfIndex) with stride init + fixed-iteration Lloyd, so the
+    * fit is sequential arithmetic over a partitioning-independent
+    * sample: the codebooks — and therefore every code — are bit-stable
+    * across any cluster layout, unlike a distributed KMeans whose
+    * reduction order floats. m·k·(d/m) doubles of codebook broadcast;
+    * encoding is ONE pass over the corpus in a typed kernel.
+    *
+    * Output audit per vector (gate-hashable integers, the e07 recipe):
+    * code_sum = Σ codes, code_hash = Σ (j+1)·code_j (order-sensitive),
+    * err_q = floor(Σ_j ||sub_j − c_{code_j}||² · 1e6).
+    */
+  def pqEncode(vectors: DataFrame, m: Int = 8, k: Int = 16,
+               trainSample: Int = 2000): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val feats = vectors.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>").as("v"))
+    val sample = feats
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    require(sample.nonEmpty, "empty training sample")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)), k)
+    }
+    val bc = spark.sparkContext.broadcast(books)
+    feats.as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val bs = bc.value
+        var codeSum = 0L; var codeHash = 0L; var err = 0.0
+        var j = 0
+        while (j < bs.length) {
+          val cs = bs(j)
+          val off = j * (v.length / bs.length)
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var s = 0.0; var i = 0
+            while (i < cs(c).length) { val t = v(off + i) - cs(c)(i); s += t * t; i += 1 }
+            if (s < bd) { bd = s; best = c } // strict <: ties keep lowest index
+            c += 1
+          }
+          codeSum += best; codeHash += (j + 1).toLong * best; err += bd
+          j += 1
+        }
+        (id, codeSum, codeHash, math.floor(err * 1e6).toLong)
+      }
+      .toDF("vec_id", "code_sum", "code_hash", "err_q")
+  }
+
+  /** Fixed-iteration Lloyd — deterministic: init = first k DISTINCT
+    * points of the (hash-shuffled) sample (duplicate seeds would merge
+    * clusters and leave dead codes), stride-filled when the sample has
+    * fewer distinct points; sequential sums, ties to the lowest centroid
+    * index, empty clusters keep their previous center.
+    */
+  private def lloyd(pts: Array[Array[Double]], k: Int,
+                    iters: Int = 15): Array[Array[Double]] = {
+    val n = pts.length
+    val kk = math.min(k, n)
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var p0 = 0
+    while (p0 < n && init.length < kk) {
+      if (!init.exists(c => java.util.Arrays.equals(c, pts(p0))))
+        init += pts(p0).clone()
+      p0 += 1
+    }
+    var f = 0
+    while (init.length < kk) { // fewer distinct points than codes
+      init += pts((f.toLong * n / kk).toInt).clone(); f += 1
+    }
+    val centers = init.toArray
+    val dims = pts.head.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk, dims)(0.0)
+      val counts = new Array[Long](kk)
+      var p = 0
+      while (p < n) {
+        val v = pts(p)
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < kk) { val dd = dist2(v, centers(c)); if (dd < bd) { bd = dd; best = c }; c += 1 }
+        var i = 0
+        while (i < dims) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dims) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+    }
+    centers
+  }
 }

@@ -181,6 +181,20 @@ object SimilarityQueries {
              |FROM c
              |UNION ALL
              |SELECT vec_id, 0, 0, 0 FROM v WHERE mx <= mn
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // Product quantization (Similarity.pqEncode): 8×16 codebooks fit by
+    // a driver-side deterministic Lloyd over a bounded hash-ordered
+    // sample, one-pass encode. Codebooks aren't SQL-recomputable, so the
+    // gate holds the integer audit (code_sum/code_hash/err_q per vector)
+    // to a committed sf0.01 snapshot — stability-checked across
+    // 4/8/16-core runs like the other seeded-ML goldens
+    // (scripts/regen_goldens.sh).
+    Q("e08_pq_encode",
+      (s, d) => Similarity.pqEncode(Tables.embeddings(s, d)).orderBy("vec_id"),
+      Some("""SELECT * FROM read_csv(
+             |  '/root/repo/src/test/resources/golden_e08_pq.csv',
+             |  header=true, columns={'vec_id':'BIGINT','code_sum':'BIGINT',
+             |    'code_hash':'BIGINT','err_q':'BIGINT'})""".stripMargin))
   )
 }

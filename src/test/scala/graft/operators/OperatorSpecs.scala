@@ -188,6 +188,31 @@ class SimilaritySpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  test("pqEncode recovers exact prototypes and is partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // vectors drawn EXACTLY from 4 prototypes per 2-dim subspace: a
+    // correct 4-code codebook must reach zero reconstruction error and
+    // give identical codes to identical vectors
+    val protos = Array.fill(4, 8)(rnd.nextGaussian())
+    val rows = (0L until 240L).map { i =>
+      val p = protos((i % 4).toInt)
+      (i, p.map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(df, m = 4, k = 4, trainSample = 240)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.forall(_._3 == 0L), "nonzero reconstruction error on exact prototypes")
+    // same prototype -> same code_hash; different prototypes -> distinct
+    val byProto = out.groupBy(_._1 % 4).map { case (p, rs) => p -> rs.map(_._2).distinct }
+    assert(byProto.values.forall(_.size == 1))
+    assert(byProto.values.flatten.toSeq.distinct.size == 4)
+    // the code assignment must not depend on the input partitioning
+    val out3 = Similarity.pqEncode(df.repartition(3), m = 4, k = 4, trainSample = 240)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == out3.toSeq)
+  }
+
   test("quantizedKnn returns k sorted, distinct neighbors per query") {
     val out = Similarity.quantizedKnn(vectors, col("vec_id") < 5, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(2)))
