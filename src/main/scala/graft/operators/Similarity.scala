@@ -452,22 +452,33 @@ object Similarity {
     * code_sum = Σ codes, code_hash = Σ (j+1)·code_j (order-sensitive),
     * err_q = floor(Σ_j ||sub_j − c_{code_j}||² · 1e6).
     */
-  def pqEncode(vectors: DataFrame, m: Int = 8, k: Int = 16,
-               trainSample: Int = 2000): DataFrame = {
+  /** Fit the `m` per-subspace PQ codebooks — see pqEncode for the
+    * sampling and determinism contract.
+    */
+  def pqCodebooks(vectors: DataFrame, m: Int = 8, k: Int = 16,
+                  trainSample: Int = 2000): Array[Array[Array[Double]]] = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val feats = vectors.select(col("vec_id").cast("long"),
-      col("embedding").cast("array<double>").as("v"))
-    val sample = feats
+    val sample = vectors.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("v"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
       .as[(Long, Array[Double])].collect().map(_._2)
     require(sample.nonEmpty, "empty training sample")
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val sub = d / m
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+    Array.tabulate(m) { j =>
       lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)), k)
     }
+  }
+
+  def pqEncode(vectors: DataFrame, m: Int = 8, k: Int = 16,
+               trainSample: Int = 2000): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val feats = vectors.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>").as("v"))
+    val books = pqCodebooks(vectors, m, k, trainSample)
     val bc = spark.sparkContext.broadcast(books)
     feats.as[(Long, Array[Double])]
       .map { case (id, v) =>
@@ -491,6 +502,113 @@ object Similarity {
         (id, codeSum, codeHash, math.floor(err * 1e6).toLong)
       }
       .toDF("vec_id", "code_sum", "code_hash", "err_q")
+  }
+
+  /** IVF-PQ probe — the production billion-vector ANN read path: IVF
+    * prunes the corpus to each query's nprobe cells, PQ asymmetric
+    * distance ranks the candidates from their m-subspace codes (the
+    * ranking scan carries codes, never raw vectors — the memory shape
+    * that fits 10^9 vectors on a cluster), and only the top `rerank`
+    * candidates per query are re-scored exactly with the codegen'd
+    * cosine. Composition of the proven pieces: probeIvf's cell pruning,
+    * pqCodebooks' deterministic fit, e02's windowed top-k.
+    *
+    * Determinism: codes and ADC are per-row arithmetic over broadcast
+    * codebooks; every ranking breaks ties by neighbor_id.
+    */
+  def probeIvfPq(index: IvfIndex, books: Array[Array[Array[Double]]],
+                 queries: DataFrame, kNn: Int, nprobe: Int = 4,
+                 rerank: Int = 32): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcB = spark.sparkContext.broadcast(books)
+    val bcC = spark.sparkContext.broadcast(index.centers)
+
+    // one pass over the inverted file: attach the m-byte code word
+    val coded = index.assigned
+      .select(col("vec_id").cast("long"), col("cell").cast("int"),
+        col("v").cast("array<double>"))
+      .as[(Long, Int, Array[Double])]
+      .map { case (id, cell, v) => (id, cell, pqCode(v, bcB.value)) }
+      .toDF("vec_id", "cell", "codes")
+
+    // nprobe nearest cells per query (same shape as probeIvf, incl. the
+    // checkpoint: the frame feeds the pruning collect AND the join)
+    val probes = queries
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val cs = bcC.value
+        cs.indices.map(i => (dist2(v, cs(i)), i)).sorted.take(nprobe)
+          .map { case (_, cell) => (id, cell, v) }
+      }
+      .toDF("query_id", "cell", "qv")
+      .localCheckpoint(true)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val corpus =
+      if (cells.length == index.centers.length) coded
+      else coded.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+
+    // ADC ranking from codes only; exact re-rank of the survivors
+    val adcScored = probes.join(corpus, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("codes"))
+      .as[(Long, Array[Double], Long, Array[Int])]
+      .map { case (qid, qv, vid, codes) => (qid, qv, vid, adc(qv, codes, bcB.value)) }
+      .toDF("query_id", "qv", "neighbor_id", "adc")
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id").asc)
+    val candidates = adcScored
+      .withColumn("r", row_number().over(wAdc)).filter(col("r") <= rerank)
+      .drop("r", "adc")
+
+    graft.plans.GraftExtensions.register(spark)
+    val raw = index.assigned.select(col("vec_id").cast("long").as("neighbor_id"),
+      col("v").cast("array<double>"))
+    val exact = candidates.join(raw, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("cosine_sim", col("qv"), col("v")).as("cos"))
+    val wCos = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= kNn)
+  }
+
+  private def pqCode(v: Array[Double], books: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = books.length
+    val sub = v.length / m
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cs = books(j)
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var i = 0
+        while (i < sub) { val t = v(j * sub + i) - cs(c)(i); s += t * t; i += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    out
+  }
+
+  private def adc(q: Array[Double], codes: Array[Int],
+                  books: Array[Array[Array[Double]]]): Double = {
+    val m = books.length
+    val sub = q.length / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = books(j)(codes(j))
+      var i = 0
+      while (i < sub) { val t = q(j * sub + i) - c(i); s += t * t; i += 1 }
+      j += 1
+    }
+    s
   }
 
   /** Fixed-iteration Lloyd — deterministic: init = first k DISTINCT

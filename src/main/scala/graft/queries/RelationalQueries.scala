@@ -609,6 +609,40 @@ object RelationalQueries {
              |  CAST(sum(v) AS BIGINT) AS value_sum_milli
              |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Ordered conversion funnel: view → first later click → first later
+    // purchase per user, all µs-exact min-chaining over TWO window passes
+    // on ONE user_id shuffle (same partitioning, Catalyst reuses the
+    // exchange). No joins, no per-step scans.
+    Q("q31_funnel",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        val ev = Tables.events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("ts"), col("event_type"))
+        val step1 = ev.withColumn("v",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        val step2 = step1.withColumn("c",
+          min(when(col("event_type") === "click" && col("ts") > col("v"), col("ts"))).over(w))
+        val step3 = step2.withColumn("p",
+          min(when(col("event_type") === "purchase" && col("ts") > col("c"), col("ts"))).over(w))
+        step3.groupBy("user_id")
+          .agg(first("v").as("v"), first("c").as("c"), first("p").as("p"))
+          .agg(count(lit(1)).as("n_users"),
+            count("v").as("n_view"), count("c").as("n_view_click"),
+            count("p").as("n_full_funnel"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+             |u AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN ts END) AS v FROM e GROUP BY 1),
+             |uc AS (SELECT u.user_id, u.v,
+             |    min(CASE WHEN e.event_type = 'click' AND e.ts > u.v THEN e.ts END) AS c
+             |  FROM u JOIN e USING (user_id) GROUP BY 1, 2),
+             |up AS (SELECT uc.user_id, uc.v, uc.c,
+             |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > uc.c THEN e.ts END) AS p
+             |  FROM uc JOIN e USING (user_id) GROUP BY 1, 2, 3)
+             |SELECT count(*) AS n_users, count(v) AS n_view,
+             |  count(c) AS n_view_click, count(p) AS n_full_funnel
+             |FROM up""".stripMargin)),
+
     // Rollup (free analytics layer on top of the A-series aggregates).
     Q("q24_rollup",
       (s, d) => Tables.lineitem(s, d)

@@ -195,6 +195,25 @@ object SimilarityQueries {
       Some("""SELECT * FROM read_csv(
              |  '/root/repo/src/test/resources/golden_e08_pq.csv',
              |  header=true, columns={'vec_id':'BIGINT','code_sum':'BIGINT',
-             |    'code_hash':'BIGINT','err_q':'BIGINT'})""".stripMargin))
+             |    'code_hash':'BIGINT','err_q':'BIGINT'})""".stripMargin)),
+
+    // IVF-PQ probe (Similarity.probeIvfPq): cells pruned by IVF, the
+    // candidate scan ranked by PQ asymmetric distance over m-byte codes,
+    // exact cosine re-rank of the top 32 — the production read path at
+    // 10^9 vectors. Deterministic end-to-end (seeded IVF + driver-fit
+    // codebooks + id tie-breaks); sf0.01 snapshot frozen like e06's.
+    Q("e09_ivfpq_knn",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val index = Similarity.ivfIndexFor(emb, key = d)
+        Similarity.probeIvfPq(index, Similarity.pqCodebooks(emb), emb, kNn = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""SELECT * FROM read_csv(
+             |  '/root/repo/src/test/resources/golden_e09_ivfpq_knn.csv',
+             |  header=true, columns={'query_id':'BIGINT','neighbor_id':'BIGINT',
+             |    'rank':'BIGINT','cos':'DOUBLE'})""".stripMargin))
   )
 }

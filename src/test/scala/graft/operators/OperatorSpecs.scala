@@ -260,6 +260,27 @@ class SimilaritySpec extends SparkSpec {
       f"IVF recall $meanRecall%.2f not better than random cell fraction")
   }
 
+  test("probeIvfPq: valid ranks, IVF-level recall, rerank contains the answer") {
+    val exact = Similarity.quantizedKnn(vectors, col("vec_id") < 20, 5)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val index = Similarity.buildIvfIndex(vectors, nlist = 8)
+    val books = Similarity.pqCodebooks(vectors, m = 8, k = 16, trainSample = 300)
+    val got = Similarity.probeIvfPq(index, books, vectors, kNn = 5, nprobe = 3)
+      .filter(col("query_id") < 20).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length), "ranks not dense")
+    }
+    // PQ candidates + exact re-rank should land near plain-IVF recall:
+    // clearly above the random nprobe/nlist fraction
+    val recalls = exact.keys.toSeq.map { q =>
+      byQ.get(q).map(_.map(_.getLong(1)).toSet.intersect(exact(q)).size).getOrElse(0) / 5.0
+    }
+    assert(recalls.sum / recalls.length > 3.0 / 8.0,
+      f"IVF-PQ recall ${recalls.sum / recalls.length}%.2f at random-fraction level")
+  }
+
   test("lshKnn achieves reasonable recall vs brute force on bucket-mates") {
     val lsh = Similarity.lshKnn(vectors, k = 3).collect()
     assert(lsh.nonEmpty)
