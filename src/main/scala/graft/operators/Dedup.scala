@@ -190,6 +190,31 @@ object Dedup {
       .toDF(id, "gram")
   }
 
+  /** Per-document term frequencies (doc_id, token, tf) in a typed kernel
+    * (same tokenization as gramTable; non-distinct, counts multiplicity —
+    * the TF side of TF-IDF-style term weighting).
+    */
+  private[graft] def tokenCounts(docs: DataFrame, id: String = "doc_id",
+                                 text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(id).cast("long"), col(text)).as[(Long, String)]
+      .mapPartitions { it =>
+        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+        it.flatMap { case (docId, t) =>
+          val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          val m = wordRe.matcher(t.toLowerCase)
+          while (m.find()) {
+            val w = m.group()
+            counts.update(w, counts.getOrElse(w, 0L) + 1L)
+          }
+          counts.iterator.map { case (tok, n) => (docId, tok, n) }
+        }
+      }
+      .toDF(id, "token", "tf")
+  }
+
   /** Connected-component duplicate clusters from a pair table
     * (doc_a < doc_b): each doc labelled with the minimum id of its
     * component — the step that turns pairwise near-dup hits into "keep

@@ -643,6 +643,28 @@ object RelationalQueries {
              |  count(c) AS n_view_click, count(p) AS n_full_funnel
              |FROM up""".stripMargin)),
 
+    // Pivot: per-cohort event-type count matrix (the wide-format
+    // reporting op; rollup/cube's sibling). Explicit pivot values keep
+    // the schema static — at scale an unbounded pivot is a driver-side
+    // distinct collect you don't want. Absent cells coalesce to 0 so the
+    // engines agree.
+    Q("q32_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.events(s, d)
+          .select((col("user_id") % 10).as("cohort"), col("event_type"))
+          .groupBy("cohort").pivot("event_type", types).agg(count(lit(1)))
+        types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+          .orderBy("cohort")
+      },
+      Some("""SELECT user_id % 10 AS cohort,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Rollup (free analytics layer on top of the A-series aggregates).
     Q("q24_rollup",
       (s, d) => Tables.lineitem(s, d)

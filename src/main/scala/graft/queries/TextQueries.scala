@@ -754,6 +754,38 @@ object TextQueries {
              |SELECT source, count(*) AS n_docs,
              |  CAST(sum(CASE WHEN bucket * cnt < 65536 * mn THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
              |  CAST(sum(CASE WHEN bucket * cnt < 65536 * mn THEN doc_id ELSE 0 END) AS BIGINT) AS id_sum
-             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Characteristic terms per document: TF-IDF-flavored ranking with NO
+    // floats — order by (tf desc, df asc, token) ranks rare-but-frequent
+    // terms first, exactly what idf weighting does, minus the
+    // cross-engine transcendental-rounding risk of ln(N/df). TF from the
+    // typed tokenCounts kernel, DF from the distinct gram table, one
+    // keyed join on token.
+    Q("t14_top_terms",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = Dedup.tokenCounts(docs)
+        val dfT = Dedup.gramTable(docs, n = 1)
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+          .withColumnRenamed("gram", "token")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("token"))
+        tf.join(dfT, "token")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "token", "tf", "df")
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |  FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+             |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+             |r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+             |  FROM tf JOIN df USING (token))
+             |SELECT doc_id, rank, token, tf, df FROM r WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin))
   )
 }
