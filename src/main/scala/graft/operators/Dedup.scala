@@ -554,6 +554,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Directional n-gram containment: |A∩B| / min(|A|, |B|) — catches a
+    * document CONTAINED in a larger one (quotes, boilerplate wrappers,
+    * page-of-pages) that symmetric Jaccard under-scores when the size
+    * ratio is large (inter/union → 0 while inter/|A| → 1). Same
+    * df-capped inverted-index candidate generation as ngramJaccardDups —
+    * the posting cap keeps every join key's fan-out at maxDf², the 100 TB
+    * shape — then an exact verify over full gram sets. Ratios are kept as
+    * exact integer milli-units (no cross-engine double division).
+    */
+  def ngramContainment(docs: DataFrame, id: String = "doc_id",
+                       text: String = "text", n: Int = 5, maxDf: Int = 20,
+                       minMilli: Long = 500): DataFrame = {
+    val sh = gramTable(docs, id, text, n).localCheckpoint(true)
+    val rare = sh.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("gram")
+    val idx = sh.join(rare, "gram")
+    val a = idx.alias("a"); val b = idx.alias("b")
+    val cand = a.join(b, col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val nGrams = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(nGrams.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(nGrams.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("cont_milli", expr("common * 1000 div least(na, nb)"))
+      .filter(col("cont_milli") >= minMilli)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
+        col("cont_milli"))
+  }
+
   def simhashCandidates(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     // checkpoint: the band self-join would otherwise run the hash kernel
     // twice (localCheckpoint over persist so the blocks don't outlive the

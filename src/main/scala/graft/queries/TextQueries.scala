@@ -291,6 +291,36 @@ object TextQueries {
              |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.05
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Directional containment (doc-inside-doc: quotes, boilerplate
+    // wrappers) — the asymmetric complement of d09's symmetric Jaccard;
+    // same df-capped inverted index, exact integer milli-ratios.
+    Q("d12_ngram_containment",
+      (s, d) => Dedup.ngramContainment(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH words AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+             |  FROM words, unnest(range(1, len(ws) - 3)) AS t(i) WHERE len(ws) >= 5),
+             |rare AS (SELECT gram FROM sh GROUP BY 1 HAVING count(*) BETWEEN 2 AND 20),
+             |idx AS (SELECT s.doc_id, s.gram FROM sh s JOIN rare r USING (gram)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM idx a JOIN idx b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |cm AS (
+             |  SELECT c.doc_a, c.doc_b, count(*) AS common
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.doc_a
+             |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.gram = sa.gram
+             |  GROUP BY 1, 2),
+             |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+             |SELECT doc_a, doc_b, common, na.n AS na, nb.n AS nb,
+             |  (common * 1000) // least(na.n, nb.n) AS cont_milli
+             |FROM cm JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+             |WHERE (common * 1000) // least(na.n, nb.n) >= 500
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Benchmark decontamination (the GPT-3-style n-gram overlap rule):
     // flag training docs sharing ANY 8-token gram with the benchmark set
     // (src0 stands in for an eval suite). Scale shape: the benchmark gram
