@@ -27,6 +27,12 @@ object StreamingQueries {
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the sink table (unique per call — Bench runs each query
     * twice).
+    *
+    * The memory sink is GATE-ONLY: it materializes the (small,
+    * aggregated) result on the driver for the DuckDB compare. The
+    * upstream *plan* is the production plan; a deployment swaps this one
+    * line for a kafka/parquet sink and keys state to a real checkpoint
+    * location.
     */
   private def runToTable(s: SparkSession, q: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${ctr.incrementAndGet()}"
