@@ -187,12 +187,53 @@ object StreamingQueries {
              |  user_id, count(*) AS n_events,
              |  CAST(sum(v) AS BIGINT) AS value_sum_milli
              |FROM s GROUP BY user_id, session_id
-             |ORDER BY user_id, start_us""".stripMargin))
+             |ORDER BY user_id, start_us""".stripMargin)),
+
+    // STREAM-STREAM time-range join: purchases joined to the same user's
+    // clicks in the preceding 30 minutes, BOTH sides unbounded streams
+    // with watermarks (the range condition + watermarks bound each
+    // side's join state — without them a stream-stream join buffers
+    // forever; with them state GC is automatic, the 100 TB shape). Inner
+    // joins emit on match, so AvailableNow yields exactly the batch
+    // result, checked against a plain DuckDB range join.
+    Q("n18_stream_stream_join",
+      (s, d) => {
+        val base = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+        withStaged(s, base, "n18") { src =>
+          def side(tpe: String, p: String) =
+            s.readStream.schema(ssjSchema).parquet(src)
+              .filter(col("event_type") === tpe)
+              .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+                col("ts_us").as(s"${p}_us"),
+                timestamp_micros(col("ts_us")).as(s"${p}_ts"))
+              .withWatermark(s"${p}_ts", "1 hour")
+          val joined = side("purchase", "p").join(side("click", "c"),
+            expr("""p_user = c_user AND
+                    c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"""))
+          runToTable(s, joined, "append")
+            .select(col("p_id"), col("c_id"),
+              expr("(p_us - c_us) div 1000000").as("gap_s"))
+            .orderBy("p_id", "c_id")
+        }
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
+             |SELECT p.event_id AS p_id, c.event_id AS c_id,
+             |  (p.us - c.us) // 1000000 AS gap_s
+             |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM e WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             | AND c.us BETWEEN p.us - 1800000000 AND p.us
+             |ORDER BY p_id, c_id""".stripMargin))
   )
 
   private val sessionSchema = StructType(Seq(
     StructField("user_id", LongType), StructField("ts_us", LongType),
     StructField("v", LongType)))
+
+  private val ssjSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("ts_us", LongType), StructField("event_type", StringType)))
 
   private val detsSchema = StructType(Seq(
     StructField("stream_id", LongType), StructField("frame", LongType),
