@@ -590,6 +590,42 @@ object Dedup {
         col("cont_milli"))
   }
 
+  /** Cross-corpus near-dup: which `newDocs` are near-duplicates of
+    * ANYTHING in `histDocs` — the incremental-ingest shape (tonight's
+    * batch vs the historical corpus; no new×new, no old×old re-work).
+    * Same df-capped inverted index as ngramJaccardDups, with the df
+    * computed over the UNION (a gram common in history must prune even
+    * if rare in the batch); candidates are restricted to new×hist at
+    * the index join. Returns (doc_a = new id, doc_b = hist id, jaccard).
+    */
+  def ngramJaccardAgainst(newDocs: DataFrame, histDocs: DataFrame,
+                          id: String = "doc_id", text: String = "text",
+                          n: Int = 5, maxDf: Int = 20,
+                          minJaccard: Double = 0.5): DataFrame = {
+    val shNew = gramTable(newDocs, id, text, n).localCheckpoint(true)
+    val shHist = gramTable(histDocs, id, text, n).localCheckpoint(true)
+    val union = shNew.unionByName(shHist)
+    val rare = union.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("gram")
+    val cand = shNew.join(rare, "gram").select(col(id).as("doc_a"), col("gram"))
+      .join(shHist.join(rare, "gram").select(col(id).as("doc_b"), col("gram")), "gram")
+      .select("doc_a", "doc_b").distinct()
+    val nNew = shNew.groupBy(id).agg(count(lit(1)).as("n"))
+    val nHist = shHist.groupBy(id).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(shNew.select(col(id).as("doc_a"), col("gram")), "doc_a")
+      .join(shHist.select(col(id).as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(nNew.select(col(id).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(nHist.select(col(id).as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   def simhashCandidates(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     // checkpoint: the band self-join would otherwise run the hash kernel
     // twice (localCheckpoint over persist so the blocks don't outlive the

@@ -321,6 +321,78 @@ object TextQueries {
              |WHERE (common * 1000) // least(na.n, nb.n) >= 500
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Incremental ingest dedup: a NEW batch (hash-split ~25% of the
+    // corpus, t07's recipe) deduped against the HISTORICAL corpus — the
+    // shape every production ingest runs nightly. Exact layer: content
+    // fingerprint anti-join against history (never pairwise); near-dup
+    // layer: surviving docs run the df-capped inverted index against
+    // history ONLY (Dedup.ngramJaccardAgainst — no new×new, no old×old
+    // re-work). Output: per-source admission audit.
+    Q("d13_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+        val isNew = substring(md5(col("text")), 1, 1) < "4" // ~25% arrive "tonight"
+        val hist = docs.filter(!isNew)
+        val fresh = docs.filter(isNew)
+        val exactSurvivors = fresh.join(hist.select("fp").distinct(),
+          Seq("fp"), "left_anti")
+        val nearHits = Dedup.ngramJaccardAgainst(
+            exactSurvivors.select(col("doc_id"), col("text")),
+            hist.select(col("doc_id"), col("text")))
+          .select(col("doc_a").as("doc_id")).distinct()
+        val admitted = exactSurvivors.join(nearHits, Seq("doc_id"), "left_anti")
+        fresh.groupBy("source").agg(count(lit(1)).as("n_new"))
+          .join(exactSurvivors.groupBy("source")
+            .agg(count(lit(1)).as("n_exact_ok")), Seq("source"), "left")
+          .join(admitted.groupBy("source")
+            .agg(count(lit(1)).as("n_admitted"), sum("doc_id").as("id_sum")),
+            Seq("source"), "left")
+          .select(col("source"), col("n_new"),
+            coalesce(col("n_exact_ok"), lit(0L)).as("n_exact_ok"),
+            coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+            coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH dd AS (SELECT doc_id, source, text,
+             |    md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+             |  FROM documents),
+             |marked AS (SELECT *, substr(md5(text), 1, 1) < '4' AS is_new FROM dd),
+             |hist AS (SELECT * FROM marked WHERE NOT is_new),
+             |fresh AS (SELECT * FROM marked WHERE is_new),
+             |ex AS (SELECT f.* FROM fresh f
+             |  WHERE f.fp NOT IN (SELECT fp FROM hist)),
+             |words AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |  FROM (SELECT doc_id, text FROM ex UNION ALL SELECT doc_id, text FROM hist) u),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+             |  FROM words, unnest(range(1, len(ws) - 3)) AS t(i) WHERE len(ws) >= 5),
+             |rare AS (SELECT gram FROM sh GROUP BY 1 HAVING count(*) BETWEEN 2 AND 20),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM sh a JOIN rare ra ON ra.gram = a.gram
+             |  JOIN sh b ON b.gram = a.gram
+             |  JOIN ex ON ex.doc_id = a.doc_id
+             |  JOIN hist h ON h.doc_id = b.doc_id),
+             |cm AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.doc_a
+             |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.gram = sa.gram
+             |  GROUP BY 1, 2),
+             |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |near AS (SELECT DISTINCT cm.doc_a AS doc_id FROM cm
+             |  JOIN n na ON na.doc_id = cm.doc_a JOIN n nb ON nb.doc_id = cm.doc_b
+             |  WHERE CAST(cm.common AS DOUBLE) / (na.n + nb.n - cm.common) >= 0.5),
+             |adm AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM near))
+             |SELECT f.source,
+             |  count(*) AS n_new,
+             |  CAST(coalesce(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_exact_ok,
+             |  CAST(coalesce(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_admitted,
+             |  CAST(coalesce(sum(CASE WHEN a.doc_id IS NOT NULL THEN a.doc_id END), 0) AS BIGINT) AS id_sum
+             |FROM fresh f
+             |LEFT JOIN ex e ON e.doc_id = f.doc_id
+             |LEFT JOIN adm a ON a.doc_id = f.doc_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Benchmark decontamination (the GPT-3-style n-gram overlap rule):
     // flag training docs sharing ANY 8-token gram with the benchmark set
     // (src0 stands in for an eval suite). Scale shape: the benchmark gram
