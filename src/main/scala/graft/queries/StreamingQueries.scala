@@ -198,8 +198,13 @@ object StreamingQueries {
     // result, checked against a plain DuckDB range join.
     Q("n18_stream_stream_join",
       (s, d) => {
-        val base = Tables.events(s, d).select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("event_type"))
+        // stage only the two joined topics (a deployment tails one topic
+        // per type; shipping the other 3/5 of the firehose into both
+        // sides' scans is pure waste)
+        val base = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type"))
         withStaged(s, base, "n18") { src =>
           def side(tpe: String, p: String) =
             s.readStream.schema(ssjSchema).parquet(src)
@@ -211,10 +216,18 @@ object StreamingQueries {
           val joined = side("purchase", "p").join(side("click", "c"),
             expr("""p_user = c_user AND
                     c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"""))
-          runToTable(s, joined, "append")
+          // a stream-stream join keeps FOUR state stores per shuffle
+          // partition; their per-batch commit overhead, not data, is the
+          // cost at this SF. 8 state partitions instead of 32 quarters
+          // that floor; on a real cluster the state partition count is
+          // sized to state VOLUME, which here is trivial.
+          val prev = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          try runToTable(s, joined, "append")
             .select(col("p_id"), col("c_id"),
               expr("(p_us - c_us) div 1000000").as("gap_s"))
             .orderBy("p_id", "c_id")
+          finally s.conf.set("spark.sql.shuffle.partitions", prev)
         }
       },
       Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
