@@ -36,10 +36,19 @@ object StreamingQueries {
     */
   private def runToTable(s: SparkSession, q: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${ctr.incrementAndGet()}"
-    val query = q.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
-    s.table(name)
+    // stateful streaming cost at this SF is state-store COMMITS per
+    // partition per batch, not data: 8 state partitions instead of the
+    // session's 32 (a cluster sizes this to state volume). The conf only
+    // pins the state layout of the query started here; batch queries are
+    // unaffected (restored before returning).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val query = q.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(name)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   private val eventsSchema = StructType(Seq(
@@ -217,17 +226,12 @@ object StreamingQueries {
             expr("""p_user = c_user AND
                     c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"""))
           // a stream-stream join keeps FOUR state stores per shuffle
-          // partition; their per-batch commit overhead, not data, is the
-          // cost at this SF. 8 state partitions instead of 32 quarters
-          // that floor; on a real cluster the state partition count is
-          // sized to state VOLUME, which here is trivial.
-          val prev = s.conf.get("spark.sql.shuffle.partitions")
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          try runToTable(s, joined, "append")
+          // partition, so it feels the runToTable state-partition sizing
+          // the most (8.6 s -> 3.1 s at sf0.1)
+          runToTable(s, joined, "append")
             .select(col("p_id"), col("c_id"),
               expr("(p_us - c_us) div 1000000").as("gap_s"))
             .orderBy("p_id", "c_id")
-          finally s.conf.set("spark.sql.shuffle.partitions", prev)
         }
       },
       Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
