@@ -96,6 +96,9 @@ object StreamingOps {
     import spark.implicits._
     implicit val stateEnc: org.apache.spark.sql.Encoder[SwitcherState] =
       Encoders.kryo[SwitcherState]
+    // same contract as trackStream: a chunk the switcher already decided
+    // past must not re-enter the sequential decision loop
+    val lateRows = spark.sparkContext.longAccumulator("graft.switchStream.lateRows")
 
     chunks.select(col("stream_id").cast("long"), col("chunk_id").cast("long"),
         col("s0").cast("double"), col("s1").cast("double"), col("s2").cast("double"))
@@ -104,10 +107,14 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (sid: Long, it: Iterator[(Long, Long, Double, Double, Double)],
          state: GroupState[SwitcherState]) =>
-          val st = state.getOption.getOrElse(SwitcherState(mkSwitcher(), first = true, 0.0))
+          val st = state.getOption.getOrElse(
+            SwitcherState(mkSwitcher(), first = true, 0.0, -1L))
           val rows = it.toSeq.sortBy(_._2)
-          val out = rows.map { case (_, chunkId, s0, s1, s2) =>
+          val (late, ordered) = rows.partition(_._2 <= st.lastChunk)
+          if (late.nonEmpty) lateRows.add(late.size.toLong)
+          val out = ordered.map { case (_, chunkId, s0, s1, s2) =>
             val scores = Array(s0, s1, s2)
+            st.lastChunk = chunkId
             if (st.first) {
               st.first = false
               st.curScore = scores(0)
@@ -167,4 +174,5 @@ object StreamingOps {
 }
 
 final case class TrackerState(tracker: SortTracker, lastFrame: Long)
-final case class SwitcherState(switcher: Switcher, var first: Boolean, var curScore: Double)
+final case class SwitcherState(switcher: Switcher, var first: Boolean,
+                               var curScore: Double, var lastChunk: Long = -1L)

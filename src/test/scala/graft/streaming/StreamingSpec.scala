@@ -133,6 +133,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late chunks across micro-batches are dropped without corrupting switcher state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    import graft.control._
+    val profiles = IndexedSeq(
+      Profile(0, 0, 1.9, 0.0, 100), Profile(1, 0, 1.4, 4.0, 100),
+      Profile(2, 1, 1.5, 0.0, 80), Profile(3, 1, 0.8, 6.0, 80),
+      Profile(4, 2, 1.2, 0.0, 60), Profile(5, 2, 0.7, 4.0, 60))
+    val centers = Array(Array(0.2, 0.25, 0.15), Array(0.5, 0.55, 0.45), Array(0.8, 0.85, 0.75))
+    def mk() = {
+      val buffer = new SimBuffer(400.0, profiles.map(p => p.knobConfig -> p.sizeBytes).toMap)
+      val planner = new KnobPlanner(centers, Array(1.9, 1.5, 1.2), 24.0, 2.0)
+      new Switcher(centers, profiles, planner, 100, 24 * 3600 * 2 + 100.0,
+        Array(0.86, 0.053, 0.086), buffer)
+    }
+    val chunks = (0 until 120).map { i =>
+      val base = if (i < 60) 0.3 else 0.7
+      (9L, i.toLong, base, base * 0.8 + 0.1, base * 0.5)
+    }
+
+    val input = MemoryStream[(Long, Long, Double, Double, Double)]
+    val query = StreamingOps.switchStream(
+        input.toDF().toDF("stream_id", "chunk_id", "s0", "s1", "s2"), mk _)
+      .writeStream.format("memory").queryName("switch_late")
+      .outputMode("append").start()
+    try {
+      input.addData(chunks.take(60))
+      query.processAllAvailable()
+      // chunks 30-39 arrive AGAIN (late) alongside the genuine tail
+      input.addData(chunks.slice(30, 40) ++ chunks.drop(60))
+      query.processAllAvailable()
+      val streaming = spark.table("switch_late").orderBy("chunk_id")
+        .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(6)))
+      val batch = Replay.skyscraper(
+          chunks.iterator.map(c => (c._2, Array(c._3, c._4, c._5))), mk())
+        .map(l => (l.chunkId, l.chosenConfig, l.chosenPlacement, l.score)).toSeq
+      assert(streaming.length == 120, s"late chunks re-emitted: ${streaming.length}")
+      assert(streaming.toSeq == batch)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops same-content docs across micro-batches") {
     val s = spark
     import s.implicits._
