@@ -665,6 +665,22 @@ object RelationalQueries {
              |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Grouping sets (the third of the rollup/cube/grouping-sets trio):
+    // per-flag and per-status margins plus the grand total in ONE
+    // aggregation pass — no union of scans.
+    Q("q33_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_extendedprice"), 2).as("rev"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS rev,
+             |  count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
     // Rollup (free analytics layer on top of the A-series aggregates).
     Q("q24_rollup",
       (s, d) => Tables.lineitem(s, d)

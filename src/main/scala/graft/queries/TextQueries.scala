@@ -858,6 +858,38 @@ object TextQueries {
              |  CAST(sum(CASE WHEN bucket * cnt < 65536 * mn THEN doc_id ELSE 0 END) AS BIGINT) AS id_sum
              |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Document chunking: overlapping 64-token windows with stride 48
+    // (the context-window prep step for embedding/training pipelines).
+    // The explode is one row PER CHUNK (not per token): chunk count is
+    // integer-derived — greatest((n-17) div 48, 0) — and each row slices
+    // its own window, so the fan-out is bounded by doc length / stride.
+    Q("t15_chunk_windows",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .filter(col("n") > 0)
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0), expr("greatest((n - 17) div 48, 0)"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("slice(ws, chunk_idx * 48 + 1, 64)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          element_at(col("chunk"), 1).as("first_tok"),
+          element_at(col("chunk"), -1).as("last_tok"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |  FROM documents),
+             |b AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+             |c AS (SELECT doc_id, ws, n,
+             |    unnest(range(0, greatest((n - 17) // 48, 0) + 1)) AS chunk_idx
+             |  FROM b),
+             |s AS (SELECT doc_id, chunk_idx,
+             |    ws[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS chunk FROM c)
+             |SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+             |  chunk[1] AS first_tok, chunk[-1] AS last_tok
+             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Characteristic terms per document: TF-IDF-flavored ranking with NO
     // floats — order by (tf desc, df asc, token) ranks rare-but-frequent
     // terms first, exactly what idf weighting does, minus the
