@@ -215,6 +215,37 @@ object Dedup {
       .toDF(id, "token", "tf")
   }
 
+  /** Adjacent token pairs WITH multiplicity — the BPE merge-candidate
+    * statistic (tokenizer training step 1: rank candidate merges by
+    * total corpus pair frequency). Unlike `gramTable` the pairs are NOT
+    * per-doc deduped: BPE counts every occurrence. Same tokenization as
+    * gramTable/tokenCounts. Scale shape: one flatMap pass, and the
+    * downstream groupBy(pair).count gets Spark's map-side partial
+    * aggregation for free — the shuffle carries one row per distinct
+    * pair per partition, not per occurrence.
+    */
+  private[graft] def adjacentPairs(docs: DataFrame, id: String = "doc_id",
+                                   text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(id).cast("long"), col(text)).as[(Long, String)]
+      .mapPartitions { it =>
+        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+        it.flatMap { case (docId, t) =>
+          val toks = {
+            val m = wordRe.matcher(t.toLowerCase)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (m.find()) buf += m.group()
+            buf
+          }
+          (0 until math.max(0, toks.length - 1)).iterator
+            .map(i => (docId, toks(i) + " " + toks(i + 1)))
+        }
+      }
+      .toDF(id, "pair")
+  }
+
   /** Connected-component duplicate clusters from a pair table
     * (doc_a < doc_b): each doc labelled with the minimum id of its
     * component — the step that turns pairwise near-dup hits into "keep

@@ -269,6 +269,70 @@ object Similarity {
              seed: Long = 42): DataFrame =
     probeIvf(buildIvfIndex(vectors, nlist, seed), vectors, k, nprobe)
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540) — semantic dedup at corpus
+    * scale: k-means-cluster the embeddings, search for near-duplicate
+    * pairs ONLY within each cluster, collapse the pair graph to
+    * connected components, and keep one representative per component.
+    * The within-cluster restriction is the whole point: it turns the
+    * all-pairs O(n²) cosine join (the e01/d07 shape, fine for a small
+    * query side, fatal for corpus-vs-corpus) into Σ|cell|² work — with
+    * `nlist` sized so cells hold ~10⁴-10⁵ vectors (the paper runs 50k
+    * clusters over LAION), each cell's pair search fits one task and the
+    * corpus is touched by exactly one shuffle (on `cell`). Recall is the
+    * standard SemDeDup trade: near-dups that k-means separates are
+    * missed; dial `nlist` down (bigger cells) to trade cost for recall.
+    *
+    * Keep rule: within each near-dup component the member FARTHEST from
+    * its cluster centroid survives (the paper's low-centroid-similarity
+    * representative — it keeps the outlier and drops the redundant core),
+    * ties broken by min vec_id. Vectors in no component keep themselves.
+    *
+    * Clustering reuses the deterministic bounded-sample Lloyd fit of the
+    * IVF index (bit-stable across any partitioning), so the output is a
+    * pure function of the data — goldenable.
+    *
+    * Returns (vec_id, cell, group_id, keep).
+    */
+  def semDedup(vectors: DataFrame, threshold: Double, nlist: Int = 0,
+               seed: Long = 42, trainSample: Int = 10000): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val feats = vectors.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>").as("v"))
+    val k = if (nlist > 0) nlist else autoNlist(feats.count())
+    val train = feats.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(trainSample)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    val centers = lloyd(train, k, iters = 10)
+    val bc = spark.sparkContext.broadcast(centers)
+    // one pass: nearest cell + distance to own centroid (the keep key)
+    val assigned = feats.as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue
+        var i = 0
+        while (i < cs.length) { val d = dist2(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
+        (id, best, bd, v)
+      }
+      .toDF("vec_id", "cell", "cdist", "v")
+      .localCheckpoint(true) // feeds both join sides + the keep ranking
+    graft.plans.GraftExtensions.register(spark)
+    val pairs = assigned.select(col("vec_id").as("doc_a"), col("cell"), col("v").as("va"))
+      .join(assigned.select(col("vec_id").as("doc_b"), col("cell"), col("v").as("vb")), "cell")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(call_function("cosine_sim", col("va"), col("vb")) >= threshold)
+      .select("doc_a", "doc_b")
+    val groups = Dedup.dupClusters(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+      .withColumnRenamed("cluster_id", "group_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(col("cdist").desc, col("vec_id").asc)
+    assigned.select("vec_id", "cell", "cdist")
+      .join(groups, Seq("vec_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("vec_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("vec_id", "cell", "group_id", "keep")
+  }
+
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Long), IvfIndex]
 

@@ -690,6 +690,30 @@ object RelationalQueries {
       Some("""SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice),2) AS rev,
              | count(*) AS n
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Distinct count over a trailing range window (unique event types a
+    // user produced in the last 100 event ids — the sliding-cardinality
+    // shape of sessionized feature engineering). Spark has no
+    // count(DISTINCT) window function; size(collect_set() OVER) is the
+    // idiomatic equivalent and stays a single window pass. State per row
+    // is bounded by the type cardinality (5 here), not the frame width —
+    // for high-cardinality columns the scale path is the approximate
+    // sketch, traded here for exactness the oracle can hash.
+    Q("q34_sliding_distinct",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id").rangeBetween(-100, -1)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            size(collect_set(col("event_type")).over(w)).cast("long").as("n_types"))
+          .filter(col("n_types") > 0)
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, n_types FROM (
+             | SELECT user_id, event_id,
+             |  count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY event_id
+             |    RANGE BETWEEN 100 PRECEDING AND 1 PRECEDING)::BIGINT AS n_types
+             | FROM events) t
+             |WHERE n_types > 0 ORDER BY user_id, event_id""".stripMargin))
   )
 }

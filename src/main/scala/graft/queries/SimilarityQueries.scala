@@ -137,6 +137,21 @@ object SimilarityQueries {
              |  header=true, columns={'query_id':'BIGINT','neighbor_id':'BIGINT',
              |    'rank':'BIGINT','cos':'DOUBLE'})""".stripMargin)),
 
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
+    // corpus-vs-corpus scale path e01/d07 lack. K-means cells bound the
+    // candidate search to Σ|cell|² pairs (vs n² all-pairs); within each
+    // near-dup component the member farthest from its centroid survives.
+    // Output depends on the deterministic Lloyd centroids → committed
+    // sf0.01 golden (stability-checked across 4/8/16 cores;
+    // scripts/regen_goldens.sh).
+    Q("e10_semdedup",
+      (s, d) => Similarity.semDedup(Tables.embeddings(s, d), threshold = 0.3)
+        .orderBy("vec_id"),
+      Some("""SELECT * FROM read_csv(
+             |  '/root/repo/src/test/resources/golden_e10_semdedup.csv',
+             |  header=true, columns={'vec_id':'BIGINT','cell':'INTEGER',
+             |    'group_id':'BIGINT','keep':'BOOLEAN'})""".stripMargin)),
+
     // KMeans clustering of the embedding space (spark.ml; content
     // categorization M10 reborn over embeddings) — rows-only.
     Q("e05_kmeans",

@@ -920,6 +920,27 @@ object TextQueries {
              |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
              |  FROM tf JOIN df USING (token))
              |SELECT doc_id, rank, token, tf, df FROM r WHERE rank <= 3
-             |ORDER BY doc_id, rank""".stripMargin))
+             |ORDER BY doc_id, rank""".stripMargin)),
+
+    // BPE tokenizer training, step 1: corpus-wide adjacent-pair
+    // frequencies (the statistic every merge round of byte-pair encoding
+    // ranks on). Pairs keep multiplicity — unlike the dedup gram tables,
+    // BPE counts every occurrence. One typed flatMap pass; the
+    // groupBy(pair).count gets map-side partial aggregation, so the
+    // shuffle is distinct-pairs-per-partition, not occurrences — the
+    // shape that holds at a 100 TB corpus (vocab² candidate space,
+    // heavy-tailed counts). Ties at the cut rank break by pair text.
+    Q("t16_bpe_pairs",
+      (s, d) => Dedup.adjacentPairs(Tables.documents(s, d))
+        .groupBy("pair").agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(30),
+      Some("""WITH toks AS (
+             |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents),
+             |pairs AS (
+             |  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
+             |  FROM toks)
+             |SELECT pair, count(*)::BIGINT AS cnt FROM pairs
+             |GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 30""".stripMargin))
   )
 }

@@ -23,6 +23,15 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_._2 == 1L) == 3)
   }
 
+  test("adjacentPairs counts every occurrence with gramTable's tokenization") {
+    import spark.implicits._
+    val df = Seq((1L, "A b a B c"), (2L, "x")).toDF("doc_id", "text")
+    val out = Dedup.adjacentPairs(df).groupBy("pair").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // lowercased, multiplicity kept ("a b" twice), single-token doc empty
+    assert(out == Map("a b" -> 2L, "b a" -> 1L, "b c" -> 1L))
+  }
+
   test("minhash near-dups finds the planted near-duplicate pair, not the distinct doc") {
     val pairs = Dedup.minhashNearDups(docs, minJaccard = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
@@ -211,6 +220,41 @@ class SimilaritySpec extends SparkSpec {
     val out3 = Similarity.pqEncode(df.repartition(3), m = 4, k = 4, trainSample = 240)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
     assert(out.toSeq == out3.toSeq)
+  }
+
+  test("semDedup keeps one representative per planted dup group, singletons keep themselves") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 60 spread vectors (random 64-dim directions are near-orthogonal:
+    // no cross pair reaches the 0.9 threshold) + three planted groups
+    val base = (0L until 60L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val protoA = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val protoB = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val planted =
+      Seq(100L, 101L, 102L).map(i => (i, protoA.clone())) ++ // exact triple
+        Seq((110L, protoB.clone()), (111L, protoB.map(x => x * 1.01f))) // scaled pair
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, threshold = 0.9, nlist = 4, seed = 42)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 65)
+    val byId = out.map(r => r._1 -> r).toMap
+    // exact triple: one component labelled by the min id, exactly one
+    // keeper, and the cdist tie broken by min vec_id
+    val triple = Seq(100L, 101L, 102L).map(byId)
+    assert(triple.forall(_._2 == 100L), s"triple group ids: $triple")
+    assert(triple.count(_._3) == 1)
+    assert(byId(100L)._3, "exact-copy tie must keep the min id")
+    // scaled pair: same component, one keeper
+    val pair = Seq(110L, 111L).map(byId)
+    assert(pair.forall(_._2 == 110L), s"pair group ids: $pair")
+    assert(pair.count(_._3) == 1)
+    // every unplanted vector is its own kept singleton
+    val rest = out.filter(_._1 < 60L)
+    assert(rest.forall(r => r._2 == r._1 && r._3), "false-positive near-dup among spread vectors")
+    // pure function of the data: invariant to input partitioning
+    val out7 = Similarity.semDedup(df.repartition(7), threshold = 0.9, nlist = 4, seed = 42)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.sortBy(_._1).toSeq == out7.sortBy(_._1).toSeq)
   }
 
   test("quantizedKnn returns k sorted, distinct neighbors per query") {
