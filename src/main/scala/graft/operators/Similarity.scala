@@ -333,6 +333,45 @@ object Similarity {
       .select("vec_id", "cell", "group_id", "keep")
   }
 
+  /** Johnson-Lindenstrauss random projection to `outDims` dimensions with
+    * a deterministic Rademacher (±1) matrix: sign(i,j) = parity of the
+    * first 16 bits of md5("i_j") — arithmetic, not stored, so any engine
+    * (and any executor) reproduces the identical matrix from nothing.
+    * Inputs are integer-quantized (floor(x*1000)) first, making every
+    * output coordinate an exact BIGINT dot product — live-oracle-able.
+    *
+    * Scale shape: one narrow map pass over the corpus (matrix broadcast,
+    * ~dims² longs); no shuffle. At 100 TB this is the cheap first stage
+    * that cuts downstream ANN/dedup cost by d/outDims while preserving
+    * pairwise distances to (1±ε) with high probability (the JL lemma).
+    *
+    * Returns (vec_id, j, val) — one row per output coordinate.
+    */
+  def randomProjection(vectors: DataFrame, outDims: Int = 16): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val inDims = vectors.select(size(col("embedding"))).first().getInt(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sgn(i: Int, j: Int): Long = {
+      val h = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+      val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff) // first 4 hex chars
+      if (v % 2 == 0) 1L else -1L
+    }
+    val mat = Array.tabulate(inDims, outDims)(sgn)
+    val bc = spark.sparkContext.broadcast(mat)
+    quantized(vectors).as[(Long, Array[Long])]
+      .flatMap { case (id, qv) =>
+        val m = bc.value
+        (0 until outDims).iterator.map { j =>
+          var s = 0L
+          var i = 0
+          while (i < qv.length && i < m.length) { s += qv(i) * m(i)(j); i += 1 }
+          (id, j, s)
+        }
+      }
+      .toDF("vec_id", "j", "val")
+  }
+
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Long), IvfIndex]
 

@@ -152,6 +152,23 @@ object SimilarityQueries {
              |  header=true, columns={'vec_id':'BIGINT','cell':'INTEGER',
              |    'group_id':'BIGINT','keep':'BOOLEAN'})""".stripMargin)),
 
+    // Johnson-Lindenstrauss random projection 64→16 dims with a
+    // deterministic Rademacher matrix (md5-parity signs): quantized
+    // integer dots are exact, so the DuckDB oracle recomputes the same
+    // matrix and the same BIGINTs from the raw floats — a live
+    // independent oracle for a dimensionality-reduction kernel.
+    Q("e11_random_projection",
+      (s, d) => Similarity.randomProjection(Tables.embeddings(s, d), outDims = 16)
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("val"))
+        .orderBy("vec_id", "j"),
+      Some(s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+              |s AS (SELECT i.i, j.j,
+              |    CASE WHEN CAST(('0x' || substr(md5(i.i || '_' || j.j), 1, 4)) AS INTEGER) % 2 = 0
+              |         THEN 1 ELSE -1 END AS sgn
+              |  FROM range(0, 64) AS i(i), range(0, 16) AS j(j))
+              |SELECT vec_id, j, sum(qv[i + 1] * sgn)::BIGINT AS val
+              |FROM q, s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // KMeans clustering of the embedding space (spark.ml; content
     // categorization M10 reborn over embeddings) — rows-only.
     Q("e05_kmeans",

@@ -941,6 +941,35 @@ object TextQueries {
              |  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
              |  FROM toks)
              |SELECT pair, count(*)::BIGINT AS cnt FROM pairs
-             |GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 30""".stripMargin))
+             |GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 30""".stripMargin)),
+
+    // Bigram-fluency quality score: each document rated by the mean
+    // corpus frequency of its adjacent token pairs (docs made of rare
+    // transitions score low — the integer-exact stand-in for n-gram-LM
+    // perplexity filtering, which ranks identically minus the ln()).
+    // Shape at scale: corpus pair counts are vocab²-bounded, both sides
+    // shuffle once on `pair`, and the per-doc agg is a partial-agg
+    // groupBy — nothing pairwise, nothing driver-side.
+    Q("t17_bigram_fluency",
+      (s, d) => {
+        val pairs = Dedup.adjacentPairs(Tables.documents(s, d))
+        val corpus = pairs.groupBy("pair").agg(count(lit(1)).as("freq"))
+        pairs.join(corpus, "pair")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+               sum("freq").cast("long").as("sum_freq"))
+          .withColumn("fluency_milli", expr("sum_freq * 1000 div n_pairs"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents),
+             |dp AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
+             |  FROM toks),
+             |cf AS (SELECT pair, count(*) AS freq FROM dp GROUP BY 1)
+             |SELECT doc_id, count(*)::BIGINT AS n_pairs, sum(freq)::BIGINT AS sum_freq,
+             |  (sum(freq) * 1000 // count(*))::BIGINT AS fluency_milli
+             |FROM dp JOIN cf USING (pair)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -32,6 +32,18 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("a b" -> 2L, "b a" -> 1L, "b c" -> 1L))
   }
 
+  test("bigram fluency ranks common-transition docs above rare-transition docs") {
+    import spark.implicits._
+    // corpus pair counts: "a b" ×2, "c d" ×1 → doc 3 scores half of 1/2
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c d")).toDF("doc_id", "text")
+    val pairs = Dedup.adjacentPairs(df)
+    val corpus = pairs.groupBy("pair").agg(count(lit(1)).as("freq"))
+    val out = pairs.join(corpus, "pair").groupBy("doc_id")
+      .agg(sum("freq").cast("long").as("s"), count(lit(1)).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (2L, 1L) && out(2L) == (2L, 1L) && out(3L) == (1L, 1L))
+  }
+
   test("minhash near-dups finds the planted near-duplicate pair, not the distinct doc") {
     val pairs = Dedup.minhashNearDups(docs, minJaccard = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
@@ -255,6 +267,30 @@ class SimilaritySpec extends SparkSpec {
     val out7 = Similarity.semDedup(df.repartition(7), threshold = 0.9, nlist = 4, seed = 42)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
     assert(out.sortBy(_._1).toSeq == out7.sortBy(_._1).toSeq)
+  }
+
+  test("randomProjection matches a driver-side recompute and ignores partitioning") {
+    import spark.implicits._
+    val out = Similarity.randomProjection(vectors, outDims = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.size == 300 * 8)
+    // independent driver-side recompute of the md5-parity Rademacher dot
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sgn(i: Int, j: Int): Long = {
+      val h = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+      if ((((h(0) & 0xff) << 8 | (h(1) & 0xff)) % 2) == 0) 1L else -1L
+    }
+    vectors.limit(5).collect().foreach { r =>
+      val id = r.getLong(0)
+      val qv = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong)
+      (0 until 8).foreach { j =>
+        val expect = qv.indices.map(i => qv(i) * sgn(i, j)).sum
+        assert(out((id, j)) == expect, s"vec $id dim $j")
+      }
+    }
+    val out5 = Similarity.randomProjection(vectors.repartition(5), outDims = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out5 == out)
   }
 
   test("quantizedKnn returns k sorted, distinct neighbors per query") {
