@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs inherit stdout directly — no "[info] " sbt-log prefix, so
+// Bench's JSON lines stay machine-parseable from the captured tail.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

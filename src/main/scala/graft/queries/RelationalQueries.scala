@@ -714,6 +714,35 @@ object RelationalQueries {
              |  count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY event_id
              |    RANGE BETWEEN 100 PRECEDING AND 1 PRECEDING)::BIGINT AS n_types
              | FROM events) t
-             |WHERE n_types > 0 ORDER BY user_id, event_id""".stripMargin))
+             |WHERE n_types > 0 ORDER BY user_id, event_id""".stripMargin)),
+
+    // Cohort retention — the classic product-analytics rollup: users are
+    // cohorted by first-event day, then each (cohort, week-offset) cell
+    // counts distinct returning users. Two shuffles total: the first-event
+    // agg partitions by user_id and the join reuses that partitioning (no
+    // re-shuffle of the aggregated side); the final cell agg is partial-
+    // aggregated map-side. At 100 TB the user dimension is the natural
+    // partitioning key for the whole family of per-user rollups.
+    Q("q35_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(Tables.tsFromNanos(col("ts"))).as("day"))
+        val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+        ev.join(first, "user_id")
+          // DATE surfaces as different physical types across engines —
+          // format to a string for the driver's hash compare (n13 lesson)
+          .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+            expr("cast(datediff(day, cohort_day) div 7 as int)").as("week_offset"))
+          .agg(countDistinct("user_id").as("n_active"),
+               count(lit(1)).as("n_events"))
+          .orderBy("cohort_day", "week_offset")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+             |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+             |  CAST(date_diff('day', cohort_day, day) // 7 AS INT) AS week_offset,
+             |  count(DISTINCT user_id) AS n_active, count(*) AS n_events
+             |FROM ev JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Encoders, functions => F}
+
+import scala.collection.immutable.TreeSet
+
+class SketchesSpec extends SparkSpec {
+  import Sketches._
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  test("insert keeps the k smallest distinct values") {
+    val vals = (1 to 500).map(i => md5hex(s"v$i"))
+    val st = vals.foldLeft(TreeSet.empty[String])(insert(8, _, _))
+    assert(st.toSeq == vals.distinct.sorted.take(8))
+    // idempotent re-insert
+    assert(vals.foldLeft(st)(insert(8, _, _)) == st)
+  }
+
+  test("merge order does not matter (associative + commutative union)") {
+    val (a, b) = (1 to 400).map(i => md5hex(s"x$i")).splitAt(137)
+    val sa = a.foldLeft(TreeSet.empty[String])(insert(16, _, _))
+    val sb = b.foldLeft(TreeSet.empty[String])(insert(16, _, _))
+    val m1 = sb.foldLeft(sa)(insert(16, _, _))
+    val m2 = sa.foldLeft(sb)(insert(16, _, _))
+    assert(m1 == m2)
+    assert(m1.toSeq == (a ++ b).sorted.take(16))
+  }
+
+  test("estimate is within 15% on a 20k-value universe and exact below k") {
+    val k = 128
+    val mins = (1 to 20000).map(i => md5hex(s"u$i")).sorted.take(k)
+    val est = estimate(k, mins)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.15, s"est=$est")
+    assert(estimate(k, mins.take(5)) == 5L)
+  }
+
+  test("aggregator equals driver fold and is partitioning-invariant") {
+    val spark2 = spark
+    import spark2.implicits._
+    val k = 32
+    val rows = (1 to 3000).map(i => ("g" + (i % 3), md5hex(s"s${i % 700}")))
+    val agg = F.udaf(new KmvAgg(k), Encoders.STRING)
+    def run(parts: Int): Map[String, Seq[String]] =
+      rows.toDF("g", "h").repartition(parts)
+        .groupBy("g").agg(agg(F.col("h")).as("mins"))
+        .as[(String, Seq[String])].collect().toMap
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).distinct.sorted.take(k).toSeq
+    }
+    assert(run(1) == expected)
+    assert(run(7) == expected)
+  }
+}
