@@ -14,7 +14,7 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT=/tmp/golden_regen
-SPARK_GRAFT_ONLY=e08_pq_encode,e10_semdedup,e09_ivfpq_knn,n01_sort_tracks,n02_skyscraper_replay,n16_stream_switch,n03_task_sim,n04_lp_plan,n05_placement_pareto,n06_hill_climb,n12_knapsack_plan,d03_simhash_candidates,e04_lsh_knn,e05_kmeans,e06_ivf_knn,n07_categories,n09_forecast_mlp,n10_forecast_mae,m01_decode_pipeline,m02_frame_features,m03_audio_features,t05_winnow_fingerprints,d08_winnow_candidates \
+SPARK_GRAFT_ONLY=t19_bpe_merges,e08_pq_encode,e10_semdedup,e09_ivfpq_knn,n01_sort_tracks,n02_skyscraper_replay,n16_stream_switch,n03_task_sim,n04_lp_plan,n05_placement_pareto,n06_hill_climb,n12_knapsack_plan,d03_simhash_candidates,e04_lsh_knn,e05_kmeans,e06_ivf_knn,n07_categories,n09_forecast_mlp,n10_forecast_mae,m01_decode_pipeline,m02_frame_features,m03_audio_features,t05_winnow_fingerprints,d08_winnow_candidates \
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 python3 - <<'EOF'
 import pandas as pd

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning — the tokenizer-training loop a
+  * large-scale corpus pipeline runs before any token counting is
+  * meaningful (Sennrich'16). Extends t16's single-pass pair statistics
+  * (`Dedup.adjacentPairs`) into the full iterative algorithm.
+  *
+  * Scale shape (the d05 lesson): the corpus is reduced ONCE to the
+  * distinct-word frequency matrix (one corpus-scale shuffle); every merge
+  * iteration then runs on that cardinality-bound table — explode adjacent
+  * symbol pairs, weight by word frequency, pick the global argmax — so 10
+  * merges cost 10 tiny jobs, not 10 corpus scans. At 100 TB the word
+  * matrix is millions of rows where the corpus is trillions of tokens.
+  * Only the chosen (pair, count) row ever reaches the driver.
+  *
+  * Determinism: counts are integral; ties break on the lexicographically
+  * smallest pair — partition-count invariant by construction (spec-checked
+  * vs a single-threaded reference implementation).
+  */
+object BpeLearner {
+
+  /** Greedy left-to-right non-overlapping merge of adjacent (a,b) runs —
+    * standard BPE application order.
+    */
+  private[operators] def mergePair(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Single-threaded reference for the spec: learn merges from a
+    * (word -> freq) map.
+    */
+  private[operators] def learnLocal(words: Map[String, Long], steps: Int): Seq[(String, String, Long)] = {
+    var tbl = words.toSeq.map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+    (1 to steps).flatMap { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      tbl.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts.update((p(0), p(1)), counts.getOrElse((p(0), p(1)), 0L) + f)
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        tbl = tbl.map { case (syms, f) => (mergePair(syms, a, b), f) }
+        Some((a, b, n))
+      }
+    }
+  }
+
+  /** Learn `steps` BPE merges over the word-frequency matrix of `docs`.
+    * Returns one row per merge: (step, left, right, pair_count).
+    */
+  def learnMerges(docs: DataFrame, steps: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // ONE corpus-scale pass: distinct words + frequencies (map-side
+    // partial agg), seeded with per-character symbol arrays
+    var words = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      .toDF("syms", "freq")
+      .cache()
+    words.count() // materialize before the loop
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      // adjacent-pair counts over the symbol arrays, weighted by word freq
+      val best = words
+        .select(col("freq"),
+          // try_element_at: the last symbol has no successor — [] / element_at
+          // would throw under ANSI mode instead of yielding null
+          explode(expr(
+            "filter(transform(syms, (s, i) -> named_struct('a', s, 'b', try_element_at(syms, i + 2))), " +
+              "p -> p.b is not null)"))
+            .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(desc("n"), asc("a"), asc("b"))
+        .as[(String, String, Long)]
+        .head(1)
+      best.headOption match {
+        case None => done = true
+        case Some((a, b, n)) =>
+          merges += ((step, a, b, n))
+          val prev = words
+          words = prev.as[(Seq[String], Long)]
+            .map { case (syms, f) => (mergePair(syms, a, b), f) }
+            .toDF("syms", "freq")
+            // truncate lineage each round (the d04 localCheckpoint lesson:
+            // an iterative plan otherwise grows by one explode per step)
+            .localCheckpoint(true)
+          prev.unpersist()
+          step += 1
+      }
+    }
+    // lhs/rhs, not left/right: the latter are SQL reserved words and the
+    // gate oracle quotes them differently per engine
+    spark.createDataset(merges.toSeq)
+      .toDF("step", "lhs", "rhs", "pair_count")
+  }
+}

@@ -241,7 +241,37 @@ object StreamingQueries {
              |JOIN (SELECT * FROM e WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id
              | AND c.us BETWEEN p.us - 1800000000 AND p.us
-             |ORDER BY p_id, c_id""".stripMargin))
+             |ORDER BY p_id, c_id""".stripMargin)),
+
+    // Streaming "trending now": watermarked tumbling-window counts per
+    // event type (t11's heavy-hitter shape as a live stream), then top-3
+    // per window ranked on the materialized sink — the dashboard serving
+    // split: the stream maintains the monoid counts (bounded state:
+    // windows × types), ranking happens at read time. Counts are exact
+    // integers and ties break on event_type, so the result is micro-batch-
+    // and partition-order-independent; the oracle is the batch SQL.
+    Q("n19_stream_trending",
+      (s, d) => {
+        val src = s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]")
+        val ev = src.select(Tables.tsFromNanos(col("ts")).as("ts"), col("event_type"))
+        val counted = ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start").orderBy(desc("n"), asc("event_type"))
+        runToTable(s, counted, "complete")
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .orderBy("window_start", "rnk")
+      },
+      Some("""SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  event_type, count(*) AS n,
+             |  row_number() OVER (PARTITION BY time_bucket(INTERVAL '6 hours', ts)
+             |    ORDER BY count(*) DESC, event_type) AS rnk
+             |FROM events GROUP BY time_bucket(INTERVAL '6 hours', ts), event_type
+             |QUALIFY rnk <= 3 ORDER BY window_start, rnk""".stripMargin))
   )
 
   private val sessionSchema = StructType(Seq(

@@ -970,6 +970,71 @@ object TextQueries {
              |SELECT doc_id, count(*)::BIGINT AS n_pairs, sum(freq)::BIGINT AS sum_freq,
              |  (sum(freq) * 1000 // count(*))::BIGINT AS fluency_milli
              |FROM dp JOIN cf USING (pair)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // KMV distinct-count sketch (Bar-Yossef'02) over each source's shingle
+    // universe. The aggregation is a real mergeable sketch (bounded min-k
+    // TreeSet Aggregator, map-side partials, <= k hashes per group on the
+    // shuffle — operators/Sketches.scala), not a window sort: at 100 TB a
+    // source has billions of distinct shingles and rank-k via window would
+    // sort them all; the sketch moves 128 strings. Every retained value is
+    // an exact md5, so the oracle checks the sketch content itself — the
+    // estimate is integer arithmetic on the kth hash's 40-bit prefix, exact
+    // in both engines (no float division).
+    Q("t18_kmv_distinct",
+      (s, d) => {
+        val k = 128
+        val hashes = Tables.documents(s, d)
+          .select(col("source"), explode(shingles(tokens(col("text")))).as("shingle"))
+          .select(col("source"), md5(col("shingle")).as("h"))
+        val kmv = udaf(new graft.operators.Sketches.KmvAgg(k),
+          org.apache.spark.sql.Encoders.STRING)
+        hashes.groupBy("source").agg(kmv(col("h")).as("mins"))
+          .select(col("source"),
+            size(col("mins")).as("n_kept"),
+            element_at(col("mins"), -1).as("kth_hash"),
+            when(size(col("mins")) < k, size(col("mins")).cast("long"))
+              .otherwise(expr(s"(${k - 1} * 1099511627776) div " +
+                "cast(conv(substring(element_at(mins, -1), 1, 10), 16, 10) as bigint)"))
+              .as("est_distinct"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT source, md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+             |  FROM toks, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+             |r AS (
+             |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+             |         count(*) OVER (PARTITION BY source) AS cnt
+             |  FROM sh)
+             |SELECT source, CAST(least(cnt, 128) AS INT) AS n_kept,
+             |  max(CASE WHEN rn <= 128 THEN h END) AS kth_hash,
+             |  CAST(CASE WHEN cnt < 128 THEN cnt
+             |       ELSE (127 * 1099511627776) //
+             |            CAST(concat('0x', substring(max(CASE WHEN rn <= 128 THEN h END), 1, 10)) AS BIGINT)
+             |       END AS BIGINT) AS est_distinct
+             |FROM r GROUP BY source, cnt ORDER BY source""".stripMargin)),
+
+    // BPE merge learning (Sennrich'16) — the tokenizer-training loop that
+    // turns t16's pair statistics into an actual merge table. The corpus
+    // collapses ONCE to the distinct-word frequency matrix; each of the 12
+    // merge steps is a tiny job over that matrix (explode symbol pairs ->
+    // weighted count -> global argmax, lexicographic tie-break), with
+    // per-round localCheckpoint lineage truncation. Integer counts +
+    // deterministic ties => partition-invariant (BpeSpec: parity with a
+    // single-threaded reference; gate: committed sf0.01 golden, 4/8-core
+    // stability-checked via scripts/regen_goldens.sh).
+    Q("t19_bpe_merges",
+      (s, d) => graft.operators.BpeLearner
+        .learnMerges(Tables.documents(s, d), steps = 12)
+        .orderBy("step"),
+      Some("""SELECT step, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
+             |FROM (VALUES
+             |  (1, 'e', 'r', 4568), (2, 'i', 'n', 2760), (3, 'o', 'w', 2747),
+             |  (4, 'o', 'r', 2696), (5, 's', 't', 2676), (6, 'm', 'er', 1852),
+             |  (7, 'a', 't', 1845), (8, 'l', 'u', 1831), (9, 'a', 'r', 1758),
+             |  (10, 'p', 'ar', 1758), (11, 'j', 'o', 964), (12, 'jo', 'in', 964)
+             |) AS t(step, lhs, rhs, pair_count) ORDER BY step""".stripMargin))
   )
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import BpeLearner._
+
+  test("mergePair is greedy left-to-right non-overlapping") {
+    assert(mergePair(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(mergePair(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(mergePair(Seq("x"), "a", "b") == Seq("x"))
+    assert(mergePair(Seq.empty, "a", "b") == Seq.empty)
+  }
+
+  test("learnLocal on a hand-checked corpus") {
+    // classic BPE example: {"low":5, "lower":2} — 'l o w' dominates
+    val merges = learnLocal(Map("low" -> 5L, "lower" -> 2L), 3)
+    // step 1: (l,o) n=7; step 2: (lo,w) n=7; step 3: tie at n=2 between
+    // (low,e) and (e,r) — lexicographic tie-break picks (e,r)
+    assert(merges == Seq(("l", "o", 7L), ("lo", "w", 7L), ("e", "r", 2L)))
+  }
+
+  test("distributed learnMerges equals the single-threaded reference and is partition-invariant") {
+    val spark2 = spark
+    import spark2.implicits._
+    val texts = Seq(
+      "the cat sat on the mat", "the bat and the cat", "a rat sat",
+      "mat bat cat rat", "the the the cat")
+    // word frequencies of the corpus above
+    val freqs = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val expected = learnLocal(freqs, 6).zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+    def run(parts: Int) = {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").repartition(parts)
+      learnMerges(docs, steps = 6)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(run(1) == expected)
+    assert(run(5) == expected)
+  }
+}
