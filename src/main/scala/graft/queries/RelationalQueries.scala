@@ -743,6 +743,30 @@ object RelationalQueries {
              |  CAST(date_diff('day', cohort_day, day) // 7 AS INT) AS week_offset,
              |  count(DISTINCT user_id) AS n_active, count(*) AS n_events
              |FROM ev JOIN f USING (user_id)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ORC as a second columnar at-rest format: convert the documents
+    // table to ORC (fixed per-process path, overwritten — no /tmp
+    // growth), read it back through Spark's native ORC source (column
+    // pruning + predicate pushdown apply exactly as for parquet), and
+    // aggregate. The oracle reads the SAME rows from parquet, so the
+    // gate proves the ORC write→read roundtrip is lossless — the "can I
+    // point this engine at the lake's other format" answer.
+    Q("q36_orc_source",
+      (s, d) => {
+        val dir = s"/tmp/graft_orc/documents-${ProcessHandle.current().pid()}"
+        Tables.documents(s, d).write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .filter(col("n_chars") > 100)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum("n_chars").as("sum_chars"),
+               min("doc_id").as("min_doc"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_doc
+             |FROM documents WHERE n_chars > 100
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

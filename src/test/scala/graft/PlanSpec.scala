@@ -72,6 +72,17 @@ class PlanSpec extends SparkSpec {
     assert(n <= 2, s"expected <=2 exchanges, got $n:\n$p")
   }
 
+  test("cohort query prunes the events scan to its two columns (q35)") {
+    val p = plan("q35_cohort_retention")
+    assert(p.contains("struct<ts:bigint,user_id:bigint>"),
+      s"events scan reads more than (ts, user_id):\n$p")
+  }
+
+  test("KMV sketch aggregates map-side — k hashes per group on the shuffle (t18)") {
+    val p = plan("t18_kmv_distinct")
+    assert(p.contains("partial_"), s"no partial sketch aggregation:\n$p")
+  }
+
   test("no catalog query degenerates into an unkeyed cartesian product") {
     // intentional broadcast-nested-loop joins over provably tiny sides:
     // a06 (3-row prefix dim), n05 (<=64 Pareto candidates, group-less
