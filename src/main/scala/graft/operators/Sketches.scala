@@ -32,17 +32,37 @@ object Sketches {
     else if (h < st.last && !st.contains(h)) (st + h) - st.last
     else st
 
+  /** Mutating insert into a bounded min-k java TreeSet — the Aggregator
+    * contract allows in-place buffer mutation, and at millions of rows per
+    * partition the persistent-structure version allocates a fresh tree
+    * spine per row (measured ~10x slower at sf0.1).
+    */
+  private def insertMut(k: Int, st: java.util.TreeSet[String], h: String): Unit =
+    if (st.size < k) { st.add(h); () }
+    else if (h < st.last && st.add(h)) { st.pollLast(); () }
+
   /** KMV aggregator over hex hash strings (lexicographic order == numeric
     * order at fixed width). Output is the sorted retained set.
     */
-  final class KmvAgg(k: Int) extends Aggregator[String, TreeSet[String], Seq[String]] {
-    override def zero: TreeSet[String] = TreeSet.empty[String]
-    override def reduce(b: TreeSet[String], a: String): TreeSet[String] =
-      if (a == null) b else insert(k, b, a)
-    override def merge(b1: TreeSet[String], b2: TreeSet[String]): TreeSet[String] =
-      b2.foldLeft(b1)(insert(k, _, _))
-    override def finish(r: TreeSet[String]): Seq[String] = r.toSeq
-    override def bufferEncoder: Encoder[TreeSet[String]] = Encoders.kryo[TreeSet[String]]
+  final class KmvAgg(k: Int)
+      extends Aggregator[String, java.util.TreeSet[String], Seq[String]] {
+    override def zero: java.util.TreeSet[String] = new java.util.TreeSet[String]()
+    override def reduce(b: java.util.TreeSet[String], a: String): java.util.TreeSet[String] = {
+      if (a != null) insertMut(k, b, a)
+      b
+    }
+    override def merge(b1: java.util.TreeSet[String],
+                       b2: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+      b2.forEach(h => insertMut(k, b1, h))
+      b1
+    }
+    override def finish(r: java.util.TreeSet[String]): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      r.forEach(h => out += h)
+      out.result()
+    }
+    override def bufferEncoder: Encoder[java.util.TreeSet[String]] =
+      Encoders.kryo[java.util.TreeSet[String]]
     override def outputEncoder: Encoder[Seq[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
@@ -54,4 +74,62 @@ object Sketches {
   def estimate(k: Int, mins: Seq[String]): Long =
     if (mins.size < k) mins.size.toLong
     else (k - 1).toLong * (1L << 40) / java.lang.Long.parseLong(mins.last.take(10), 16)
+
+  /** Map-side KMV partials over word-shingle md5s, as a typed kernel: one
+    * tight-loop pass per partition (tokenize -> roll shingles -> md5 ->
+    * bounded min-k per group), emitting at most k hashes per (group,
+    * partition). The declarative twin (explode shingles -> md5 -> agg) is
+    * parity-asserted in SketchesSpec; the kernel exists because the
+    * column-expression path materializes a distinct-shingle array per doc
+    * and explodes 500+ rows per doc before hashing — measured ~3x slower
+    * at sf0.1 (the same trade d02's minhash kernel documents).
+    */
+  private[graft] def kmvShinglePartials(
+      docs: org.apache.spark.sql.DataFrame, k: Int,
+      groupCol: String = "source", textCol: String = "text",
+      shingleN: Int = 3): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(org.apache.spark.sql.functions.col(groupCol),
+        org.apache.spark.sql.functions.col(textCol))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        val partials = scala.collection.mutable.Map.empty[String, java.util.TreeSet[String]]
+        it.foreach { case (grp, text) =>
+          val st = partials.getOrElseUpdate(grp, new java.util.TreeSet[String]())
+          val toks = {
+            val m = wordRe.matcher(text.toLowerCase)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (m.find()) buf += m.group()
+            buf
+          }
+          var i = 0
+          while (i + shingleN <= toks.length) {
+            md.reset()
+            md.update(toks(i).getBytes("UTF-8"))
+            var j = 1
+            while (j < shingleN) {
+              md.update(' '.toByte); md.update(toks(i + j).getBytes("UTF-8")); j += 1
+            }
+            val dig = md.digest()
+            val sb = new java.lang.StringBuilder(32)
+            var b = 0
+            while (b < dig.length) {
+              sb.append(hex((dig(b) >> 4) & 0xf)); sb.append(hex(dig(b) & 0xf)); b += 1
+            }
+            insertMut(k, st, sb.toString)
+            i += 1
+          }
+        }
+        partials.iterator.flatMap { case (grp, st) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          st.forEach(h => out += ((grp, h)))
+          out.iterator
+        }
+      }
+      .toDF(groupCol, "h")
+  }
 }

@@ -989,9 +989,10 @@ object TextQueries {
     Q("t18_kmv_distinct",
       (s, d) => {
         val k = 128
-        val hashes = Tables.documents(s, d)
-          .select(col("source"), explode(shingles(tokens(col("text")))).as("shingle"))
-          .select(col("source"), md5(col("shingle")).as("h"))
+        // map-side partial sketches in a typed kernel (<= k hashes per
+        // source per partition on the shuffle); the udaf merges partials
+        val hashes = graft.operators.Sketches
+          .kmvShinglePartials(Tables.documents(s, d), k)
         val kmv = udaf(new graft.operators.Sketches.KmvAgg(k),
           org.apache.spark.sql.Encoders.STRING)
         hashes.groupBy("source").agg(kmv(col("h")).as("mins"))

@@ -39,6 +39,24 @@ class SketchesSpec extends SparkSpec {
     assert(estimate(k, mins.take(5)) == 5L)
   }
 
+  test("typed kernel partials equal the declarative explode+md5 path") {
+    import graft.functions.TextFunctions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val k = 16
+    val agg = F.udaf(new KmvAgg(k), Encoders.STRING)
+    def finish(hashes: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] = {
+      val spark2 = spark
+      import spark2.implicits._
+      hashes.groupBy("source").agg(agg(F.col("h")).as("mins"))
+        .as[(String, Seq[String])].collect().toMap
+    }
+    val declarative = finish(docs
+      .select(F.col("source"), F.explode(shingles(tokens(F.col("text")))).as("sh"))
+      .select(F.col("source"), F.md5(F.col("sh")).as("h")))
+    val kernel = finish(Sketches.kmvShinglePartials(docs, k))
+    assert(kernel == declarative)
+  }
+
   test("aggregator equals driver fold and is partitioning-invariant") {
     val spark2 = spark
     import spark2.implicits._
