@@ -57,6 +57,33 @@ object BpeLearner {
     }
   }
 
+  /** BPE ENCODE as pure string expressions: a word rendered in bracketed
+    * form (`{c}{h}{a}{r}{s}`) walks the merge table as one
+    * `replace('{a}{b}' → '{ab}')` per merge — `replace`'s left-to-right
+    * non-overlapping scan equals BPE's greedy application order
+    * (spec-checked against [[mergePair]]). Every symbol carries BOTH its
+    * own delimiters, so adjacent matches share no characters (unlike a
+    * single-separator form) and `{b}{a}` can never match a neighbor that
+    * merely STARTS with `a` (the `{b}{aa}` prefix trap). Codegen'd, no
+    * UDF; intended to run over the distinct-word matrix, not raw
+    * occurrences (the t19/d05 cardinality collapse).
+    */
+  def encodeExpr(word: org.apache.spark.sql.Column,
+                 merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(regexp_replace(word, "(.)", "{$1}")) { case (c, (a, b)) =>
+      org.apache.spark.sql.functions.replace(c, lit("{" + a + "}{" + b + "}"), lit("{" + a + b + "}"))
+    }
+
+  /** Token count of a bracketed encoding = number of `{` markers. */
+  def encodedTokenCount(sym: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    length(sym) - length(org.apache.spark.sql.functions.replace(sym, lit("{"), lit("")))
+
+  /** Single-threaded reference encoder for the spec. */
+  private[operators] def encodeLocal(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) {
+      case (syms, (a, b)) => mergePair(syms, a, b)
+    }
+
   /** Learn `steps` BPE merges over the word-frequency matrix of `docs`.
     * Returns one row per merge: (step, left, right, pair_count).
     */

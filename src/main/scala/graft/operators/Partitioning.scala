@@ -39,4 +39,25 @@ object Partitioning {
     */
   def colocate(df: DataFrame, key: String, partitions: Int): DataFrame =
     df.repartition(partitions, col(key))
+
+  /** Z-order (Morton) key: interleave the low `bits` bits of each input
+    * column so multi-dimensional locality survives a 1-D range partition.
+    * Sorting/range-partitioning the at-rest layout by this key gives every
+    * file a tight bounding box in ALL dimensions at once, so parquet
+    * min/max row-group stats prune multi-dimensional box predicates —
+    * the layout trick behind Delta/Iceberg Z-ORDER clustering, as a plain
+    * column expression (shift/mask only: codegen'd, no UDF).
+    *
+    * Inputs must already be non-negative and < 2^bits (callers mod/clamp);
+    * with k columns the key occupies k*bits bits.
+    */
+  def zorderKey(bits: Int, cols: Column*): Column = {
+    require(bits * cols.size <= 63, "z-key must fit a signed long")
+    val terms = for {
+      (c, dim) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+      b * cols.size + dim)
+    terms.reduce(_ + _)
+  }
 }

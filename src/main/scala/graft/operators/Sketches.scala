@@ -132,4 +132,36 @@ object Sketches {
       }
       .toDF(groupCol, "h")
   }
+
+  /** Log2-binned histogram quantile sketch over a positive integral
+    * column (DDSketch with γ=2, Masson'19): the input collapses to ≤64
+    * (bin, count) cells — bin = bit-length, a pure integer expression —
+    * so the shuffle is O(64) no matter the input size, and the merge of
+    * two sketches is cell-wise addition (here: the same groupBy). For
+    * each requested milli-quantile the answer is the smallest bin whose
+    * cumulative count covers it (`cum*1000 ≥ total*q`, all-integer) and
+    * the reported estimate is that bin's inclusive upper edge `2^bin-1`
+    * (relative error ≤ 2× by construction; SketchesSpec brackets the
+    * exact percentile inside [2^(bin-1), 2^bin)). The single-partition
+    * window runs over the 64-cell sketch, never the data.
+    */
+  def log2HistQuantiles(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                        qsMilli: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val bins = df
+      .groupBy(expr(s"length(bin($valueCol))").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("total", sum("n").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qs = df.sparkSession.range(1).select(
+      explode(array(qsMilli.map(lit): _*)).as("q_milli"))
+    cum.join(broadcast(qs), col("cum") * 1000 >= col("total") * col("q_milli"))
+      .groupBy("q_milli").agg(min("bin").cast("long").as("bin"))
+      .withColumn("est_upper", expr("shiftleft(cast(1 as bigint), bin) - 1"))
+  }
 }

@@ -767,6 +767,117 @@ object RelationalQueries {
       Some("""SELECT source, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_doc
              |FROM documents WHERE n_chars > 100
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Runtime Bloom-filter join pruning: the filtered dim's keys are
+    // sketched into a 16 KB bitset (distributed build, mergeable OR-agg —
+    // operators/Bloom.scala) and the fact scan drops non-member rows
+    // BEFORE the join shuffle. At 100 TB this is the difference between
+    // shuffling 600 B rows and shuffling the ~10% that can match; false
+    // positives only re-admit rows the exact join then drops, so the
+    // result — and the oracle — is the plain join (BloomSpec asserts the
+    // no-false-negative and fpp properties directly).
+    Q("q37_bloom_join",
+      (s, d) => {
+        val dim = Tables.part(s, d).filter(col("p_size") <= 5)
+        val bits = graft.operators.Bloom.build(dim.select("p_partkey"), "p_partkey")
+        Tables.lineitem(s, d)
+          .filter(graft.operators.Bloom.mightContain(bits, col("l_partkey")))
+          .join(dim, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size <= 5 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bucketed co-located join: both sides written bucketBy(8) on the join
+    // key (hash-partitioned AT REST), read back through the catalog and
+    // joined WITHOUT a shuffle — each task zips bucket i with bucket i
+    // (PartitioningSpec asserts the exchange-free physical plan). At 100 TB
+    // this is how a fact table joined daily on the same key amortizes its
+    // shuffle to zero: pay the partitioning once at ingest, never at read.
+    // The write is inside the measured query on purpose — the bench's
+    // first/steady split shows ingest vs read-path cost honestly.
+    Q("q38_bucket_join",
+      (s, d) => {
+        val base = s"/tmp/graft_bucketed/p${ProcessHandle.current().pid()}"
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem").saveAsTable("graft_li_bucketed")
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders").saveAsTable("graft_ord_bucketed")
+        s.table("graft_li_bucketed")
+          .join(s.table("graft_ord_bucketed"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum("l_quantity").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Z-order (Morton) clustering key: interleave the bits of two
+    // dimensions so a 1-D sort keeps 2-D locality — range-partitioning the
+    // at-rest layout by zkey gives every file a tight bounding box in BOTH
+    // columns, so parquet min/max stats prune box predicates on either
+    // (PartitioningSpec measures the bound tightening vs a 1-D sort).
+    // Pure shift/mask expressions, exactly mirrored in integer SQL.
+    Q("q39_zorder_key",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("event_id"),
+          (col("user_id") % 1024).as("x"),
+          ((col("event_id") * 31) % 1024).as("y"))
+        e.withColumn("zkey",
+            graft.operators.Partitioning.zorderKey(10, col("x"), col("y")))
+          .orderBy("zkey", "event_id").limit(100)
+      },
+      Some {
+        val terms = (for (b <- 0 until 10; (c, dim) <- Seq(("x", 0), ("y", 1)))
+          yield s"((($c >> $b) & 1) << ${b * 2 + dim})").mkString(" + ")
+        s"""WITH e AS (SELECT event_id, user_id % 1024 AS x,
+           |  (event_id * 31) % 1024 AS y FROM events)
+           |SELECT event_id, x, y, CAST($terms AS BIGINT) AS zkey
+           |FROM e ORDER BY zkey, event_id LIMIT 100""".stripMargin
+      }),
+
+    // Integer-exact PageRank (5 power iterations) over the undirected
+    // part↔supplier graph — iterative numeric graph analytics joining
+    // d04's label-propagation components. Milli-mass integer arithmetic
+    // makes the fixpoint bit-identical across partitionings and engines;
+    // the oracle replays the exact iterations as 5 generated SQL layers.
+    Q("q40_pagerank",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.PageRank.run(edges, "src", "dst", iters = 5)
+          .orderBy(desc("mass"), asc("node")).limit(40)
+          .select(col("node"), col("mass").as("mass_milli"))
+      },
+      Some {
+        val layers = (1 to 5).map { i =>
+          s"""m$i AS (
+             |  SELECT n.node, CAST(150 + COALESCE(s.in_mass, 0) AS BIGINT) AS mass
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS node,
+             |      CAST(SUM(m.mass * 850 // (1000 * d.outdeg)) AS BIGINT) AS in_mass
+             |    FROM e JOIN deg d USING (src) JOIN m${i - 1} m ON m.node = e.src
+             |    GROUP BY e.dst) s USING (node))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM lineitem),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |m0 AS (SELECT node, CAST(1000 AS BIGINT) AS mass FROM nodes),
+           |$layers
+           |SELECT node, mass AS mass_milli FROM m5
+           |ORDER BY mass DESC, node LIMIT 40""".stripMargin
+      })
   )
 }

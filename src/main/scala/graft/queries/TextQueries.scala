@@ -1041,6 +1041,117 @@ object TextQueries {
              |  (4, 'o', 'r', 2696), (5, 's', 't', 2676), (6, 'm', 'er', 1852),
              |  (7, 'a', 't', 1845), (8, 'l', 'u', 1831), (9, 'a', 'r', 1758),
              |  (10, 'p', 'ar', 1758), (11, 'j', 'o', 964), (12, 'jo', 'in', 964)
-             |) AS t(step, lhs, rhs, pair_count) ORDER BY step""".stripMargin))
+             |) AS t(step, lhs, rhs, pair_count) ORDER BY step""".stripMargin)),
+
+    // Count-min-sketch heavy hitters: word frequencies estimated from d=2
+    // mergeable bucket-count tables of w=512 cells each. Each CMS row is a
+    // plain groupBy(bucket) count — map-side combinable, bounded at d*w
+    // cells on the shuffle no matter how many distinct words the corpus
+    // has (the 100 TB property t11's exact two-phase agg lacks; t11's
+    // comment advertises exactly this trade). Estimates are
+    // min_i(cms_i[h_i(word)]) — deterministic given the md5 hash family,
+    // so DuckDB reproduces the sketch bit-for-bit; the exact count is
+    // carried alongside to expose the (bounded, one-sided) CMS error.
+    Q("t20_cms_heavy_hitters",
+      (s, d) => {
+        val w = 512
+        val words = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("w"))
+        def bucket(i: Int) = expr(
+          s"cast(conv(substring(md5(concat('$i#', w)), 1, 8), 16, 10) as bigint) % $w")
+        val exact = words.groupBy("w").agg(count(lit(1)).as("exact_n"))
+        var cur = exact
+        for (i <- 0 until 2) {
+          val cms = words.groupBy(bucket(i).as(s"b$i"))
+            .agg(count(lit(1)).as(s"cms$i"))
+          cur = cur.join(broadcast(cms), bucket(i) === col(s"b$i")).drop(s"b$i")
+        }
+        cur.select(col("w"), col("exact_n"),
+            least(col("cms0"), col("cms1")).as("cms_est"))
+          .orderBy(desc("cms_est"), desc("exact_n"), asc("w")).limit(30)
+      },
+      Some("""WITH wx AS (
+             |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+             |ex AS (SELECT w, count(*) AS exact_n FROM wx GROUP BY 1),
+             |c0 AS (SELECT CAST(concat('0x', substring(md5('0#' || w), 1, 8)) AS BIGINT) % 512 AS b,
+             |       count(*) AS n FROM wx GROUP BY 1),
+             |c1 AS (SELECT CAST(concat('0x', substring(md5('1#' || w), 1, 8)) AS BIGINT) % 512 AS b,
+             |       count(*) AS n FROM wx GROUP BY 1)
+             |SELECT w, exact_n, least(c0.n, c1.n) AS cms_est
+             |FROM ex
+             |JOIN c0 ON CAST(concat('0x', substring(md5('0#' || w), 1, 8)) AS BIGINT) % 512 = c0.b
+             |JOIN c1 ON CAST(concat('0x', substring(md5('1#' || w), 1, 8)) AS BIGINT) % 512 = c1.b
+             |ORDER BY cms_est DESC, exact_n DESC, w LIMIT 30""".stripMargin)),
+
+    // Log2-binned histogram quantiles — the mergeable quantile sketch for
+    // positive integers (DDSketch with γ=2, Masson'19): the corpus reduces
+    // to ≤64 (bin, count) cells (bin = bit-length, pure integer), so the
+    // shuffle is O(64) regardless of input size, unlike t12's exact
+    // window-rank which sorts every row. Quantile q's bin is the smallest
+    // with cum*1000 ≥ total*q — all-integer, so both engines agree
+    // exactly; the answer is the bin's inclusive upper edge 2^bin - 1
+    // (relative error ≤ 2x by construction, spec-checked vs t12's exact).
+    Q("t21_hist_quantiles",
+      (s, d) => graft.operators.Sketches
+        .log2HistQuantiles(Tables.documents(s, d), "n_chars", Seq(500, 900, 990))
+        .orderBy("q_milli"),
+      Some("""WITH b AS (
+             |  SELECT length(bin(n_chars)) AS bin, count(*) AS n FROM documents GROUP BY 1),
+             |c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum, sum(n) OVER () AS total FROM b),
+             |q AS (SELECT unnest([500, 900, 990]) AS q_milli)
+             |SELECT q_milli, min(bin) AS bin,
+             |  (CAST(1 AS BIGINT) << min(bin)) - 1 AS est_upper
+             |FROM q JOIN c ON c.cum * 1000 >= c.total * q.q_milli
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BPE tokenizer APPLY — the encode pass that makes t19's learned
+    // merges useful: train the merge table (t19's loop), then tokenize the
+    // corpus with it. Encoding runs over the DISTINCT word matrix (the
+    // same cardinality collapse as t19/d05: the corpus may hold 10^12
+    // word occurrences but only millions of distinct words) and joins
+    // counts back, so the 12 chained replaces touch each distinct word
+    // once. The merge walk is pure string expressions — each merge (a,b)
+    // is one replace('{a}{b}' → '{ab}') over the bracketed form
+    // '{c}{h}{a}{r}{s}', whose left-to-right non-overlapping semantics
+    // equal BPE's greedy scan (BpeSpec asserts parity with the reference
+    // encoder, including the prefix-trap and shared-boundary cases).
+    Q("t22_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.BpeLearner.learnMerges(docs, steps = 12)
+          .orderBy("step").select("lhs", "rhs").collect() // 12 rows: contractual
+          .map(r => (r.getString(0), r.getString(1)))
+        val wx = docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+        val vocab = wx.groupBy("source", "w").agg(count(lit(1)).as("n"))
+        val encoded = vocab.select("w").distinct()
+          .withColumn("sym", graft.operators.BpeLearner.encodeExpr(col("w"), merges.toSeq))
+          .withColumn("n_bpe", graft.operators.BpeLearner.encodedTokenCount(col("sym")))
+        vocab.join(encoded, "w")
+          .groupBy("source")
+          .agg(sum("n").cast("long").as("n_words"),
+            sum(col("n") * length(col("w"))).cast("long").as("char_tokens"),
+            sum(col("n") * col("n_bpe")).cast("long").as("bpe_tokens"))
+          .orderBy("source")
+      },
+      Some {
+        // the t19-golden merge table (gate-proven equal to the live learn
+        // at sf0.01), applied innermost-first
+        val merges = Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+          "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r",
+          "p" -> "ar", "j" -> "o", "jo" -> "in")
+        val chain = merges.foldLeft("regexp_replace(w, '(.)', '{\\1}', 'g')") {
+          case (inner, (a, b)) => s"replace($inner, '{$a}{$b}', '{$a$b}')"
+        }
+        s"""WITH wx AS (
+           |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+           |  FROM documents),
+           |vc AS (SELECT source, w, count(*) AS n FROM wx GROUP BY 1, 2),
+           |enc AS (SELECT w, $chain AS sym FROM (SELECT DISTINCT w FROM vc)),
+           |e2 AS (SELECT w, length(sym) - length(replace(sym, '{', '')) AS n_bpe FROM enc)
+           |SELECT source, CAST(sum(n) AS BIGINT) AS n_words,
+           |  CAST(sum(n * length(w)) AS BIGINT) AS char_tokens,
+           |  CAST(sum(n * n_bpe) AS BIGINT) AS bpe_tokens
+           |FROM vc JOIN e2 USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }

@@ -40,4 +40,22 @@ class BpeSpec extends SparkSpec {
     assert(run(1) == expected)
     assert(run(5) == expected)
   }
+
+  test("encodeExpr replace-chain equals the reference greedy encoder") {
+    val spark2 = spark
+    import spark2.implicits._
+    // merges chosen to exercise overlap (a,a), chaining (l,o)->(lo,w) and
+    // boundary safety (symbol 'ba' must not fake an 'a b' match)
+    val merges = Seq("a" -> "a", "l" -> "o", "lo" -> "w", "b" -> "a", "e" -> "r")
+    val words = Seq("aaa", "lower", "low", "baba", "abab", "x", "aabaa", "wool")
+    val got = words.toDF("w")
+      .withColumn("sym", BpeLearner.encodeExpr(org.apache.spark.sql.functions.col("w"), merges))
+      .withColumn("n", BpeLearner.encodedTokenCount(org.apache.spark.sql.functions.col("sym")))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    words.foreach { w =>
+      val ref = BpeLearner.encodeLocal(w, merges)
+      assert(got(w)._1 == ref.map("{" + _ + "}").mkString, s"symbols differ for '$w'")
+      assert(got(w)._2 == ref.size, s"count differs for '$w'")
+    }
+  }
 }

@@ -58,4 +58,43 @@ class PartitioningSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lines")
   }
+
+  test("zorderKey matches a brute-force bit interleave") {
+    val s = spark
+    import s.implicits._
+    def brute(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map { b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      }.reduce(_ | _)
+    val df = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    val got = df.withColumn("z", Partitioning.zorderKey(5, col("x"), col("y")))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (x <- 0L until 32L; y <- 0L until 32L)
+      assert(got((x, y)) == brute(x, y, 5), s"($x,$y)")
+    // distinct inputs -> distinct keys (bijective on the bit range)
+    assert(got.values.toSeq.distinct.size == 32 * 32)
+  }
+
+  test("z-ordered layout prunes files for predicates on EITHER dimension") {
+    val s = spark
+    import s.implicits._
+    // points on a 64x64 grid; "files" = 16 range partitions of the sort
+    // key, "min/max stats" = per-partition bounds (what parquet footers
+    // would carry). A y-slice predicate can skip every file whose y-range
+    // misses it — the linear (x-major) layout leaves ALL files spanning
+    // all of y, so it prunes nothing on y.
+    val pts = (0L until 4096L).map(i => (i % 64L, i / 64L)).toDF("x", "y")
+    def filesOverlappingYSlice(sorted: org.apache.spark.sql.DataFrame): Int =
+      sorted.repartitionByRange(16, col("sk"))
+        .select(col("y"), spark_partition_id().as("p"))
+        .groupBy("p").agg(min("y").as("lo"), max("y").as("hi"))
+        .collect().count(r => r.getLong(1) <= 7L && r.getLong(2) >= 0L)
+    val z = filesOverlappingYSlice(
+      pts.withColumn("sk", Partitioning.zorderKey(6, col("x"), col("y"))))
+    val lin = filesOverlappingYSlice(pts.withColumn("sk", col("x") * 64 + col("y")))
+    assert(lin == 16, s"x-major layout should never prune on y: $lin")
+    // z-order: 16 contiguous z-chunks are 16x16 blocks; only the bottom
+    // row of blocks (y in [0,16)) can touch y<=7
+    assert(z <= 4, s"z-order should prune most files on a y-slice: $z")
+  }
 }

@@ -73,4 +73,33 @@ class SketchesSpec extends SparkSpec {
     assert(run(1) == expected)
     assert(run(7) == expected)
   }
+
+  test("log2HistQuantiles brackets the exact percentile within its bin") {
+    val spark2 = spark
+    import spark2.implicits._
+    // heavy-tailed values so the quantile bins differ
+    val vals = (1 to 5000).map(i => (i.toLong * i.toLong) % 30000L + 1L)
+    val df = vals.toDF("v")
+    val out = Sketches.log2HistQuantiles(df, "v", Seq(500, 900, 990))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val sorted = vals.sorted
+    Seq(500, 900, 990).foreach { q =>
+      // exact upper-rank percentile: smallest v with rank*1000 >= n*q
+      val exact = sorted((((sorted.size.toLong * q + 999) / 1000) - 1).toInt)
+      val (bin, estUpper) = out(q)
+      assert(estUpper == (1L << bin) - 1)
+      // the exact percentile lies inside the chosen bin [2^(bin-1), 2^bin)
+      assert(exact <= estUpper && exact >= (1L << (bin - 1)),
+        s"q=$q exact=$exact bin=$bin")
+    }
+  }
+
+  test("log2HistQuantiles is partitioning-invariant (mergeable cells)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 2000).map(i => (i * 7L) % 5000L + 1L).toDF("v")
+    def run(parts: Int) = Sketches.log2HistQuantiles(df.repartition(parts), "v", Seq(500, 990))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) == run(6))
+  }
 }
