@@ -1160,6 +1160,47 @@ object TextQueries {
            |  CAST(sum(n * length(w)) AS BIGINT) AS char_tokens,
            |  CAST(sum(n * n_bpe) AS BIGINT) AS bpe_tokens
            |FROM vc JOIN e2 USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // Quality-WEIGHTED deterministic sampling (the DCLM/FineWeb move:
+    // don't hard-threshold quality, downsample in proportion to it).
+    // Each doc computes an integer milli-quality (stopword density) and a
+    // content-keyed hash in [0,1000); it survives iff hash < quality — so
+    // a 0.9-quality doc keeps 90% of its mass, a 0.1 doc 10%, and the
+    // decision is reproducible row-local arithmetic: no sampling state,
+    // no RNG, repartition/retry-invariant (t13's membership trick,
+    // weighted). Embarrassingly parallel; the only shuffle is the final
+    // per-source rollup.
+    Q("t23_weighted_sample",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).as("n_words"),
+            stopwordHits(col("text"), enStopwords).as("stop_hits"))
+          .withColumn("q_milli",
+            expr("least(1000, stop_hits * 4000 div (n_words + 1))"))
+          .withColumn("h", expr(
+            "cast(conv(substring(md5(concat('ws#', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 1000"))
+        scored.groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("h") < col("q_milli"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+            sum(when(col("h") < col("q_milli"), col("q_milli")).otherwise(0L))
+              .cast("long").as("sum_q_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH sc AS (
+             |  SELECT doc_id, source,
+             |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+             |    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS stop_hits
+             |  FROM documents),
+             |q AS (
+             |  SELECT source,
+             |    least(1000, stop_hits * 4000 // (n_words + 1)) AS q_milli,
+             |    CAST(concat('0x', substring(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
+             |  FROM sc)
+             |SELECT source, count(*) AS n_total,
+             |  CAST(sum(CASE WHEN h < q_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN h < q_milli THEN q_milli ELSE 0 END) AS BIGINT) AS sum_q_kept
+             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

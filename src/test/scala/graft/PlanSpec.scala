@@ -83,13 +83,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial sketch aggregation:\n$p")
   }
 
+  test("bloom probe filters the fact side BELOW the join (q37)") {
+    val p = plan("q37_bloom_join")
+    // the getbit membership test must sit under the fact scan stage, i.e.
+    // appear in the plan before (deeper than) the join node consuming it
+    assert(p.contains("getbit"), s"no bloom membership filter in plan:\n$p")
+    val joinAt = p.indexOf("Join")
+    val probeAt = p.indexOf("getbit")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "bloom probe should be below the join in the printed tree")
+    // and the (filtered) dim side stays broadcast
+    assert(p.contains("BroadcastHashJoin"), s"dim side not broadcast:\n$p")
+  }
+
+  test("CMS bucket tables broadcast into the estimate join (t20)") {
+    val p = plan("t20_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), s"sketch join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pagerank iterations reuse the checkpointed edge partitioning (q40)") {
+    val p = plan("q40_pagerank")
+    // the static edge side is scanned from the checkpoint, not re-planned
+    // from parquet: exactly one events/lineitem file scan would be wrong —
+    // there must be ZERO (all inputs come from checkpointed RDDs)
+    assert(!p.contains("FileScan parquet"),
+      s"iteration plan re-reads parquet instead of the checkpoint:\n$p")
+  }
+
   test("no catalog query degenerates into an unkeyed cartesian product") {
     // intentional broadcast-nested-loop joins over provably tiny sides:
     // a06 (3-row prefix dim), n05 (<=64 Pareto candidates, group-less
     // dominance is inherently theta — the grouped form is q10 and hashes),
-    // n08 (ONE-row broadcast of the global ||X|| normalization scalar)
+    // n08 (ONE-row broadcast of the global ||X|| normalization scalar),
+    // t21 (≤64-cell histogram sketch × 3 quantile literals — the theta
+    // join runs over the SKETCH, never the data)
     val exempt = Set("a06_containment_join", "n05_placement_pareto",
-      "n08_forecast_trainset")
+      "n08_forecast_trainset", "t21_hist_quantiles")
     SparkEntry.catalog.filterNot(q => exempt(q.name)).foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
