@@ -845,6 +845,36 @@ object RelationalQueries {
            |FROM e ORDER BY zkey, event_id LIMIT 100""".stripMargin
       }),
 
+    // JSON-lines as a text interchange format (the third at-rest format
+    // after parquet and q36's ORC): write documents as JSONL, read back
+    // with an EXPLICIT schema — schema inference would cost a full extra
+    // pass over 100 TB; a declared schema makes the JSON scan one pass
+    // with column pruning — and aggregate. The oracle reads the same rows
+    // from parquet, so the gate proves the JSON write→read roundtrip is
+    // lossless (quoting/escaping included).
+    Q("q41_jsonl_source",
+      (s, d) => {
+        val dir = s"/tmp/graft_jsonl/documents-${ProcessHandle.current().pid()}"
+        Tables.documents(s, d).write.mode("overwrite").json(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+        s.read.schema(schema).json(dir)
+          .filter(col("n_chars").between(50, 2000))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(length(col("text"))).as("sum_text_len"),
+               min("doc_id").as("min_doc"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len, min(doc_id) AS min_doc
+             |FROM documents WHERE n_chars BETWEEN 50 AND 2000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Integer-exact PageRank (5 power iterations) over the undirected
     // part↔supplier graph — iterative numeric graph analytics joining
     // d04's label-propagation components. Milli-mass integer arithmetic

@@ -94,6 +94,16 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS estimates are one-sided: est >= exact for every word (t20)") {
+    val rows = graft.SparkEntry.queries("t20_cms_heavy_hitters")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS under-counted '${r.getString(0)}': $est < $exact")
+    }
+  }
+
   test("log2HistQuantiles is partitioning-invariant (mergeable cells)") {
     val spark2 = spark
     import spark2.implicits._

@@ -39,6 +39,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("tracker results are state-store-provider independent (RocksDB == HDFS-backed)") {
+    // the production deployment runs RocksDB for large state (bounded
+    // native memory, incremental checkpoints); results must not depend on
+    // which provider holds the kryo'd tracker state
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    def run(provider: Option[String], tag: String): Seq[(Long, Int, Double)] = {
+      val prev = spark.conf.getOption(confKey)
+      provider.foreach(spark.conf.set(confKey, _))
+      try {
+        val input = MemoryStream[DetRow]
+        val name = s"tracks_prov_$tag"
+        val query = StreamingOps.trackStream(input.toDF())
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          input.addData(detFrames(3, 0 until 6))
+          query.processAllAvailable()
+          input.addData(detFrames(3, 6 until 12))
+          query.processAllAvailable()
+          spark.table(name).orderBy("frame", "track_id")
+            .collect().map(r => (r.getLong(1), r.getInt(2), math.rint(r.getDouble(3)))).toSeq
+        } finally query.stop()
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+      }
+    }
+    val rocks = run(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"), "rocks")
+    val hdfs = run(None, "hdfs")
+    assert(rocks.nonEmpty && rocks == hdfs)
+  }
+
   test("tracker state persists across micro-batches (ids stay stable)") {
     val s = spark
     import s.implicits._
