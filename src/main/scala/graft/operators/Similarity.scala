@@ -195,6 +195,45 @@ object Similarity {
     }
   }
 
+  /** Incremental APPEND — the nightly-ingest path: assign new vectors to
+    * the EXISTING centroids (one typed pass, the same nearest-cell kernel
+    * as the build) and add them to the inverted file, leaving the trained
+    * centroids untouched. At-rest indexes append new files into the
+    * existing cell directories (`mode=append` under the same
+    * `partitionBy(cell)` layout, so the probe's partition pruning keeps
+    * working unchanged); in-memory indexes union the assignment frames.
+    * Centroid drift is the standard IVF trade: appended data the training
+    * distribution didn't cover degrades cell balance, so re-train when
+    * the max/median cell-size skew crosses a threshold — the append
+    * itself never requires touching the existing files. Probe results
+    * are EXACTLY those of a one-pass assignment of the full corpus under
+    * the same centers (SimilaritySpec asserts equality).
+    */
+  def appendToIvf(index: IvfIndex, vectors: DataFrame): IvfIndex = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centers)
+    val assignedNew = vectors
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue
+        var i = 0
+        while (i < cs.length) { val d = dist2(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
+        (id, best, v)
+      }
+      .toDF("vec_id", "cell", "v")
+    index.path match {
+      case Some(p) =>
+        assignedNew.repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(p)
+        index.copy(assigned = spark.read.parquet(p))
+      case None =>
+        index.copy(assigned = index.assigned.unionByName(assignedNew))
+    }
+  }
+
   /** The distinct cells a probe of `queries` touches (nprobe nearest
     * centroids per query) — the literal values the corpus scan is pruned
     * to. Computed distributed (queries may be the whole corpus in

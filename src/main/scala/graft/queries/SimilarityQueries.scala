@@ -246,6 +246,30 @@ object SimilarityQueries {
       Some("""SELECT * FROM read_csv(
              |  '/root/repo/src/test/resources/golden_e09_ivfpq_knn.csv',
              |  header=true, columns={'query_id':'BIGINT','neighbor_id':'BIGINT',
+             |    'rank':'BIGINT','cos':'DOUBLE'})""".stripMargin)),
+
+    // IVF incremental APPEND — the nightly-ingest path: ~75% of the
+    // corpus builds the index (trains centroids), the remaining ~25%
+    // arrives later and is assigned to the EXISTING centroids and
+    // appended (Similarity.appendToIvf — centroids untouched, at-rest
+    // layout preserved, partition pruning unchanged). The probe then
+    // sees the full corpus; results are exactly a one-pass assignment
+    // under the same centers (spec-asserted), so the probe output is
+    // goldenable like e06's. Queries: a fixed deterministic id slice.
+    Q("e12_ivf_append",
+      (s, d) => {
+        val em = Tables.embeddings(s, d)
+        val isNew = substring(md5(concat(lit("iv#"), col("vec_id").cast("string"))), 1, 1) < "4"
+        val index = Similarity.buildIvfIndex(em.filter(!isNew))
+        val appended = Similarity.appendToIvf(index, em.filter(isNew))
+        Similarity.probeIvf(appended, em.filter(col("vec_id") % 100 === 0), k = 5, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""SELECT * FROM read_csv(
+             |  '/root/repo/src/test/resources/golden_e12_ivf_append.csv',
+             |  header=true, columns={'query_id':'BIGINT','neighbor_id':'BIGINT',
              |    'rank':'BIGINT','cos':'DOUBLE'})""".stripMargin))
   )
 }

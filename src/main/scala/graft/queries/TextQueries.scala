@@ -1162,6 +1162,63 @@ object TextQueries {
            |FROM vc JOIN e2 USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // End-to-end ENTITY RESOLUTION — the record-linkage composite the
+    // individual pieces exist for (blocking d06, edit-distance scoring
+    // d05, cluster collapse d04), run as one pipeline over the part-name
+    // universe: collapse to the distinct-name matrix (min partkey = the
+    // deterministic name id), block on the product-type token so the
+    // pairwise stage is per-block quadratic instead of global, score
+    // within-block pairs with threshold-capped Levenshtein, and resolve
+    // matched names into entities via connected components. At 100 TB
+    // the only corpus-scale shuffle is the name groupBy; everything
+    // after runs on name cardinality.
+    Q("d14_entity_resolution",
+      (s, d) => {
+        val names = Tables.part(s, d)
+          .groupBy("p_name")
+          .agg(min("p_partkey").as("name_id"), count(lit(1)).as("n_parts"))
+          .withColumn("blk", regexp_extract(col("p_name"), "[a-z]+$", 0))
+        val a = names.alias("a"); val b = names.alias("b")
+        val pairs = a.join(b, col("a.blk") === col("b.blk") &&
+            col("a.name_id") < col("b.name_id"))
+          .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 4))
+          .filter(col("dist").between(1, 4))
+          .select(col("a.name_id").as("doc_a"), col("b.name_id").as("doc_b"))
+        val clusters = Dedup.dupClusters(pairs)
+        val members = clusters.join(names, col("doc_id") === col("name_id"))
+        val reps = names.select(col("name_id").as("cluster_id"),
+          col("p_name").as("rep_name"))
+        members.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_names"), sum("n_parts").cast("long").as("n_parts"))
+          .join(reps, "cluster_id")
+          .select("rep_name", "n_names", "n_parts")
+          .orderBy("rep_name")
+      },
+      Some("""WITH RECURSIVE names AS (
+             |  SELECT p_name, min(p_partkey) AS name_id, count(*) AS n_parts
+             |  FROM part GROUP BY 1),
+             |blocked AS (
+             |  SELECT *, regexp_extract(p_name, '[a-z]+$') AS blk FROM names),
+             |pairs AS (
+             |  SELECT a.name_id AS doc_a, b.name_id AS doc_b
+             |  FROM blocked a JOIN blocked b
+             |    ON a.blk = b.blk AND a.name_id < b.name_id
+             |  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4),
+             |edges AS (
+             |  SELECT doc_a AS s, doc_b AS d FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT DISTINCT s, s FROM edges
+             |  UNION
+             |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+             |comp AS (SELECT id AS name_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+             |SELECT r.p_name AS rep_name, count(*) AS n_names,
+             |  CAST(sum(n.n_parts) AS BIGINT) AS n_parts
+             |FROM comp c
+             |JOIN names n ON n.name_id = c.name_id
+             |JOIN names r ON r.name_id = c.cluster_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Quality-WEIGHTED deterministic sampling (the DCLM/FineWeb move:
     // don't hard-threshold quality, downsample in proportion to it).
     // Each doc computes an integer milli-quality (stopword density) and a

@@ -322,6 +322,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("appendToIvf probes exactly like a one-pass assignment under the same centers") {
+    val base = vectors.filter(col("vec_id") % 4 =!= 0)
+    val delta = vectors.filter(col("vec_id") % 4 === 0)
+    val index = Similarity.buildIvfIndex(base, nlist = 8)
+    val appended = Similarity.appendToIvf(index, delta)
+    // one-pass reference: assign the FULL corpus under the base-trained
+    // centers by appending everything to an empty shell of the same index
+    val onePass = Similarity.appendToIvf(index.copy(assigned = index.assigned.limit(0)), vectors)
+    def probe(ix: Similarity.IvfIndex) =
+      Similarity.probeIvf(ix, vectors.filter(col("vec_id") < 12), k = 4, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(2))).sorted.toSeq
+    assert(probe(appended).nonEmpty)
+    assert(probe(appended) == probe(onePass))
+    // the delta actually landed: appended corpus covers every vector
+    assert(appended.assigned.count() == 300L)
+  }
+
   test("ivfKnn: valid ranked output and better recall than nprobe/nlist fraction") {
     val exact = Similarity.quantizedKnn(vectors, col("vec_id") < 20, 5)
       .collect().groupBy(_.getLong(0))
