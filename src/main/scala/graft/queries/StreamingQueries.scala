@@ -309,7 +309,53 @@ object StreamingQueries {
              |FROM events, (SELECT count(*) AS nc FROM customer) c,
              |  customer JOIN nation ON c_nationkey = n_nationkey
              |WHERE c_custkey = user_id % nc + 1
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming SKETCH state: per-window approximate distinct users via
+    // the mergeable KMV aggregator (t18's sketch as streaming aggregation
+    // state). The state per window is ≤ k hashes — bounded no matter how
+    // many distinct users a window sees, which is the whole reason a
+    // 100 TB stream can afford per-window distinct counts at all — and
+    // because KMV merge is a set union (order-invariant, idempotent),
+    // the result is independent of micro-batch splits, so the DuckDB
+    // oracle reproduces the sketch content exactly (rank ≤ k per window).
+    Q("n21_stream_kmv",
+      (s, d) => {
+        val k = 32
+        val src = s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]")
+        val hashed = src.select(Tables.tsFromNanos(col("ts")).as("ts"),
+            md5(concat(lit("u#"), col("user_id").cast("string"))).as("h"))
+          .withWatermark("ts", "1 hour")
+        val kmv = udaf(new graft.operators.Sketches.KmvAgg(k),
+          org.apache.spark.sql.Encoders.STRING)
+        val sketched = hashed.groupBy(window(col("ts"), "12 hours"))
+          .agg(kmv(col("h")).as("mins"))
+        runToTable(s, sketched, "complete")
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            size(col("mins")).as("n_kept"),
+            element_at(col("mins"), -1).as("kth_hash"),
+            when(size(col("mins")) < k, size(col("mins")).cast("long"))
+              .otherwise(expr(s"(${k - 1} * 1099511627776) div " +
+                "cast(conv(substring(element_at(mins, -1), 1, 10), 16, 10) as bigint)"))
+              .as("est_distinct"))
+          .orderBy("window_start")
+      },
+      Some("""WITH uh AS (
+             |  SELECT DISTINCT time_bucket(INTERVAL '12 hours', ts) AS w,
+             |    md5('u#' || CAST(user_id AS VARCHAR)) AS h
+             |  FROM events),
+             |r AS (
+             |  SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn,
+             |         count(*) OVER (PARTITION BY w) AS cnt
+             |  FROM uh)
+             |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  CAST(least(cnt, 32) AS INT) AS n_kept,
+             |  max(CASE WHEN rn <= 32 THEN h END) AS kth_hash,
+             |  CAST(CASE WHEN cnt < 32 THEN cnt
+             |       ELSE (31 * 1099511627776) //
+             |            CAST(concat('0x', substring(max(CASE WHEN rn <= 32 THEN h END), 1, 10)) AS BIGINT)
+             |       END AS BIGINT) AS est_distinct
+             |FROM r GROUP BY w, cnt ORDER BY 1""".stripMargin))
   )
 
   private val sessionSchema = StructType(Seq(
