@@ -754,7 +754,8 @@ object RelationalQueries {
     // point this engine at the lake's other format" answer.
     Q("q36_orc_source",
       (s, d) => {
-        val dir = s"/tmp/graft_orc/documents-${ProcessHandle.current().pid()}"
+        val dir = graft.sources.TmpDirs.scratch(
+          s"/tmp/graft_orc/documents-${ProcessHandle.current().pid()}")
         Tables.documents(s, d).write.mode("overwrite").orc(dir)
         s.read.orc(dir)
           .filter(col("n_chars") > 100)
@@ -802,7 +803,8 @@ object RelationalQueries {
     // first/steady split shows ingest vs read-path cost honestly.
     Q("q38_bucket_join",
       (s, d) => {
-        val base = s"/tmp/graft_bucketed/p${ProcessHandle.current().pid()}"
+        val base = graft.sources.TmpDirs.scratch(
+          s"/tmp/graft_bucketed/p${ProcessHandle.current().pid()}")
         Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
           .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$base/lineitem").saveAsTable("graft_li_bucketed")
@@ -854,7 +856,8 @@ object RelationalQueries {
     // lossless (quoting/escaping included).
     Q("q41_jsonl_source",
       (s, d) => {
-        val dir = s"/tmp/graft_jsonl/documents-${ProcessHandle.current().pid()}"
+        val dir = graft.sources.TmpDirs.scratch(
+          s"/tmp/graft_jsonl/documents-${ProcessHandle.current().pid()}")
         Tables.documents(s, d).write.mode("overwrite").json(dir)
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
