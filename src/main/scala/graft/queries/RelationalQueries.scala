@@ -847,6 +847,31 @@ object RelationalQueries {
            |FROM e ORDER BY zkey, event_id LIMIT 100""".stripMargin
       }),
 
+    // UNPIVOT — q32's inverse (wide → long), closing the reshape pair: a
+    // metrics table with one column per measure melts back to
+    // (key, measure, value) rows via `stack`, a generate-side expression
+    // that multiplies rows WITHOUT a shuffle (the melt happens inside the
+    // scan stage; the only exchange is q32's original cohort agg). The
+    // round-trip through wide form is the gate's proof the reshape is
+    // lossless: the oracle computes the long form directly.
+    Q("q42_unpivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = Tables.events(s, d)
+          .select((col("user_id") % 10).as("cohort"), col("event_type"))
+          .groupBy("cohort").pivot("event_type", types).agg(count(lit(1)))
+        val filled = types.foldLeft(wide)((df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L))))
+        val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
+        filled.select(col("cohort"),
+            expr(s"stack(${types.length}, $stackArgs) as (event_type, n)"))
+          .filter(col("n") > 0)
+          .orderBy("cohort", "event_type")
+      },
+      Some("""SELECT user_id % 10 AS cohort, event_type, count(*) AS n
+             |FROM events GROUP BY 1, 2 HAVING count(*) > 0
+             |ORDER BY 1, 2""".stripMargin)),
+
     // JSON-lines as a text interchange format (the third at-rest format
     // after parquet and q36's ORC): write documents as JSONL, read back
     // with an EXPLICIT schema — schema inference would cost a full extra
