@@ -195,6 +195,62 @@ object Similarity {
     }
   }
 
+  /** Nearest-centroid classification with INTEGER-exact arithmetic — the
+    * labeled-embedding companion to the IVF assignment kernel: per-label
+    * centroids are integer means of dimension-wise quantized coordinates
+    * (floor((x+1)·10⁶) — the +1 shift keeps every value positive so
+    * truncating and flooring division agree across engines), and every
+    * vector is assigned to the centroid with the smallest exact integer
+    * squared distance, ties to the smallest label. One corpus-scale
+    * shuffle (the centroid groupBy); classification itself is a
+    * broadcast-kernel pass with NO shuffle — the k×dim centroid matrix
+    * (~640 longs here) rides the closure exactly like the IVF centers.
+    * Every quantity is a pure integer function of the data, so a SQL
+    * oracle reproduces the confusion matrix cell-for-cell.
+    *
+    * Returns (label, predicted, n) — the confusion matrix in long form.
+    */
+  def centroidClassify(vectors: DataFrame, quantScale: Long = 1000000L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val q = vectors
+      .select(col("vec_id").cast("long"), col("label").cast("int"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "label", "i", "e")
+      .withColumn("v", floor((col("e") + lit(1.0)) * lit(quantScale)).cast("long"))
+    // k×dim integer centroid matrix — sketch-sized, contractual collect
+    val centRows = q.groupBy("label", "i")
+      .agg(expr("sum(v) div count(1)").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val labels = centRows.map(_._1).distinct.sorted
+    val dim = centRows.map(_._2).max + 1
+    val cents: Array[(Int, Array[Long])] = labels.map { l =>
+      val arr = new Array[Long](dim)
+      centRows.foreach { case (ll, i, c) => if (ll == l) arr(i) = c }
+      (l, arr)
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    vectors
+      .select(col("label").cast("int"), col("embedding").cast("array<double>"))
+      .as[(Int, Array[Double])]
+      .map { case (label, emb) =>
+        val cs = bc.value
+        val v = new Array[Long](emb.length)
+        var i = 0
+        while (i < emb.length) { v(i) = math.floor((emb(i) + 1.0) * quantScale).toLong; i += 1 }
+        var bestLabel = cs(0)._1
+        var bestDist = Long.MaxValue
+        cs.foreach { case (l, c) =>
+          var d = 0L; var j = 0
+          while (j < v.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+          if (d < bestDist || (d == bestDist && l < bestLabel)) { bestDist = d; bestLabel = l }
+        }
+        (label, bestLabel)
+      }
+      .toDF("label", "predicted")
+      .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+  }
+
   /** Incremental APPEND — the nightly-ingest path: assign new vectors to
     * the EXISTING centroids (one typed pass, the same nearest-cell kernel
     * as the build) and add them to the inverted file, leaving the trained

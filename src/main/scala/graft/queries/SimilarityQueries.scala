@@ -270,6 +270,34 @@ object SimilarityQueries {
       Some("""SELECT * FROM read_csv(
              |  '/root/repo/src/test/resources/golden_e12_ivf_append.csv',
              |  header=true, columns={'query_id':'BIGINT','neighbor_id':'BIGINT',
-             |    'rank':'BIGINT','cos':'DOUBLE'})""".stripMargin))
+             |    'rank':'BIGINT','cos':'DOUBLE'})""".stripMargin)),
+
+    // Nearest-centroid classification over the labeled embeddings —
+    // integer-exact (quantize, integer means, integer squared distances;
+    // Similarity.centroidClassify), so the confusion matrix is a pure
+    // function of the data and the oracle rebuilds it cell-for-cell.
+    // Scale shape: one shuffle (the centroid groupBy); classification is
+    // a broadcast-kernel pass with no shuffle, like the IVF assignment.
+    Q("e13_centroid_classify",
+      (s, d) => graft.operators.Similarity
+        .centroidClassify(Tables.embeddings(s, d))
+        .orderBy("label", "predicted"),
+      Some("""WITH q AS (
+             |  SELECT vec_id, label, i,
+             |    CAST(floor((CAST(embedding[i] AS DOUBLE) + 1.0) * 1000000) AS BIGINT) AS v
+             |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+             |cent AS (
+             |  SELECT label AS cand, i, CAST(sum(v) // count(*) AS BIGINT) AS c
+             |  FROM q GROUP BY 1, 2),
+             |dist AS (
+             |  SELECT q.vec_id, q.label, cent.cand,
+             |    sum((q.v - cent.c) * (q.v - cent.c)) AS dist
+             |  FROM q JOIN cent USING (i) GROUP BY 1, 2, 3),
+             |best AS (
+             |  SELECT vec_id, label, cand,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cand) AS rn
+             |  FROM dist)
+             |SELECT label, cand AS predicted, count(*) AS n
+             |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
