@@ -322,6 +322,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("centroidClassify is partitioning-invariant and self-consistent on separated labels") {
+    val s = spark
+    import s.implicits._
+    // two well-separated label clouds: classification must be perfect
+    val rnd = new scala.util.Random(11)
+    val pts = (0L until 200L).map { i =>
+      val lab = (i % 2).toInt
+      val base = if (lab == 0) -0.4 else 0.4
+      (i, Array.fill(16)((base + rnd.nextDouble() * 0.1).toFloat), lab)
+    }.toDF("vec_id", "embedding", "label")
+    def run(parts: Int) = Similarity.centroidClassify(pts.repartition(parts))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val r1 = run(1)
+    assert(r1 == run(7))
+    assert(r1 == Seq((0, 0, 100L), (1, 1, 100L)), s"misclassification: $r1")
+  }
+
   test("appendToIvf probes exactly like a one-pass assignment under the same centers") {
     val base = vectors.filter(col("vec_id") % 4 =!= 0)
     val delta = vectors.filter(col("vec_id") % 4 === 0)
