@@ -52,6 +52,13 @@ object Tables {
   def docCount(s: SparkSession, dir: String): Long =
     eventCountCache.getOrElseUpdate(
       (System.identityHashCode(s), s"$dir#documents"), documents(s, dir).count())
+
+  /** Row count of `customer`, cached per (session, dir) — same contract
+    * and rationale as `eventCount` (dimension-modulus scalar).
+    */
+  def custCount(s: SparkSession, dir: String): Long =
+    eventCountCache.getOrElseUpdate(
+      (System.identityHashCode(s), s"$dir#customer"), customer(s, dir).count())
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 }
 

@@ -103,6 +103,7 @@ object BpeLearner {
     words.count() // materialize before the loop
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var lastMaterialized = words // the cached seed matrix
     var step = 1
     var done = false
     while (step <= steps && !done) {
@@ -124,14 +125,19 @@ object BpeLearner {
         case None => done = true
         case Some((a, b, n)) =>
           merges += ((step, a, b, n))
-          val prev = words
-          words = prev.as[(Seq[String], Long)]
+          val mapped = words.as[(Seq[String], Long)]
             .map { case (syms, f) => (mergePair(syms, a, b), f) }
             .toDF("syms", "freq")
-            // truncate lineage each round (the d04 localCheckpoint lesson:
-            // an iterative plan otherwise grows by one explode per step)
-            .localCheckpoint(true)
-          prev.unpersist()
+          // truncate lineage every SECOND round (the d04 localCheckpoint
+          // lesson, halved: an iterative plan otherwise grows by one
+          // explode per step, but a depth-2 tail only recomputes one
+          // cheap map over the word matrix, and each skipped checkpoint
+          // saves a full materialization job)
+          if (step % 2 == 0 || step == steps) {
+            words = mapped.localCheckpoint(true)
+            lastMaterialized.unpersist()
+            lastMaterialized = words
+          } else words = mapped
           step += 1
       }
     }

@@ -32,13 +32,12 @@ object PageRank {
     * (`srcCol`, `dstCol`). Returns (node, mass_milli).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
-    // the distinct edge set feeds outdeg, the degree join AND both arms
-    // of the node union — checkpoint it ONCE so the edge-list shuffle
-    // isn't recomputed four times
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
-    // pre-shuffle the (static) edge side on the join key once; every
-    // iteration's join reuses this partitioning
+    // ONE materialization of the edge table: the degree self-join reads
+    // the distinct edge shuffle twice inside a single plan, which
+    // Catalyst's ReuseExchange serves from one shuffle write — so only
+    // the joined result needs a checkpoint, and `nodes` derives from the
+    // checkpoint instead of re-running the distinct
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eo = e.join(outdeg, "src")
       .repartition(col("src"))
@@ -47,8 +46,8 @@ object PageRank {
     // left join then consumes contrib's agg partitioning directly and the
     // edge join consumes the left join's — ONE exchange per iteration
     // (contrib's groupBy), not three
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
+    val nodes = eo.select(col("src").as("node"))
+      .union(eo.select(col("dst"))).distinct()
       .repartition(col("node")).localCheckpoint()
 
     var mass = nodes.withColumn("mass", lit(1000L))

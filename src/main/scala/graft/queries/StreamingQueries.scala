@@ -284,7 +284,7 @@ object StreamingQueries {
     // make the result micro-batch-order independent (the n13 lesson).
     Q("n20_stream_enrich",
       (s, d) => {
-        val nCust = Tables.customer(s, d).count()
+        val nCust = Tables.custCount(s, d)
         val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
           .join(Tables.nation(s, d).select(col("n_nationkey"), col("n_name")),
             col("c_nationkey") === col("n_nationkey"))
