@@ -847,6 +847,90 @@ object RelationalQueries {
            |FROM e ORDER BY zkey, event_id LIMIT 100""".stripMargin
       }),
 
+    // Incremental aggregate maintenance — the materialized-view refresh
+    // pattern (d13's exact-dedup sibling for AGGREGATES): a nightly delta
+    // (~25% hash split) must update per-source stats WITHOUT rescanning
+    // history. Counts/sums/min are algebraic, so the refresh is
+    // agg(history) ⊎ agg(delta) re-aggregated — the merge runs on TWO
+    // aggregate rows per source, never the data — and avg is derived
+    // from maintained sum/count at read time (never averaged averages).
+    // The oracle recomputes from scratch over the full table: merged
+    // refresh == full recompute, row for row.
+    Q("q43_incremental_agg",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val isNew = substring(md5(col("text")), 1, 1) < "4"
+        def partial(df: DataFrame) = df.groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+            min("doc_id").as("min_doc"))
+        partial(docs.filter(!isNew)).unionByName(partial(docs.filter(isNew)))
+          .groupBy("source")
+          .agg(sum("n").cast("long").as("n_docs"),
+            sum("sum_chars").cast("long").as("sum_chars"),
+            min("min_doc").as("min_doc"))
+          .withColumn("avg_chars_milli",
+            expr("sum_chars * 1000 div n_docs"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_doc,
+             |  CAST(sum(n_chars) * 1000 // count(*) AS BIGINT) AS avg_chars_milli
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Small-file COMPACTION — lake maintenance: a landing zone written in
+    // many tiny files (64 here, simulating per-task/per-trigger output)
+    // is rewritten into a few right-sized ones. The rewrite is a plain
+    // read → repartition(4) → write (at scale: target bytes/file via
+    // maxRecordsPerFile or repartitionByRange on the layout key); the
+    // gate proves the compaction is content-lossless by aggregating the
+    // compacted copy against the original table's oracle, and the file
+    // counts are asserted in-query so a silent no-op compaction fails.
+    Q("q44_compaction",
+      (s, d) => {
+        val base = graft.sources.TmpDirs.scratch(
+          s"/tmp/graft_compact/p${ProcessHandle.current().pid()}")
+        Tables.documents(s, d).repartition(64)
+          .write.mode("overwrite").parquet(s"$base/landing")
+        def files(p: String): Long =
+          s.read.parquet(p).select(input_file_name()).distinct().count()
+        val before = files(s"$base/landing")
+        s.read.parquet(s"$base/landing").repartition(4)
+          .write.mode("overwrite").parquet(s"$base/compacted")
+        val after = files(s"$base/compacted")
+        require(before >= 60 && after <= 4, s"compaction no-op: $before -> $after")
+        s.read.parquet(s"$base/compacted")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // FULL OUTER join — the one join type the catalog lacked (inner q06,
+    // broadcast q07, left/lag q08, anti q19, semi q20, as-of q28, range
+    // q29): users who clicked vs users who purchased, keeping both
+    // unmatched sides with explicit zero-fill.
+    Q("q45_full_outer",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("bu")).agg(count(lit(1)).as("n_buys"))
+        clicks.join(buys, col("cu") === col("bu"), "full_outer")
+          .select(coalesce(col("cu"), col("bu")).as("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_buys"), lit(0L)).as("n_buys"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id AS cu, count(*) AS n_clicks FROM events
+             |  WHERE event_type = 'click' GROUP BY 1),
+             |b AS (SELECT user_id AS bu, count(*) AS n_buys FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT coalesce(cu, bu) AS user_id,
+             |  coalesce(n_clicks, 0) AS n_clicks, coalesce(n_buys, 0) AS n_buys
+             |FROM c FULL OUTER JOIN b ON cu = bu ORDER BY 1""".stripMargin)),
+
     // UNPIVOT — q32's inverse (wide → long), closing the reshape pair: a
     // metrics table with one column per measure melts back to
     // (key, measure, value) rows via `stack`, a generate-side expression
