@@ -34,6 +34,13 @@ final class Kalman7 private (var x: DenseVector[Double], var P: DenseMatrix[Doub
     val ikh = DenseMatrix.eye[Double](7) - k * H
     P = ikh * P * ikh.t + k * R * k.t
   }
+
+  /** Flat state snapshot (x: 7, P: 49 column-major) — the compact
+    * streaming-state form; restore via [[Kalman7.restore]] is exact
+    * (same doubles, bit for bit).
+    */
+  private[ops] def snapshotX: Array[Double] = x.toArray
+  private[ops] def snapshotP: Array[Double] = P.copy.data
 }
 
 object Kalman7 {
@@ -73,5 +80,13 @@ object Kalman7 {
     x0(0 until 4) := bboxToZ(x1, y1, x2, y2)
     val p0 = breeze.linalg.diag(DenseVector(10.0, 10.0, 10.0, 10.0, 10000.0, 10000.0, 10000.0))
     new Kalman7(x0, p0)
+  }
+
+  /** Rebuild a filter from a flat snapshot (exact inverse of
+    * snapshotX/snapshotP).
+    */
+  private[ops] def restore(x: Array[Double], p: Array[Double]): Kalman7 = {
+    require(x.length == 7 && p.length == 49, "bad Kalman7 snapshot shape")
+    new Kalman7(DenseVector(x.clone()), new DenseMatrix(7, 7, p.clone()))
   }
 }

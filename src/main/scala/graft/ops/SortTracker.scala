@@ -98,19 +98,58 @@ final class SortTracker(
     }
     out.reverse.toArray
   }
+
+  /** Flat, product-encodable state snapshot — the compact streaming-state
+    * form ([[SortTracker.restore]] is its exact inverse). Per track:
+    * 4 ints + 56 doubles (~470 bytes as an UnsafeRow) versus a kryo blob
+    * of the object graph (class metadata + Breeze matrix wrappers per
+    * track); and the state-store row no longer depends on kryo's
+    * class-layout stability across library versions.
+    */
+  def snapshot: SortTracker.Snapshot =
+    SortTracker.Snapshot(frameCount, nextId, trackers.map(_.snap).toSeq)
 }
 
 object SortTracker {
+
+  /** One track's flat state: lifecycle counters + Kalman x (7) and P (49,
+    * column-major).
+    */
+  final case class TrackSnap(id: Int, timeSinceUpdate: Int, hitStreak: Int,
+                             age: Int, x: Seq[Double], p: Seq[Double])
+
+  /** Whole-tracker flat state. */
+  final case class Snapshot(frameCount: Int, nextId: Int, tracks: Seq[TrackSnap])
+
+  /** Rebuild a tracker from a snapshot (exact: restored doubles are the
+    * snapshot's, bit for bit; spec-checked by a mid-stream
+    * snapshot/restore producing identical subsequent output).
+    */
+  def restore(s: Snapshot, maxAge: Int = 1, minHits: Int = 3,
+              iouThreshold: Double = 0.3): SortTracker = {
+    val tr = new SortTracker(maxAge, minHits, iouThreshold)
+    tr.frameCount = s.frameCount
+    tr.nextId = s.nextId
+    s.tracks.foreach(ts => tr.trackers += Track.restore(ts))
+    tr
+  }
   /** One detection: [x1,y1,x2,y2] + score. */
   final case class Det(x1: Double, y1: Double, x2: Double, y2: Double, score: Double)
   final case class TrackOut(trackId: Int, x1: Double, y1: Double, x2: Double, y2: Double)
 
   /** One live track: Kalman filter + lifecycle counters (sort.py:94-151). */
-  private final class Track(val id: Int, first: Det) extends Serializable {
-    private val kf = Kalman7.fromBbox(first.x1, first.y1, first.x2, first.y2)
+  private final class Track private (private val kf: Kalman7) extends Serializable {
+    def this(trackId: Int, first: Det) = {
+      this(Kalman7.fromBbox(first.x1, first.y1, first.x2, first.y2))
+      id = trackId
+    }
+    var id: Int = 0
     var timeSinceUpdate = 0
     var hitStreak = 0
     var age = 0
+
+    def snap: TrackSnap = TrackSnap(id, timeSinceUpdate, hitStreak, age,
+      kf.snapshotX.toSeq, kf.snapshotP.toSeq)
 
     def predict(): Unit = {
       if (kf.x(6) + kf.x(2) <= 0) kf.x(6) = 0.0
@@ -127,5 +166,16 @@ object SortTracker {
     }
 
     def bbox: (Double, Double, Double, Double) = Kalman7.xToBbox(kf.x)
+  }
+
+  private object Track {
+    def restore(s: TrackSnap): Track = {
+      val t = new Track(Kalman7.restore(s.x.toArray, s.p.toArray))
+      t.id = s.id
+      t.timeSinceUpdate = s.timeSinceUpdate
+      t.hitStreak = s.hitStreak
+      t.age = s.age
+      t
+    }
   }
 }

@@ -32,8 +32,12 @@ object StreamingOps {
                   iouThreshold: Double = 0.3): DataFrame = {
     val spark = dets.sparkSession
     import spark.implicits._
+    // COMPACT state: the tracker's flat snapshot (ints + double arrays)
+    // under the product encoder — an UnsafeRow of ~470 bytes/track the
+    // state store can hold without kryo (no object-graph metadata, no
+    // dependence on Breeze class layout; see SortTracker.snapshot)
     implicit val stateEnc: org.apache.spark.sql.Encoder[TrackerState] =
-      Encoders.kryo[TrackerState]
+      Encoders.product[TrackerState]
     // counts rows that arrived in a later micro-batch than a frame the
     // tracker already processed — observable via
     // spark.sparkContext.longAccumulator registry / the Spark UI
@@ -48,8 +52,10 @@ object StreamingOps {
       .groupByKey(_.stream_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (sid: Long, it: Iterator[DetRow], state: GroupState[TrackerState]) =>
-          val st = state.getOption.getOrElse(
-            TrackerState(new SortTracker(maxAge, minHits, iouThreshold), -1L))
+          val tracker = state.getOption
+            .map(s => SortTracker.restore(s.snap, maxAge, minHits, iouThreshold))
+            .getOrElse(new SortTracker(maxAge, minHits, iouThreshold))
+          val st = TrackerLoop(tracker, state.getOption.map(_.lastFrame).getOrElse(-1L))
           // within-frame order is part of SORT's observable behavior (as in
           // the batch path, Tracking.track): sort the full tuple so
           // micro-batch arrival order never leaks into track-id assignment
@@ -82,7 +88,7 @@ object StreamingOps {
               last = f
             }
           }
-          state.update(TrackerState(st.tracker, last))
+          state.update(TrackerState(st.tracker.snapshot, last))
           out.result().iterator
       }
       .toDF()
@@ -173,6 +179,12 @@ object StreamingOps {
         col("n"), col("sum_quality"))
 }
 
-final case class TrackerState(tracker: SortTracker, lastFrame: Long)
+/** Compact streaming tracker state: the tracker's flat snapshot + the
+  * last processed frame. Product-encoded (UnsafeRow) — no kryo.
+  */
+final case class TrackerState(snap: SortTracker.Snapshot, lastFrame: Long)
+
+/** In-batch working pair (never stored). */
+final case class TrackerLoop(tracker: SortTracker, lastFrame: Long)
 final case class SwitcherState(switcher: Switcher, var first: Boolean,
                                var curScore: Double, var lastChunk: Long = -1L)

@@ -16,6 +16,27 @@ class SortTrackerSpec extends AnyFunSuite {
     assert(ids.distinct.length == 1, s"expected one id, got ${ids.distinct}")
   }
 
+  test("mid-stream snapshot/restore continues bit-identically to the original") {
+    // two crossing objects + a death/respawn so the snapshot carries live,
+    // coasting AND recently-spawned tracks
+    def dets(f: Int): Array[Det] = {
+      val a = if (f < 25 || f > 30) Seq(box(100 + 4.0 * f, 200 + 1.0 * f)) else Seq.empty
+      val b = Seq(box(600 - 4.0 * f, 210 + 1.0 * f))
+      (a ++ b).toArray
+    }
+    val full = new SortTracker()
+    val expected = (0 until 40).map(f => full.update(dets(f)).toSeq)
+
+    val first = new SortTracker()
+    (0 until 17).foreach(f => first.update(dets(f)))
+    val resumed = SortTracker.restore(first.snapshot)
+    val tail = (17 until 40).map(f => resumed.update(dets(f)).toSeq)
+    // exact equality, doubles included: restore is bit-faithful
+    assert(tail == expected.drop(17))
+    // and the restored tracker keeps evolving independently of the donor
+    assert(SortTracker.restore(first.snapshot).update(dets(17)).toSeq == expected(17))
+  }
+
   test("two well-separated objects get distinct persistent ids") {
     val t = new SortTracker()
     val perFrame = (0 until 15).map { f =>
