@@ -28,6 +28,15 @@ final class SimBuffer(
   def computedPlan(): Unit =
     if (objTimes.nonEmpty) objTimes(0) += plannerRuntime
 
+  /** Flat queue snapshot (sizes, times) — exact restore counterpart. */
+  def snapshot: (Seq[Double], Seq[Double]) = (objSizes.toSeq, objTimes.toSeq)
+
+  /** Load a queue snapshot into this (fresh) buffer. */
+  def restore(sizes: Seq[Double], times: Seq[Double]): Unit = {
+    objSizes.clear(); objSizes ++= sizes
+    objTimes.clear(); objTimes ++= times
+  }
+
   /** Admission check (buffer.py:32-33). */
   def fits(runtime: Double): Boolean =
     objTimes.sum + runtime <= timeCap

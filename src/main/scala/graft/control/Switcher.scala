@@ -99,6 +99,38 @@ final class Switcher(
 
     (chosen.knobConfig, chosen.placementId, chosen.cloudCost, chosen.runtime)
   }
+
+  /** Flat snapshot of the MUTABLE state only — the static config
+    * (profiles, categories, planner, priority lists) is rebuilt by the
+    * caller's `mkSwitcher()` factory, so the streaming state row carries
+    * just counters + plan matrix + buffer queue (product-encodable, no
+    * kryo). [[restore]] into a freshly built Switcher is exact.
+    */
+  def snapshot: Switcher.Snapshot = {
+    val (bs, bt) = buffer.snapshot
+    Switcher.Snapshot(curKnob, counter, categoryCounter.toSeq,
+      usedConfigsCounter.map(_.toSeq).toSeq,
+      Option(planM).map(_.map(_.toSeq).toSeq), bs, bt)
+  }
+
+  /** Load a snapshot into this (freshly constructed) instance. */
+  def restore(s: Switcher.Snapshot): Unit = {
+    curKnob = s.curKnob
+    counter = s.counter
+    categoryCounter = s.categoryCounter.toArray
+    usedConfigsCounter = s.usedConfigsCounter.map(_.toArray).toArray
+    planM = s.planM.map(_.map(_.toArray).toArray).orNull
+    buffer.restore(s.bufferSizes, s.bufferTimes)
+  }
+}
+
+object Switcher {
+  /** The switcher's mutable state, flattened for the product encoder. */
+  final case class Snapshot(curKnob: Int, counter: Int,
+                            categoryCounter: Seq[Double],
+                            usedConfigsCounter: Seq[Seq[Double]],
+                            planM: Option[Seq[Seq[Double]]],
+                            bufferSizes: Seq[Double], bufferTimes: Seq[Double])
 }
 
 /** Chunk-level replay of the online phase (reference: simulate.py).

@@ -100,8 +100,12 @@ object StreamingOps {
   def switchStream(chunks: DataFrame, mkSwitcher: () => Switcher): DataFrame = {
     val spark = chunks.sparkSession
     import spark.implicits._
+    // compact state, same contract as trackStream: only the switcher's
+    // MUTABLE state rides the state store (counters + plan + buffer
+    // queue as a product-encoded row); the static profile/planner config
+    // is rebuilt from mkSwitcher() on every restore
     implicit val stateEnc: org.apache.spark.sql.Encoder[SwitcherState] =
-      Encoders.kryo[SwitcherState]
+      Encoders.product[SwitcherState]
     // same contract as trackStream: a chunk the switcher already decided
     // past must not re-enter the sequential decision loop
     val lateRows = spark.sparkContext.longAccumulator("graft.switchStream.lateRows")
@@ -113,25 +117,28 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (sid: Long, it: Iterator[(Long, Long, Double, Double, Double)],
          state: GroupState[SwitcherState]) =>
-          val st = state.getOption.getOrElse(
-            SwitcherState(mkSwitcher(), first = true, 0.0, -1L))
+          val switcher = mkSwitcher()
+          state.getOption.foreach(s => switcher.restore(s.snap))
+          var first = state.getOption.forall(_.first)
+          var curScore = state.getOption.map(_.curScore).getOrElse(0.0)
+          var lastChunk = state.getOption.map(_.lastChunk).getOrElse(-1L)
           val rows = it.toSeq.sortBy(_._2)
-          val (late, ordered) = rows.partition(_._2 <= st.lastChunk)
+          val (late, ordered) = rows.partition(_._2 <= lastChunk)
           if (late.nonEmpty) lateRows.add(late.size.toLong)
           val out = ordered.map { case (_, chunkId, s0, s1, s2) =>
             val scores = Array(s0, s1, s2)
-            st.lastChunk = chunkId
-            if (st.first) {
-              st.first = false
-              st.curScore = scores(0)
-              (sid, chunkId, 0, 0, 0.0, 0.0, st.curScore)
+            lastChunk = chunkId
+            if (first) {
+              first = false
+              curScore = scores(0)
+              (sid, chunkId, 0, 0, 0.0, 0.0, curScore)
             } else {
-              val (config, placement, cost, rt) = st.switcher.switch(st.curScore)
-              st.curScore = scores(config)
-              (sid, chunkId, config, placement, cost, rt, st.curScore)
+              val (config, placement, cost, rt) = switcher.switch(curScore)
+              curScore = scores(config)
+              (sid, chunkId, config, placement, cost, rt, curScore)
             }
           }
-          state.update(st)
+          state.update(SwitcherState(switcher.snapshot, first, curScore, lastChunk))
           out.iterator
       }
       .toDF("stream_id", "chunk_id", "config", "placement", "cloud_cost", "runtime_s", "score")
@@ -186,5 +193,8 @@ final case class TrackerState(snap: SortTracker.Snapshot, lastFrame: Long)
 
 /** In-batch working pair (never stored). */
 final case class TrackerLoop(tracker: SortTracker, lastFrame: Long)
-final case class SwitcherState(switcher: Switcher, var first: Boolean,
-                               var curScore: Double, var lastChunk: Long = -1L)
+/** Compact streaming switcher state: mutable-state snapshot + replay
+  * cursor. Product-encoded (UnsafeRow) — no kryo.
+  */
+final case class SwitcherState(snap: Switcher.Snapshot, first: Boolean,
+                               curScore: Double, lastChunk: Long)
