@@ -82,6 +82,46 @@ object MultimodalQueries {
              |FROM (VALUES
              |  (0, 597, 4410316, 29594553), (1, 596, 4401650, 29605262),
              |  (2, 598, 4414286, 29497728), (3, 594, 4390892, 29314404)
-             |) t(stream_id, n_chunks, sum_energy_q, sum_zcr_q)""".stripMargin))
+             |) t(stream_id, n_chunks, sum_energy_q, sum_zcr_q)""".stripMargin)),
+
+    // Scene-cut KEYFRAME selection — the sampling stage between decode
+    // and feature-extract a real video pipeline runs (shot-boundary
+    // detection on frame-statistic deltas; reference cadence sampling is
+    // the degenerate fixed-stride form, covid_measures.py:271-277). A
+    // frame is a keyframe iff it opens the stream or its mean luma jumps
+    // more than a threshold vs the previous frame — one lag window per
+    // stream, state O(1) per stream, the same shape the streaming tracker
+    // partitions by. Downstream (detector, feature extract) then runs on
+    // the keyframes only: content-adaptive decimation instead of m01's
+    // fixed stride.
+    Q("m04_scene_cuts",
+      (s, d) => {
+        val nStreams = math.max(Tables.eventCount(s, d) / 2500L, 1L)
+        val lumas = Multimodal.decodeStub(
+          Multimodal.syntheticFrames(Tables.events(s, d), nStreams))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("stream_id").orderBy("frame")
+        val keyed = lumas
+          .withColumn("prev", lag("mean_luma", 1).over(w))
+          .withColumn("is_key",
+            col("prev").isNull || abs(col("mean_luma") - col("prev")) > 12.0)
+        keyed.filter(col("is_key"))
+          .groupBy("stream_id")
+          .agg(count(lit(1)).as("n_keyframes"),
+            min("frame").as("first_key"), max("frame").as("last_key"),
+            floor(sum("mean_luma") * 100).cast("long").as("sum_luma_q"))
+          .join(keyed.groupBy("stream_id").agg(count(lit(1)).as("n_frames")), "stream_id")
+          .select("stream_id", "n_frames", "n_keyframes", "first_key", "last_key", "sum_luma_q")
+          .orderBy("stream_id")
+      },
+      // deterministic synthetic payloads + stub decode → literal sf0.01
+      // gate golden (stability-checked across 4/8/16-core runs)
+      Some("""SELECT stream_id::BIGINT AS stream_id, n_frames::BIGINT AS n_frames,
+             |  n_keyframes::BIGINT AS n_keyframes, first_key::BIGINT AS first_key,
+             |  last_key::BIGINT AS last_key, sum_luma_q::BIGINT AS sum_luma_q
+             |FROM (VALUES
+             |  (0, 597, 250, 0, 592, 3183021), (1, 596, 231, 0, 596, 2931473),
+             |  (2, 598, 234, 0, 594, 2988326), (3, 594, 226, 0, 597, 2856996)
+             |) t(stream_id, n_frames, n_keyframes, first_key, last_key, sum_luma_q)""".stripMargin))
   )
 }
