@@ -1067,11 +1067,19 @@ object TextQueries {
           .select(explode(tokens(col("text"))).as("w"))
         def bucket(i: Int) = expr(
           s"cast(conv(substring(md5(concat('$i#', w)), 1, 8), 16, 10) as bigint) % $w")
+        // ONE corpus pass (the exact counts); each CMS row then aggregates
+        // the count TABLE — cms_i[b] = Σ count(w) over words hashing to b,
+        // identical to counting occurrences directly, but the md5 family
+        // runs once per DISTINCT word instead of once per occurrence
+        // (measured 6.2 s → sub-second at sf0.1). On a real stream the
+        // occurrence-level form is the mergeable one; over a table the
+        // count-collapse is free.
         val exact = words.groupBy("w").agg(count(lit(1)).as("exact_n"))
+          .localCheckpoint(true) // consumed 3x (2 sketches + estimate join)
         var cur = exact
         for (i <- 0 until 2) {
-          val cms = words.groupBy(bucket(i).as(s"b$i"))
-            .agg(count(lit(1)).as(s"cms$i"))
+          val cms = exact.groupBy(bucket(i).as(s"b$i"))
+            .agg(sum("exact_n").as(s"cms$i"))
           cur = cur.join(broadcast(cms), bucket(i) === col(s"b$i")).drop(s"b$i")
         }
         cur.select(col("w"), col("exact_n"),
