@@ -847,6 +847,51 @@ object RelationalQueries {
            |FROM e ORDER BY zkey, event_id LIMIT 100""".stripMargin
       }),
 
+    // Time-grid RESAMPLING + forward fill — the feature-pipeline gap
+    // filler (sensor dropout, silent days): each user's sparse daily
+    // readings expand onto their full [first, last] day grid (`sequence`
+    // + explode — per-key bounded by the key's own time span, never a
+    // global cross join) and missing days carry the last observed value
+    // forward via an ignore-nulls window. Readings are integer-quantized
+    // so carried values compare exactly cross-engine.
+    Q("q46_gap_fill",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(Tables.tsFromNanos(col("ts"))).as("day"),
+            col("event_id"), floor(col("value") * 1000).cast("long").as("v_milli"))
+        val daily = ev.groupBy("user_id", "day")
+          .agg(expr("max_by(v_milli, event_id)").as("v_milli"))
+        val grid = ev.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("v_milli").isNotNull.as("observed"),
+            last("v_milli", ignoreNulls = true).over(w).as("v_milli"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+             |    CAST(floor(value * 1000) AS BIGINT) AS v_milli FROM events),
+             |daily AS (
+             |  SELECT user_id, day, arg_max(v_milli, event_id) AS v_milli
+             |  FROM ev GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(min(day), max(day),
+             |    INTERVAL 1 DAY))::DATE AS day
+             |  FROM ev GROUP BY user_id)
+             |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+             |  d.v_milli IS NOT NULL AS observed,
+             |  last_value(d.v_milli IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_milli
+             |FROM grid g LEFT JOIN daily d USING (user_id, day)
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Incremental aggregate maintenance — the materialized-view refresh
     // pattern (d13's exact-dedup sibling for AGGREGATES): a nightly delta
     // (~25% hash split) must update per-source stats WITHOUT rescanning
