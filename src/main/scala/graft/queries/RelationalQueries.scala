@@ -976,6 +976,51 @@ object RelationalQueries {
              |  coalesce(n_clicks, 0) AS n_clicks, coalesce(n_buys, 0) AS n_buys
              |FROM c FULL OUTER JOIN b ON cu = bu ORDER BY 1""".stripMargin)),
 
+    // Windowed z-score ANOMALY detection — the monitoring/feature shape:
+    // each reading scores against its own trailing 20-event window. The
+    // moments come from exact integer sums (the n08 trick), so
+    // z = (v·n − s) / √(n·q − s²) is one IEEE sqrt + one division over
+    // integers both engines computed identically — the 4dp-rounded score
+    // hash-compares. Constant windows (zero variance) are excluded by an
+    // integer predicate, not a float epsilon. Streaming twin: the same
+    // expression over a watermarked sliding window.
+    Q("q47_zscore_anomaly",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-20, -1)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("v"))
+          .select(col("user_id"), col("event_id"), col("v"),
+            count(col("v")).over(w).as("n"),
+            sum(col("v")).over(w).as("sv"),
+            sum(col("v") * col("v")).over(w).as("sq"))
+          .filter(col("n") === 20 && col("n") * col("sq") > col("sv") * col("sv"))
+          .withColumn("z_raw",
+            (col("v") * col("n") - col("sv")) /
+              sqrt((col("n") * col("sq") - col("sv") * col("sv")).cast("double")))
+          // threshold on the RAW score (as the oracle does), round only
+          // for the output hash
+          .filter(abs(col("z_raw")) > lit(2.5))
+          .select(col("user_id"), col("event_id"), col("v"),
+            round(col("z_raw"), 4).as("z"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT user_id, event_id, CAST(floor(value * 1000) AS BIGINT) AS v
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, v,
+             |    count(v) OVER w AS n, sum(v) OVER w AS sv, sum(v * v) OVER w AS sq
+             |  FROM q
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, event_id, v,
+             |  round((v * n - sv) / sqrt(CAST(n * sq - sv * sv AS DOUBLE)), 4) AS z
+             |FROM m
+             |WHERE n = 20 AND n * sq > sv * sv
+             |  AND abs((v * n - sv) / sqrt(CAST(n * sq - sv * sv AS DOUBLE))) > 2.5
+             |ORDER BY 1, 2""".stripMargin)),
+
     // UNPIVOT — q32's inverse (wide → long), closing the reshape pair: a
     // metrics table with one column per measure melts back to
     // (key, measure, value) rows via `stack`, a generate-side expression
