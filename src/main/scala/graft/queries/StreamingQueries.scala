@@ -355,7 +355,38 @@ object StreamingQueries {
              |       ELSE (31 * 1099511627776) //
              |            CAST(concat('0x', substring(max(CASE WHEN rn <= 32 THEN h END), 1, 10)) AS BIGINT)
              |       END AS BIGINT) AS est_distinct
-             |FROM r GROUP BY w, cnt ORDER BY 1""".stripMargin))
+             |FROM r GROUP BY w, cnt ORDER BY 1""".stripMargin)),
+
+    // q47's STREAMING twin: per-user ring-buffer z-score anomaly
+    // detection as custom FMGWS state (StreamingOps.zscoreStream — last
+    // 20 readings per key as a product-encoded long ring, O(window)
+    // state per key forever). The oracle is q47's batch SQL verbatim:
+    // streaming over the bounded replay == the batch trailing window,
+    // arithmetic included (same exact integer moments, same one sqrt +
+    // one division, same HALF_UP output rounding).
+    Q("n22_stream_anomaly",
+      (s, d) => {
+        val src = s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]")
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("v"))
+        runToTable(s, StreamingOps.zscoreStream(src), "append")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT user_id, event_id, CAST(floor(value * 1000) AS BIGINT) AS v
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, v,
+             |    count(v) OVER w AS n, sum(v) OVER w AS sv, sum(v * v) OVER w AS sq
+             |  FROM q
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, event_id, v,
+             |  round((v * n - sv) / sqrt(CAST(n * sq - sv * sv AS DOUBLE)), 4) AS z
+             |FROM m
+             |WHERE n = 20 AND n * sq > sv * sv
+             |  AND abs((v * n - sv) / sqrt(CAST(n * sq - sv * sv AS DOUBLE))) > 2.5
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   private val sessionSchema = StructType(Seq(

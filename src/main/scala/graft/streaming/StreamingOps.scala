@@ -144,6 +144,60 @@ object StreamingOps {
       .toDF("stream_id", "chunk_id", "config", "placement", "cloud_cost", "runtime_s", "score")
   }
 
+  /** Streaming windowed z-score anomaly detection (q47's streaming twin):
+    * per key, a bounded ring of the last `window` integer readings rides
+    * the state store (product-encoded longs — the compact-state
+    * convention); each arriving reading scores against the ring BEFORE
+    * being pushed, emitting only |z| > threshold. State is O(window) per
+    * key forever; the same late-arrival contract as trackStream (rows at
+    * or before the last scored event are dropped and counted, never
+    * reordered into the ring).
+    */
+  def zscoreStream(readings: DataFrame, window: Int = 20,
+                   threshold: Double = 2.5): DataFrame = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: org.apache.spark.sql.Encoder[ZscoreState] =
+      Encoders.product[ZscoreState]
+    val lateRows = spark.sparkContext.longAccumulator("graft.zscoreStream.lateRows")
+    readings.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("v").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[(Long, Long, Long)], state: GroupState[ZscoreState]) =>
+          val st = state.getOption.getOrElse(ZscoreState(Seq.empty, -1L))
+          val ring = scala.collection.mutable.Queue(st.ring: _*)
+          var lastEvent = st.lastEvent
+          val rows = it.toSeq.sortBy(_._2)
+          val (late, ordered) = rows.partition(_._2 <= lastEvent)
+          if (late.nonEmpty) lateRows.add(late.size.toLong)
+          val out = Seq.newBuilder[(Long, Long, Long, Double)]
+          ordered.foreach { case (_, eid, v) =>
+            if (ring.size == window) {
+              val n = ring.size.toLong
+              val sv = ring.sum
+              val sq = ring.map(x => x * x).sum
+              // exact integer moments; one sqrt + one division — the same
+              // arithmetic (same doubles) as the batch q47 expression
+              if (n * sq > sv * sv) {
+                val z = (v * n - sv).toDouble / math.sqrt((n * sq - sv * sv).toDouble)
+                if (math.abs(z) > threshold)
+                  // HALF_UP to match the batch expression's round(z, 4)
+                  out += ((uid, eid, v, BigDecimal(z)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              }
+            }
+            ring.enqueue(v)
+            if (ring.size > window) { ring.dequeue(); () }
+            lastEvent = eid
+          }
+          state.update(ZscoreState(ring.toSeq, lastEvent))
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "v", "z")
+  }
+
   /** Streaming exact dedup: drop documents whose content fingerprint was
     * already seen within the watermark horizon (state is bounded by the
     * watermark — the streaming form of Dedup.exact for a 100 TB ingest
@@ -193,6 +247,11 @@ final case class TrackerState(snap: SortTracker.Snapshot, lastFrame: Long)
 
 /** In-batch working pair (never stored). */
 final case class TrackerLoop(tracker: SortTracker, lastFrame: Long)
+
+/** Compact streaming z-score state: last-`window` readings + replay
+  * cursor. Product-encoded (UnsafeRow) — no kryo.
+  */
+final case class ZscoreState(ring: Seq[Long], lastEvent: Long)
 /** Compact streaming switcher state: mutable-state snapshot + replay
   * cursor. Product-encoded (UnsafeRow) — no kryo.
   */
