@@ -1170,6 +1170,35 @@ object TextQueries {
            |FROM vc JOIN e2 USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // Cross-SOURCE contamination audit — which pairs of ingest sources
+    // share document OPENINGS (8-token prefix fingerprints: the shared
+    // boilerplate/header signal; whole-document fps never cross sources
+    // here — d01's dups are within-source). Reduce to DISTINCT (source,
+    // prefix_fp) first — after that a fingerprint contributes at most
+    // |sources| rows, so the self-join is bounded by sources²/2 per fp
+    // BY CONSTRUCTION (no hot-key cap needed, unlike content-level
+    // joins), and the corpus is touched by exactly one shuffle.
+    Q("d15_cross_source_dups",
+      (s, d) => {
+        val fps = Tables.documents(s, d)
+          .select(col("source"),
+            md5(concat_ws(" ", slice(tokens(col("text")), 1, 8))).as("fp"))
+          .distinct()
+        val a = fps.alias("a"); val b = fps.alias("b")
+        a.join(b, col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared_fps"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH fps AS (
+             |  SELECT DISTINCT source,
+             |    md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[1:8], ' ')) AS fp
+             |  FROM documents)
+             |SELECT a.source AS source_a, b.source AS source_b,
+             |  count(*) AS n_shared_fps
+             |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // End-to-end ENTITY RESOLUTION — the record-linkage composite the
     // individual pieces exist for (blocking d06, edit-distance scoring
     // d05, cluster collapse d04), run as one pipeline over the part-name
