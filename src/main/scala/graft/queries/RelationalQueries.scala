@@ -976,6 +976,33 @@ object RelationalQueries {
              |  coalesce(n_clicks, 0) AS n_clicks, coalesce(n_buys, 0) AS n_buys
              |FROM c FULL OUTER JOIN b ON cu = bu ORDER BY 1""".stripMargin)),
 
+    // Correlated-subquery pattern, decorrelated: "parts priced above
+    // their brand's average" — the classic `WHERE price > (SELECT avg …
+    // WHERE brand = outer.brand)` rewritten as the join-with-grouped-agg
+    // Catalyst produces anyway, with the threshold integer-quantized so
+    // the comparison is exact cross-engine. The oracle keeps the
+    // correlated-subquery spelling — proving the decorrelated plan
+    // computes the same relation.
+    Q("q48_above_avg",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .withColumn("price_milli", floor(col("p_retailprice") * 1000).cast("long"))
+        val brandAvg = p.groupBy(col("p_brand").as("b"))
+          .agg(expr("sum(price_milli) div count(1)").as("avg_milli"))
+        p.join(broadcast(brandAvg), col("p_brand") === col("b"))
+          .filter(col("price_milli") > col("avg_milli"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_above"), max("price_milli").as("max_milli"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH p AS (SELECT p_brand, p_partkey,
+             |    CAST(floor(p_retailprice * 1000) AS BIGINT) AS price_milli FROM part)
+             |SELECT p_brand, count(*) AS n_above, max(price_milli) AS max_milli
+             |FROM p o
+             |WHERE price_milli > (SELECT sum(price_milli) // count(*) FROM p i
+             |                     WHERE i.p_brand = o.p_brand)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Windowed z-score ANOMALY detection — the monitoring/feature shape:
     // each reading scores against its own trailing 20-event window. The
     // moments come from exact integer sums (the n08 trick), so

@@ -1256,6 +1256,52 @@ object TextQueries {
              |JOIN names r ON r.name_id = c.cluster_id
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Dataset PROFILING card — the per-source summary every corpus
+    // release ships (HF dataset cards / Gopher §A3): volume, exact
+    // vocabulary size, mean length, quality-pass share and exact-dup
+    // rate in ONE pass over the corpus plus one over the distinct-word
+    // and fingerprint tables (each a bounded aggregate; the vocab count
+    // is t11's exact two-phase shape, not a sketch, because the gate
+    // wants the exact card — t18's KMV is the 100 TB variant).
+    Q("t25_corpus_profile",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            size(tokens(col("text"))).as("n_words"),
+            stopwordHits(col("text"), enStopwords).as("stop_hits"),
+            fingerprint(col("text")).as("fp"))
+        val base = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_words").cast("long").as("total_words"),
+            expr("sum(n_words) * 1000 div count(1)").as("mean_words_milli"),
+            sum(when(col("n_words") >= 20 && col("stop_hits") > 0, 1L)
+              .otherwise(0L)).cast("long").as("n_quality_ok"))
+        val vocab = Tables.documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("w"))
+          .groupBy("source").agg(countDistinct("w").as("vocab"))
+        val dups = docs.groupBy("source")
+          .agg((count(lit(1)) - countDistinct("fp")).cast("long").as("n_exact_dups"))
+        base.join(vocab, "source").join(dups, "source")
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+             |    len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS stop_hits,
+             |    md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+             |  FROM documents),
+             |v AS (
+             |  SELECT source, count(DISTINCT w) AS vocab
+             |  FROM (SELECT source, unnest(ws) AS w FROM t) GROUP BY 1)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(len(ws)) AS BIGINT) AS total_words,
+             |  CAST(sum(len(ws)) * 1000 // count(*) AS BIGINT) AS mean_words_milli,
+             |  CAST(sum(CASE WHEN len(ws) >= 20 AND stop_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_quality_ok,
+             |  any_value(v.vocab) AS vocab,
+             |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+             |FROM t JOIN v USING (source) GROUP BY source ORDER BY source""".stripMargin)),
+
     // Quality-WEIGHTED deterministic sampling (the DCLM/FineWeb move:
     // don't hard-threshold quality, downsample in proportion to it).
     // Each doc computes an integer milli-quality (stopword density) and a
