@@ -237,7 +237,15 @@ object Similarity {
         val cs = bc.value
         val v = new Array[Long](emb.length)
         var i = 0
-        while (i < emb.length) { v(i) = math.floor((emb(i) + 1.0) * quantScale).toLong; i += 1 }
+        while (i < emb.length) {
+          // the +1 shift only keeps the quantized value nonnegative (where
+          // Spark's `div` and DuckDB's `//` agree) for coordinates >= -1;
+          // fail loudly instead of silently diverging from the oracle
+          require(emb(i) >= -1.0,
+            s"centroidClassify requires every embedding coordinate >= -1.0 " +
+              s"(got ${emb(i)} at dim $i): integer division parity breaks below -1")
+          v(i) = math.floor((emb(i) + 1.0) * quantScale).toLong; i += 1
+        }
         var bestLabel = cs(0)._1
         var bestDist = Long.MaxValue
         cs.foreach { case (l, c) =>

@@ -803,16 +803,20 @@ object RelationalQueries {
     // first/steady split shows ingest vs read-path cost honestly.
     Q("q38_bucket_join",
       (s, d) => {
-        val base = graft.sources.TmpDirs.scratch(
-          s"/tmp/graft_bucketed/p${ProcessHandle.current().pid()}")
+        // table names pid-suffixed like the path: concurrent JVMs sharing a
+        // warehouse can't clobber each other's catalog entries (r6 advice)
+        val pid = ProcessHandle.current().pid()
+        val base = graft.sources.TmpDirs.scratch(s"/tmp/graft_bucketed/p$pid")
+        val liTable = s"graft_li_bucketed_p$pid"
+        val ordTable = s"graft_ord_bucketed_p$pid"
         Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
           .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$base/lineitem").saveAsTable("graft_li_bucketed")
+          .option("path", s"$base/lineitem").saveAsTable(liTable)
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
           .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$base/orders").saveAsTable("graft_ord_bucketed")
-        s.table("graft_li_bucketed")
-          .join(s.table("graft_ord_bucketed"),
+          .option("path", s"$base/orders").saveAsTable(ordTable)
+        s.table(liTable)
+          .join(s.table(ordTable),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_items"),

@@ -28,8 +28,11 @@ object TmpDirs {
     try {
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        val walk = java.nio.file.Files.walk(p)
+        val files =
+          try walk.iterator().asScala.toSeq.reverse
+          finally walk.close() // the walk holds directory handles until closed
+        files.foreach(f => java.nio.file.Files.deleteIfExists(f))
       }
     } catch { case _: Exception => () } // exit path: best-effort only
 }

@@ -58,4 +58,19 @@ class BpeSpec extends SparkSpec {
       assert(got(w)._2 == ref.size, s"count differs for '$w'")
     }
   }
+
+  test("t22's frozen merge table equals learnMerges on the sf0.01 corpus") {
+    // t22_bpe_encode applies TextQueries.t22Merges as a fixed tokenizer;
+    // this pins the composition: the frozen table IS what the t19 training
+    // loop learns at the gate scale (so the two gates together cover
+    // train→apply without t22's gate depending on the training corpus).
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), s"$dir missing")
+    val spark2 = spark
+    import spark2.implicits._
+    val learned = learnMerges(graft.Tables.documents(spark, dir), steps = 12)
+      .orderBy("step").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    assert(learned == graft.queries.TextQueries.t22Merges)
+  }
 }
