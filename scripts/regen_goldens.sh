@@ -14,7 +14,7 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT=/tmp/golden_regen
-SPARK_GRAFT_ONLY=t19_bpe_merges,e08_pq_encode,e10_semdedup,e09_ivfpq_knn,e12_ivf_append,n01_sort_tracks,n02_skyscraper_replay,n16_stream_switch,n03_task_sim,n04_lp_plan,n05_placement_pareto,n06_hill_climb,n12_knapsack_plan,d03_simhash_candidates,e04_lsh_knn,e05_kmeans,e06_ivf_knn,n07_categories,n09_forecast_mlp,n10_forecast_mae,m01_decode_pipeline,m02_frame_features,m03_audio_features,t05_winnow_fingerprints,d08_winnow_candidates \
+SPARK_GRAFT_ONLY=t19_bpe_merges,e08_pq_encode,e10_semdedup,e09_ivfpq_knn,e12_ivf_append,n01_sort_tracks,n02_skyscraper_replay,n16_stream_switch,n03_task_sim,n04_lp_plan,n05_placement_pareto,n06_hill_climb,n12_knapsack_plan,d03_simhash_candidates,e04_lsh_knn,e05_kmeans,e06_ivf_knn,n07_categories,n09_forecast_mlp,n10_forecast_mae,m01_decode_pipeline,m02_frame_features,m03_audio_features,t05_winnow_fingerprints,d08_winnow_candidates,m05_vetl_pipeline \
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 python3 - <<'EOF'
 import pandas as pd
@@ -27,7 +27,10 @@ for n, f in [('n01_sort_tracks', 'golden_n01_sort_tracks.csv'),
              ('e08_pq_encode', 'golden_e08_pq.csv'),
              ('e09_ivfpq_knn', 'golden_e09_ivfpq_knn.csv'),
              ('e12_ivf_append', 'golden_e12_ivf_append.csv'),
-             ('e10_semdedup', 'golden_e10_semdedup.csv')]:
+             ('e10_semdedup', 'golden_e10_semdedup.csv'),
+             # m05's BATCH output is ALSO n23_vetl_stream's oracle — the
+             # streaming twin is checked against the batch composition
+             ('m05_vetl_pipeline', 'golden_m05_vetl_quality.csv')]:
     df = pd.read_parquet(f'/tmp/golden_regen/{n}')
     df.to_csv(f'src/test/resources/{f}', index=False)
     print(f'wrote src/test/resources/{f} ({len(df)} rows)')

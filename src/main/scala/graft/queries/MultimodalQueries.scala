@@ -122,6 +122,32 @@ object MultimodalQueries {
              |FROM (VALUES
              |  (0, 597, 250, 0, 592, 3183021), (1, 596, 231, 0, 596, 2931473),
              |  (2, 598, 234, 0, 594, 2988326), (3, 594, 226, 0, 597, 2856996)
-             |) t(stream_id, n_frames, n_keyframes, first_key, last_key, sum_luma_q)""".stripMargin))
+             |) t(stream_id, n_frames, n_keyframes, first_key, last_key, sum_luma_q)""".stripMargin)),
+
+    // The COMPOSITE V-ETL pipeline (SURVEY Q1/Q3) as one BATCH gate:
+    // synthesize → detect (stub seam) → SORT tracking → 2 s event-time
+    // quality windows, integer-exact aggregates. The committed golden
+    // this produces is ALSO the oracle of n23_vetl_stream — the
+    // Structured-Streaming twin runs the identical composition through
+    // trackStream's FMGWS state, so the pair checks batch == streaming
+    // over the full pipeline, not just per stage (the n01/n15 pattern).
+    // Sentinel frames (far-future, past the cutoff on both twins) exist
+    // so the streaming twin's append-mode windows all close.
+    Q("m05_vetl_pipeline",
+      (s, d) => {
+        val frames = graft.streaming.VetlPipeline.withSentinels(
+          Multimodal.syntheticFrames(Tables.events(s, d), nStreams = 4L))
+        val dets = graft.streaming.VetlPipeline.detectStub(frames)
+        val scores = dets.groupBy("stream_id", "frame").agg(avg("score").as("score"))
+        val tracks = graft.operators.Tracking.track(dets)
+        graft.streaming.VetlPipeline
+          .qualityGateWindows(tracks, scores,
+            graft.streaming.VetlPipeline.epochMs + 600000L)
+          .orderBy("stream_id", "chunk_start")
+      },
+      Some("""SELECT * FROM read_csv(
+             |  '/root/repo/src/test/resources/golden_m05_vetl_quality.csv',
+             |  header=true, columns={'chunk_start':'VARCHAR','stream_id':'BIGINT',
+             |    'n_tracks':'BIGINT','n_boxes':'BIGINT','score_micro':'BIGINT'})""".stripMargin))
   )
 }

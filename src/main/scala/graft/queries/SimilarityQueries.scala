@@ -298,6 +298,77 @@ object SimilarityQueries {
              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cand) AS rn
              |  FROM dist)
              |SELECT label, cand AS predicted, count(*) AS n
-             |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // LIVE oracle for the IVF machinery (round-7 answer to "snapshot
+    // gates check stability, not correctness"): build the inverted file
+    // AT REST on the even half of the corpus, APPEND the odd half to the
+    // existing centroids/files, then probe with nprobe = nlist. Probing
+    // every cell makes the ANN result EXACTLY brute-force top-k — a
+    // property independent of the learned centroids — so DuckDB verifies
+    // the whole pipeline (assignment kernel, partitioned write, append
+    // layout, probe join, rank/tie-break) against an independent exact
+    // kNN it computes itself. Any vector lost, duplicated, or mis-scored
+    // anywhere in the cell plumbing breaks the hash. Vectors are
+    // integer-quantized (floor(x·1000), the e01/e02 recipe) so the
+    // codegen'd cosine_sim accumulates exact integers in doubles and the
+    // one final division is IEEE-bit-identical cross-engine.
+    Q("e14_ivf_fullprobe",
+      (s, d) => {
+        val emQ = Tables.embeddings(s, d)
+          .select(col("vec_id"), quantize(col("embedding")).as("embedding"))
+        val path = graft.sources.TmpDirs.scratch(
+          s"/tmp/graft_ivf_parity/p${ProcessHandle.current().pid()}")
+        val index = Similarity.buildIvfIndex(
+          emQ.filter(col("vec_id") % 2 === 0), nlist = 16, atRestPath = Some(path))
+        val appended = Similarity.appendToIvf(index, emQ.filter(col("vec_id") % 2 === 1))
+        Similarity.probeIvf(appended, emQ.filter(col("vec_id") < 100), k = 5, nprobe = 16)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+              |scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosDuck AS cos
+              |  FROM q a JOIN q b ON a.vec_id < 100 AND a.vec_id <> b.vec_id),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM scored)
+              |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // LIVE oracle for the LSH path (e04's machinery, oracle-checked):
+    // sign-bit buckets on 8 fixed dims, per-bucket exact ranking — over
+    // integer-quantized vectors the whole pipeline (bucket key, size
+    // aggregation, salt column, per-group kernel, rank/tie-break) is a
+    // pure integer function DuckDB reproduces end-to-end. The oracle
+    // omits the hot-bucket salt because with 2^8 buckets no bucket
+    // approaches maxBucket=4096 below ~sf100 (salt stays 0, byte-equal
+    // to the unguarded path by construction — Similarity.lshKnn doc).
+    Q("e15_lsh_knn_live",
+      (s, d) => Similarity.lshKnn(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), quantize(col("embedding")).as("embedding")), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank"),
+      Some {
+        val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+        val bucketSql = dims
+          .map(i => s"(CASE WHEN qv[$i] >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+           |bk AS (SELECT vec_id, qv, $bucketSql AS bucket FROM q),
+           |scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosDuck AS cos
+           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      })
   )
 }

@@ -386,7 +386,39 @@ object StreamingQueries {
              |FROM m
              |WHERE n = 20 AND n * sq > sv * sv
              |  AND abs((v * n - sv) / sqrt(CAST(n * sq - sv * sv AS DOUBLE))) > 2.5
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // The COMPOSITE V-ETL pipeline as a STREAM — m05's exact composition
+    // (frames → detect stub → SORT tracking → 2 s integer-exact quality
+    // windows) run through trackStream's FMGWS state and an append-mode
+    // windowed aggregation, against the SAME committed golden that the
+    // batch twin m05 produces: the pair is a live batch==streaming
+    // cross-check of the whole pipeline (the n01/n15 pattern, composed).
+    // The staged sentinel frames advance the final watermark so every
+    // real window closes under Trigger.AvailableNow; their own windows
+    // fall past the cutoff on both twins.
+    Q("n23_vetl_stream",
+      (s, d) => withStaged(s,
+        graft.streaming.VetlPipeline.withSentinels(
+          graft.operators.Multimodal.syntheticFrames(Tables.events(s, d), nStreams = 4L)),
+        "n23") { src =>
+        val frames = s.readStream.schema(framesSchema).parquet(src)
+        // detection scores re-derived from a static read of the same
+        // staged frames (stream-static join; the spec's two-job shape)
+        val scores = graft.streaming.VetlPipeline
+          .detectStub(s.read.schema(framesSchema).parquet(src))
+          .groupBy("stream_id", "frame").agg(avg("score").as("score"))
+        val tracks = graft.streaming.VetlPipeline.tracksFromFrames(frames)
+        runToTable(s,
+            graft.streaming.VetlPipeline.qualityGateWindows(tracks, scores,
+              graft.streaming.VetlPipeline.epochMs + 600000L),
+            "append")
+          .orderBy("stream_id", "chunk_start")
+      },
+      Some("""SELECT * FROM read_csv(
+             |  '/root/repo/src/test/resources/golden_m05_vetl_quality.csv',
+             |  header=true, columns={'chunk_start':'VARCHAR','stream_id':'BIGINT',
+             |    'n_tracks':'BIGINT','n_boxes':'BIGINT','score_micro':'BIGINT'})""".stripMargin))
   )
 
   private val sessionSchema = StructType(Seq(
@@ -407,6 +439,11 @@ object StreamingQueries {
     StructField("stream_id", LongType), StructField("chunk_id", LongType),
     StructField("s0", DoubleType), StructField("s1", DoubleType),
     StructField("s2", DoubleType)))
+
+  private val framesSchema = StructType(Seq(
+    StructField("stream_id", LongType), StructField("frame", LongType),
+    StructField("format", StringType), StructField("width", IntegerType),
+    StructField("height", IntegerType), StructField("data", BinaryType)))
 
   /** Stage a batch-derived adapter frame as parquet files for the
     * file-stream source to tail (unique dir per call — Bench runs each

@@ -67,4 +67,41 @@ object VetlPipeline {
     */
   def tracksFromFrames(frames: DataFrame): DataFrame =
     StreamingOps.trackStream(detectStub(frames))
+
+  /** Event time (ms) a frame number maps to — sentinel cutoff arithmetic. */
+  val epochMs = 1704067200000L
+
+  /** INTEGER-EXACT windowed quality — the m05/n23 gate composition. Same
+    * shape as [[windowedTrackQuality]], but the score aggregate is a
+    * quantized long sum + integer division (sum order can't move a bit)
+    * and windows at/after `cutoffMs` are dropped (the streaming twin
+    * feeds far-future sentinel frames to close the real windows under
+    * append mode; the sentinels' own windows fall past the cutoff on
+    * both twins). Runs unchanged on a batch OR streaming `tracks` input
+    * (the watermark node is eliminated on batch plans), which is what
+    * lets one golden check batch == streaming end-to-end.
+    */
+  def qualityGateWindows(tracks: DataFrame, detScores: DataFrame,
+                         cutoffMs: Long): DataFrame =
+    tracks.join(detScores, Seq("stream_id", "frame"))
+      .withColumn("ts", frameTime(col("frame")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "2 seconds"), col("stream_id"))
+      .agg(approx_count_distinct(col("track_id")).as("n_tracks"),
+        count(lit(1)).as("n_boxes"),
+        sum(floor(col("score") * 1e6).cast("long")).as("score_q_sum"))
+      .filter(col("window.start") < timestamp_millis(lit(cutoffMs)))
+      .select(col("window.start").cast("string").as("chunk_start"),
+        col("stream_id"), col("n_tracks"), col("n_boxes"),
+        expr("score_q_sum div n_boxes").as("score_micro"))
+
+  /** Far-future copies of a few frames: advances the streaming watermark
+    * past every real window so append mode emits them all; their own
+    * windows land past the gate cutoff. Shared by both twins so tracker
+    * state evolution is identical.
+    */
+  def withSentinels(frames: DataFrame, offset: Long = 30000L): DataFrame =
+    frames.unionByName(
+      frames.filter(col("stream_id") === 0 && col("frame") < 10)
+        .withColumn("frame", col("frame") + offset))
 }
