@@ -42,6 +42,10 @@ object Bench {
       // lets the 32 cores participate (at 100 TB the default is right —
       // this is the local-mode analog of "partitions sized to the SF")
       .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
+      // ~40 short streaming runs per bench leave dead state-store
+      // providers loaded until the maintenance thread notices; the 60 s
+      // default lets them pile up across passes — sweep every 10 s
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "10s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -38,6 +38,9 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.ts is parquet TIMESTAMP(NANOS): readable only as a long of
+    // nanoseconds (same setting graft.Tables applies)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
     def write(df: DataFrame, t: String): Unit = {
