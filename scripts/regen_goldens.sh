@@ -3,9 +3,9 @@
 # intentional semantics or testdata change:
 #   n01/n02 (control replay), d03/e04/e06 (hash/ANN tables)
 #     -> src/test/resources CSVs
-#   n03/n04/n05/n06/n12 (simulator/planner), e05/n07/n09/n10 (seeded ML),
-#   m01/m02 (stub multimodal)
+#   n03/n04/n05/n06/n12 (simulator/planner), e05/n07/n09/n10 (seeded ML)
 #     -> VALUES literals printed for manual paste into the catalog oracles
+# (m01-m04 are LIVE since round 7: recursive-LCG DuckDB oracles)
 # Kernel semantics stay independently spec-checked (SortTrackerSpec,
 # ReplaySpec, TaskSimSpec, SimplexSpec, KnobPlannerSpec, DedupSpec,
 # SimilaritySpec); these snapshots give the driver's DuckDB gate a hard
@@ -14,7 +14,7 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT=/tmp/golden_regen
-SPARK_GRAFT_ONLY=t19_bpe_merges,e08_pq_encode,e10_semdedup,e09_ivfpq_knn,e12_ivf_append,n01_sort_tracks,n02_skyscraper_replay,n16_stream_switch,n03_task_sim,n04_lp_plan,n05_placement_pareto,n06_hill_climb,n12_knapsack_plan,d03_simhash_candidates,e04_lsh_knn,e05_kmeans,e06_ivf_knn,n07_categories,n09_forecast_mlp,n10_forecast_mae,m01_decode_pipeline,m02_frame_features,m03_audio_features,t05_winnow_fingerprints,d08_winnow_candidates,m05_vetl_pipeline \
+SPARK_GRAFT_ONLY=t19_bpe_merges,e08_pq_encode,e10_semdedup,e09_ivfpq_knn,e12_ivf_append,n01_sort_tracks,n02_skyscraper_replay,n16_stream_switch,n03_task_sim,n04_lp_plan,n05_placement_pareto,n06_hill_climb,n12_knapsack_plan,d03_simhash_candidates,e04_lsh_knn,e05_kmeans,e06_ivf_knn,n07_categories,n09_forecast_mlp,n10_forecast_mae,t05_winnow_fingerprints,d08_winnow_candidates,m05_vetl_pipeline \
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 python3 - <<'EOF'
 import pandas as pd
@@ -36,8 +36,7 @@ for n, f in [('n01_sort_tracks', 'golden_n01_sort_tracks.csv'),
     print(f'wrote src/test/resources/{f} ({len(df)} rows)')
 for n in ['n03_task_sim', 'n04_lp_plan', 'n05_placement_pareto', 'n06_hill_climb',
           'n12_knapsack_plan', 'e05_kmeans', 'n07_categories', 'n09_forecast_mlp',
-          'n10_forecast_mae', 'm01_decode_pipeline', 'm02_frame_features',
-          'm03_audio_features', 't05_winnow_fingerprints', 'd08_winnow_candidates']:
+          'n10_forecast_mae', 't05_winnow_fingerprints', 'd08_winnow_candidates']:
     df = pd.read_parquet(f'/tmp/golden_regen/{n}')
     print(f'-- {n}: paste into the catalog oracle --')
     for t in df.itertuples(index=False):
