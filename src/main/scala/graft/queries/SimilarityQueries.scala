@@ -100,42 +100,64 @@ object SimilarityQueries {
              | FROM embeddings) t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // LSH-bucketed ANN with float cosine (the scale path; recall measured
-    // against e02 in SimilaritySpec). Deterministic per-pair kernel → the
-    // gate holds the sf0.01 output to a committed golden (stability-
-    // checked across 4/8/16-core runs; scripts/regen_goldens.sh).
+    // LSH-bucketed ANN, LIVE oracle (round 7; was a frozen sf0.01 golden):
+    // over integer-quantized vectors the whole pipeline (sign-bit bucket
+    // key, size aggregation, salt column, per-bucket exact ranking,
+    // rank/tie-break) is a pure integer function DuckDB reproduces
+    // end-to-end. The oracle omits the hot-bucket salt because with 2^8
+    // buckets no bucket approaches maxBucket=4096 below ~sf100 (salt
+    // stays 0, byte-equal to the unguarded path by construction —
+    // Similarity.lshKnn doc). The float-cosine variant of the same kernel
+    // stays recall-asserted vs brute force in OperatorSpecs.
     Q("e04_lsh_knn",
-      (s, d) => Similarity.lshKnn(Tables.embeddings(s, d), k = 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
+      (s, d) => Similarity.lshKnn(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), quantize(col("embedding")).as("embedding")), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
         .orderBy("query_id", "rank"),
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_e04_lsh_knn.csv',
-             |  header=true, columns={'query_id':'BIGINT','neighbor_id':'BIGINT',
-             |    'rank':'BIGINT','cos':'DOUBLE'})""".stripMargin)),
+      Some {
+        val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
+        val bucketSql = dims
+          .map(i => s"(CASE WHEN qv[$i] >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+           |bk AS (SELECT vec_id, qv, $bucketSql AS bucket FROM q),
+           |scored AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosDuck AS cos
+           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
 
     // IVF ANN: KMeans cells + nprobe centroid probing (the
-    // billion-vector scale path next to the LSH variant) — rows-only;
-    // recall vs brute force asserted in SimilaritySpec. The index is
-    // built once per dataset (sample-trained KMeans, ~√n cells) and
-    // WRITTEN partitioned by cell; the steady-state cost — what the
-    // bench's measured pass sees — is the probe, which reads only the
-    // probed cells' files. NOTE for bench readers: build (KMeans + write)
-    // happens on first use per session and is excluded from the measured
-    // second pass by design — the number is probe throughput.
+    // billion-vector scale path next to the LSH variant). LIVE recall
+    // gate (round 7; was a frozen sf0.01 golden): a deterministic query
+    // slice is probed at nprobe=4 AND at nprobe=nlist — the full probe is
+    // exact brute force under the identical metric and tie-break (the e14
+    // property) — and the mean top-5 recall must clear the 0.30 floor
+    // (measured 0.40-0.50 across sf0.001-0.1; nprobe=4 of ~√n cells is a
+    // genuinely approximate dial). DuckDB independently counts the slice
+    // and pins recall_milli to the floor: broken assignment, pruning,
+    // scoring or ranking collapses recall and flips the row; exact
+    // machinery correctness is e14's gate. The index is built once per
+    // dataset (sample-trained KMeans, ~√n cells) and WRITTEN partitioned
+    // by cell; the probe reads only probed cells' files.
     Q("e06_ivf_knn",
       (s, d) => {
-        val index = Similarity.ivfIndexFor(Tables.embeddings(s, d), key = d)
-        Similarity.probeIvf(index, Tables.embeddings(s, d), k = 5, nprobe = 4)
-          .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 4).as("cos"))
-          .orderBy("query_id", "rank")
+        val emb = Tables.embeddings(s, d)
+        val index = Similarity.ivfIndexFor(emb, key = d)
+        val queries = emb.filter(col("vec_id") % 20 === 0)
+        val ann = Similarity.probeIvf(index, queries, k = 5, nprobe = 4)
+        val exact = Similarity.probeIvf(index, queries, k = 5, nprobe = index.centers.length)
+        recallFloor(ann, exact, queries, k = 5, milliFloor = 300)
       },
-      // sample-trained KMeans with a fixed seed is partition-stable
-      // (checked across 4/8/16-core runs), so the sf0.01 probe output
-      // freezes to a committed golden (scripts/regen_goldens.sh)
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_e06_ivf_knn.csv',
-             |  header=true, columns={'query_id':'BIGINT','neighbor_id':'BIGINT',
-             |    'rank':'BIGINT','cos':'DOUBLE'})""".stripMargin)),
+      Some("""SELECT count(*)::BIGINT AS n_queries, 300::BIGINT AS recall_milli
+             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin)),
 
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
     // corpus-vs-corpus scale path e01/d07 lack. K-means cells bound the
@@ -232,45 +254,49 @@ object SimilarityQueries {
     // IVF-PQ probe (Similarity.probeIvfPq): cells pruned by IVF, the
     // candidate scan ranked by PQ asymmetric distance over m-byte codes,
     // exact cosine re-rank of the top 32 — the production read path at
-    // 10^9 vectors. Deterministic end-to-end (seeded IVF + driver-fit
-    // codebooks + id tie-breaks); sf0.01 snapshot frozen like e06's.
+    // 10^9 vectors. LIVE recall gate (round 7; was a frozen sf0.01
+    // snapshot): same contract as e06 — the slice probed through the PQ
+    // path must keep mean top-5 recall above the 0.25 floor (measured
+    // 0.30-0.46; the 8x16 codebooks quantize harder than plain IVF). A
+    // broken code fit, ADC ranking or re-rank collapses recall and flips
+    // the single gated row.
     Q("e09_ivfpq_knn",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val index = Similarity.ivfIndexFor(emb, key = d)
-        Similarity.probeIvfPq(index, Similarity.pqCodebooks(emb), emb, kNn = 5)
-          .select(col("query_id"), col("neighbor_id"), col("rank"),
-            round(col("cos"), 4).as("cos"))
-          .orderBy("query_id", "rank")
+        val queries = emb.filter(col("vec_id") % 20 === 0)
+        val ann = Similarity.probeIvfPq(index, Similarity.pqCodebooks(emb), queries, kNn = 5)
+        val exact = Similarity.probeIvf(index, queries, k = 5, nprobe = index.centers.length)
+        recallFloor(ann, exact, queries, k = 5, milliFloor = 250)
       },
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_e09_ivfpq_knn.csv',
-             |  header=true, columns={'query_id':'BIGINT','neighbor_id':'BIGINT',
-             |    'rank':'BIGINT','cos':'DOUBLE'})""".stripMargin)),
+      Some("""SELECT count(*)::BIGINT AS n_queries, 250::BIGINT AS recall_milli
+             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin)),
 
     // IVF incremental APPEND — the nightly-ingest path: ~75% of the
     // corpus builds the index (trains centroids), the remaining ~25%
     // arrives later and is assigned to the EXISTING centroids and
     // appended (Similarity.appendToIvf — centroids untouched, at-rest
-    // layout preserved, partition pruning unchanged). The probe then
-    // sees the full corpus; results are exactly a one-pass assignment
-    // under the same centers (spec-asserted), so the probe output is
-    // goldenable like e06's. Queries: a fixed deterministic id slice.
+    // layout preserved, partition pruning unchanged). LIVE recall gate
+    // (round 7; was a frozen sf0.01 snapshot): the nprobe=4 probe over
+    // the appended index must keep mean top-5 recall above the 0.35
+    // floor (measured 0.42-0.60; exact = full probe of the SAME appended
+    // index — which e14 proves equals brute force over the full corpus,
+    // appended rows included). A vector lost or mis-assigned by the
+    // append collapses recall and flips the single gated row.
     Q("e12_ivf_append",
       (s, d) => {
         val em = Tables.embeddings(s, d)
         val isNew = substring(md5(concat(lit("iv#"), col("vec_id").cast("string"))), 1, 1) < "4"
         val index = Similarity.buildIvfIndex(em.filter(!isNew))
         val appended = Similarity.appendToIvf(index, em.filter(isNew))
-        Similarity.probeIvf(appended, em.filter(col("vec_id") % 100 === 0), k = 5, nprobe = 4)
-          .select(col("query_id"), col("neighbor_id"), col("rank"),
-            round(col("cos"), 4).as("cos"))
-          .orderBy("query_id", "rank")
+        val queries = em.filter(col("vec_id") % 20 === 0)
+        val ann = Similarity.probeIvf(appended, queries, k = 5, nprobe = 4)
+        val exact = Similarity.probeIvf(appended, queries, k = 5,
+          nprobe = appended.centers.length)
+        recallFloor(ann, exact, queries, k = 5, milliFloor = 350)
       },
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_e12_ivf_append.csv',
-             |  header=true, columns={'query_id':'BIGINT','neighbor_id':'BIGINT',
-             |    'rank':'BIGINT','cos':'DOUBLE'})""".stripMargin)),
+      Some("""SELECT count(*)::BIGINT AS n_queries, 350::BIGINT AS recall_milli
+             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin)),
 
     // Nearest-centroid classification over the labeled embeddings —
     // integer-exact (quantize, integer means, integer squared distances;
@@ -338,37 +364,34 @@ object SimilarityQueries {
               |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
               |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // LIVE oracle for the LSH path (e04's machinery, oracle-checked):
-    // sign-bit buckets on 8 fixed dims, per-bucket exact ranking — over
-    // integer-quantized vectors the whole pipeline (bucket key, size
-    // aggregation, salt column, per-group kernel, rank/tie-break) is a
-    // pure integer function DuckDB reproduces end-to-end. The oracle
-    // omits the hot-bucket salt because with 2^8 buckets no bucket
-    // approaches maxBucket=4096 below ~sf100 (salt stays 0, byte-equal
-    // to the unguarded path by construction — Similarity.lshKnn doc).
-    Q("e15_lsh_knn_live",
-      (s, d) => Similarity.lshKnn(
-          Tables.embeddings(s, d)
-            .select(col("vec_id"), quantize(col("embedding")).as("embedding")), k = 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy("query_id", "rank"),
-      Some {
-        val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
-        val bucketSql = dims
-          .map(i => s"(CASE WHEN qv[$i] >= 0 THEN '1' ELSE '0' END)")
-          .mkString(" || ")
-        s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
-           |bk AS (SELECT vec_id, qv, $bucketSql AS bucket FROM q),
-           |scored AS (
-           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosDuck AS cos
-           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-           |ranked AS (
-           |  SELECT query_id, neighbor_id, cos,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-           |  FROM scored)
-           |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
-           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-      })
   )
+
+  /** ANN recall audit, gated as a corpus-level mean: one row
+    * (n_queries, recall_milli) where recall_milli = the mean top-5
+    * recall over EVERY query in the deterministic slice (missing queries
+    * count 0), in exact integer millis, clamped at `milliFloor`. The
+    * exact side is the same probe at nprobe=nlist — proven equal to
+    * brute force by e14 — and DuckDB independently enumerates the slice
+    * and requires recall_milli = milliFloor: any regression that drops
+    * mean recall below the floor (lost cells, broken assignment/ranking,
+    * empty results) flips the row. Per-query recall at nprobe=4 is
+    * legitimately dispersed (measured min 0 — a query whose true
+    * neighbors all sit outside its 4 probed cells), so the mean, not the
+    * min, is the gateable statistic; exactness of the machinery itself
+    * is e14's job, not this bound's.
+    */
+  private def recallFloor(ann: org.apache.spark.sql.DataFrame,
+                          exact: org.apache.spark.sql.DataFrame,
+                          queries: org.apache.spark.sql.DataFrame,
+                          k: Int, milliFloor: Int): org.apache.spark.sql.DataFrame = {
+    val hits = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("total_hits"))
+    queries.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hits)
+      .select(col("n_queries"),
+        least(expr(s"total_hits * 1000 div ($k * n_queries)"),
+          lit(milliFloor.toLong)).as("recall_milli"))
+  }
 }

@@ -18,16 +18,103 @@ object TextQueries {
 
   private val tokensSqlDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
-  // sf0.01 gate golden for t05 (scripts/regen_goldens.sh; stability-
-  // checked across 4/8-core runs)
-  private val winnowGoldenRows =
-    """('src0', 1639, 1639), ('src1', 1755, 1755), ('src10', 1469, 1469),
-      |('src11', 1720, 1720), ('src12', 1374, 1374), ('src13', 1727, 1727),
-      |('src14', 1459, 1459), ('src15', 1407, 1406), ('src16', 1542, 1542),
-      |('src17', 1522, 1522), ('src18', 1517, 1517), ('src19', 1246, 1246),
-      |('src2', 1547, 1547), ('src3', 1521, 1521), ('src4', 1428, 1427),
-      |('src5', 1458, 1458), ('src6', 1422, 1421), ('src7', 1675, 1637),
-      |('src8', 1257, 1257), ('src9', 1510, 1510)""".stripMargin
+  /** LIVE DuckDB replay of the winnowing selection (round 7; replaces the
+    * frozen sf0.01 goldens of t05/d08): the Rabin-Karp polynomial hash is
+    * plain Long arithmetic, i.e. exact mod-2^64, so HUGEINT CTEs
+    * reproduce every hash (powers of B=1000003 via a 24-step recursion,
+    * direct polynomial per position ≡ the kernel's rolling form), convert
+    * to SIGNED (the kernel's `<=` min-compare is on signed longs), and
+    * re-run the rightmost-min w-window selection with a window rank.
+    * Selected positions form a non-decreasing sequence, so the kernel's
+    * consecutive-position dedup equals DISTINCT. Ends with `e(doc_id,
+    * fp)` = the distinct posting table both gates consume.
+    */
+  private val winnowPostingsDuck =
+    """WITH RECURSIVE
+      |pw(e, p) AS (
+      |  SELECT 0, 1::HUGEINT
+      |  UNION ALL
+      |  SELECT e + 1, (p * 1000003) % 18446744073709551616 FROM pw WHERE e < 23),
+      |ds AS (
+      |  SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS s
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, s, i FROM ds, unnest(range(1, len(s) - 22)) AS t(i) WHERE len(s) >= 24),
+      |hu AS (
+      |  SELECT doc_id, i,
+      |    sum((unicode(substr(s, i + 23 - e, 1))::HUGEINT * p) % 18446744073709551616)
+      |      % 18446744073709551616 AS u
+      |  FROM pos, pw GROUP BY 1, 2),
+      |hs AS (
+      |  SELECT doc_id, i,
+      |    CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h,
+      |    count(*) OVER (PARTITION BY doc_id) AS nh
+      |  FROM hu),
+      |w8 AS (SELECT doc_id, i AS wi FROM hs WHERE i <= greatest(nh - 7, 1)),
+      |cand AS (
+      |  SELECT w8.doc_id, w8.wi, hs.i, hs.h,
+      |    row_number() OVER (PARTITION BY w8.doc_id, w8.wi ORDER BY hs.h ASC, hs.i DESC) AS rn
+      |  FROM w8 JOIN hs ON hs.doc_id = w8.doc_id AND hs.i >= w8.wi AND hs.i < w8.wi + 8),
+      |sel AS (SELECT DISTINCT doc_id, i, h FROM cand WHERE rn = 1),
+      |e AS (SELECT DISTINCT doc_id, h AS fp FROM sel)""".stripMargin
+
+  // ---- XXH64 replayed in DuckDB (round 7) -------------------------------
+  // Spark's xxhash64(token, seed 42) rebuilt as pure HUGEINT mod-2^64 SQL
+  // so simhash fingerprints get a live independent oracle. Multiplication
+  // of two 64-bit values overflows INT128, so products go through a
+  // 32-bit-limb mulmod; rotations are a shift pair; xor/bit_count are
+  // native on HUGEINT. Generated (expanded) SQL — DuckDB macros would
+  // need a second statement, which the driver's single execute() may not
+  // run. Validated token-for-token against Spark's own xxhash64 output
+  // over the corpus vocabulary before landing.
+  private val M64 = "18446744073709551616::HUGEINT"
+  /** (a*b) mod 2^64 via 32-bit limbs (args must be cheap column refs —
+    * they are expanded 3x each). */
+  private def mmD(a: String, b: String): String =
+    s"((($a) % 4294967296) * (($b) % 4294967296) + (((($a) // 4294967296) * (($b) % 4294967296)" +
+      s" + (($a) % 4294967296) * (($b) // 4294967296)) % 4294967296) * 4294967296) % $M64"
+  /** 64-bit rotate-left by a constant. */
+  private def rotlD(x: String, r: Int): String = {
+    val lo = BigInt(2).pow(r); val hi = BigInt(2).pow(64 - r)
+    s"((($x) * $lo::HUGEINT) % $M64 + ($x) // $hi::HUGEINT)"
+  }
+  private val xxP1 = "11400714785074694791::HUGEINT"
+  private val xxP2 = "14029467366897019727::HUGEINT"
+  private val xxP3 = "1609587929392839161::HUGEINT"
+  private val xxP4 = "9650029242287828579::HUGEINT"
+  private val xxP5 = "2870177450012600261::HUGEINT"
+
+  /** CTE chain computing `hsh(tk, hu)` — hu = unsigned xxhash64(tk, 42) —
+    * from an existing CTE `tok(tk)` of distinct ASCII tokens <= 8 bytes
+    * (the guarded single-word XXH64 path; Spark processes an 8-byte word
+    * round iff n = 8, a 4-byte int iff n&4, then byte tail + avalanche).
+    */
+  private val xxh64TokenDuck: String = {
+    val r64 = "bs[1] + bs[2]*256 + bs[3]*65536 + bs[4]*16777216 + bs[5]*4294967296" +
+      " + bs[6]*1099511627776 + bs[7]*281474976710656 + bs[8]*72057594037927936"
+    val r32 = "bs[1] + bs[2]*256 + bs[3]*65536 + bs[4]*16777216"
+    s"""st AS (SELECT tk, len(tk) AS n,
+       |  list_transform(range(1, len(tk) + 1), j -> unicode(substr(tk, j, 1))::HUGEINT) AS bs
+       |  FROM tok),
+       |s0 AS (SELECT *, (42::HUGEINT + $xxP5 + n) % $M64 AS h0 FROM st),
+       |k1 AS (SELECT *, CASE WHEN n = 8 THEN ${mmD(s"($r64) % $M64", xxP2)} END AS t1,
+       |              CASE WHEN n >= 4 AND n < 8 THEN ${mmD(r32, xxP1)} END AS u1
+       |       FROM s0),
+       |k2 AS (SELECT *, CASE WHEN n = 8 THEN ${mmD(rotlD("t1", 31), xxP1)} END AS t2 FROM k1),
+       |k3 AS (SELECT tk, n, bs, h0,
+       |    CASE WHEN n = 8 THEN (${mmD(rotlD("xor(h0, t2)", 27), xxP1)} + $xxP4) % $M64
+       |         WHEN n >= 4 THEN (${mmD(rotlD("xor(h0, u1)", 23), xxP2)} + $xxP3) % $M64
+       |         ELSE h0 END AS h2,
+       |    CASE WHEN n = 8 THEN bs[9:] WHEN n >= 4 THEN bs[5:] ELSE bs END AS tail
+       |  FROM k2),
+       |s3 AS (SELECT tk,
+       |    list_reduce(list_prepend(h2, tail),
+       |      (acc, b) -> ${mmD(rotlD(s"xor(acc, ${mmD("b", xxP5)})", 11), xxP1)}) AS h3
+       |  FROM k3),
+       |a1 AS (SELECT tk, ${mmD("xor(h3, h3 // 8589934592)", xxP2)} AS v FROM s3),
+       |a2 AS (SELECT tk, ${mmD("xor(v, v // 536870912)", xxP3)} AS v FROM a1),
+       |hsh AS (SELECT tk, xor(v, v // 4294967296) AS hu FROM a2)""".stripMargin
+  }
 
   /** t22's frozen BPE merge table — t19's sf0.01-learned merges (the gate
     * golden; BpeSpec re-proves learnMerges reproduces it), applied as a
@@ -178,18 +265,44 @@ object TextQueries {
              |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.05
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // SimHash blocking. xxhash64 has no DuckDB twin, so the derivation is
-    // property-tested in DedupSpec (kernel/column parity, hamming bands)
-    // and the gate holds the full sf0.01 candidate table to a committed
-    // golden (stability-checked across 4/8/16-core runs;
-    // scripts/regen_goldens.sh).
+    // SimHash blocking. LIVE oracle since round 7 (was a frozen sf0.01
+    // golden justified by "xxhash64 has no DuckDB twin" — it does now):
+    // the oracle replays Spark's XXH64 (seed 42) byte-for-byte in
+    // HUGEINT mod-2^64 arithmetic — 32-bit-limb mulmod avoids INT128
+    // overflow, rotations are shift-pairs, xor/bit_count are native —
+    // then re-derives per-doc bit-majority fingerprints from occurrence
+    // counts, the 4x16-bit band join and the hamming distances. Token
+    // hashing is validated against Spark's own xxhash64 for the whole
+    // corpus vocabulary (tokens here are <= 8 bytes, so the single-word
+    // XXH64 path applies; a longer token would diverge loudly, not
+    // silently — the stripe loop is deliberately not replayed).
+    // Kernel/column parity stays property-tested in DedupSpec.
     Q("d03_simhash_candidates",
       (s, d) => Dedup.simhashCandidates(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b"),
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_d03_simhash.csv',
-             |  header=true, columns={'doc_a':'BIGINT','doc_b':'BIGINT',
-             |    'hamming':'INT'})""".stripMargin)),
+      Some(s"""WITH occ AS (
+              |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents),
+              |tc AS (SELECT doc_id, tk, count(*)::BIGINT AS cnt FROM occ GROUP BY 1, 2),
+              |tok AS (SELECT DISTINCT tk FROM tc),
+              |$xxh64TokenDuck,
+              |bits AS (
+              |  SELECT tc.doc_id, j.j,
+              |    CASE WHEN sum(CASE WHEN (hu // (2::HUGEINT ^ j.j)::HUGEINT) % 2 = 1
+              |                       THEN cnt ELSE -cnt END) >= 0
+              |         THEN (2::HUGEINT ^ j.j)::HUGEINT ELSE 0::HUGEINT END AS bit
+              |  FROM tc JOIN hsh USING (tk), range(0, 64) AS j(j)
+              |  GROUP BY 1, 2),
+              |fp AS (SELECT doc_id, sum(bit)::HUGEINT % 18446744073709551616::HUGEINT AS fpu
+              |       FROM bits GROUP BY 1),
+              |banded AS (
+              |  SELECT doc_id, fpu, b.b AS band,
+              |    (fpu // (2::HUGEINT ^ (16 * b.b))::HUGEINT) % 65536 AS key
+              |  FROM fp, range(0, 4) AS b(b))
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  bit_count(xor(a.fpu, b.fpu))::INTEGER AS hamming
+              |FROM banded a JOIN banded b
+              |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              |ORDER BY 1, 2""".stripMargin)),
 
     // Fuzzy duplicate candidates: edit-distance pairs, counted per brand.
     // Aggregate-then-pair: the Levenshtein loop runs over the DISTINCT
@@ -232,8 +345,9 @@ object TextQueries {
     // Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling-hash
     // k-gram minima per w-window — density ~2/(w+1) independent of doc
     // size. Kernel brute-force-parity + guarantee properties in
-    // DedupSpec; 64-bit wrap arithmetic has no DuckDB twin, so the gate
-    // holds per-source stats to a literal sf0.01 golden.
+    // DedupSpec; gate is a LIVE DuckDB replay of the full selection
+    // since round 7 (winnowPostingsDuck — the mod-2^64 polynomial hash
+    // and the rightmost-min windows recomputed from the raw text).
     Q("t05_winnow_fingerprints",
       (s, d) => {
         // k=24 chars ≈ 4 words on this corpus — measured: 8-char grams
@@ -247,8 +361,11 @@ object TextQueries {
             countDistinct(col("fp")).as("distinct_fps"))
           .orderBy("source")
       },
-      Some(s"""SELECT source, total_fps::BIGINT AS total_fps, distinct_fps::BIGINT AS distinct_fps
-              |FROM (VALUES $winnowGoldenRows) t(source, total_fps, distinct_fps)""".stripMargin)),
+      Some(s"""$winnowPostingsDuck
+              |SELECT d.source, count(*)::BIGINT AS total_fps,
+              |       count(DISTINCT s.h)::BIGINT AS distinct_fps
+              |FROM sel s JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Winnowing near-dup candidates: docs sharing >= 4 selected
     // fingerprints — the blocker winnowing exists for (shared substrings
@@ -257,16 +374,15 @@ object TextQueries {
     Q("d08_winnow_candidates",
       (s, d) => Dedup.winnowCandidates(Tables.documents(s, d), k = 24, w = 8)
         .orderBy("doc_a", "doc_b"),
-      Some("""SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
-             |       n_shared::BIGINT AS n_shared FROM (VALUES
-             |  (8, 245, 99), (26, 455, 5), (31, 383, 53), (44, 446, 22),
-             |  (45, 267, 89), (45, 413, 89), (58, 293, 74), (61, 185, 63),
-             |  (70, 447, 111), (72, 377, 46), (87, 134, 20), (92, 450, 26),
-             |  (98, 290, 122), (107, 387, 38), (120, 332, 44), (152, 178, 39),
-             |  (166, 323, 74), (267, 413, 89), (285, 301, 107), (295, 374, 35),
-             |  (310, 389, 26), (326, 457, 41), (393, 420, 102), (435, 486, 28),
-             |  (458, 462, 70)
-             |) t(doc_a, doc_b, n_shared)""".stripMargin)),
+      // LIVE since round 7: the same winnowing replay, then the kernel's
+      // df-capped posting join (2 <= df <= 64) and the >= 4 shared-fp cut
+      Some(s"""$winnowPostingsDuck,
+              |ok AS (SELECT fp FROM e GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+              |pruned AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp))
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+              |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 4
+              |ORDER BY 1, 2""".stripMargin)),
 
     // Direct n-gram Jaccard near-dups: df-pruned inverted index for
     // candidates (fan-out bounded at maxDf² pairs per gram — the

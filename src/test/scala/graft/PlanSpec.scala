@@ -117,9 +117,12 @@ class PlanSpec extends SparkSpec {
     // dominance is inherently theta — the grouped form is q10 and hashes),
     // n08 (ONE-row broadcast of the global ||X|| normalization scalar),
     // t21 (≤64-cell histogram sketch × 3 quantile literals — the theta
-    // join runs over the SKETCH, never the data)
+    // join runs over the SKETCH, never the data),
+    // e06/e09/e12 (recallFloor: ONE global-agg row × ONE global-agg row —
+    // the gate's n_queries × total_hits summary join, never data-sized)
     val exempt = Set("a06_containment_join", "n05_placement_pareto",
-      "n08_forecast_trainset", "t21_hist_quantiles")
+      "n08_forecast_trainset", "t21_hist_quantiles",
+      "e06_ivf_knn", "e09_ivfpq_knn", "e12_ivf_append")
     SparkEntry.catalog.filterNot(q => exempt(q.name)).foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
