@@ -217,7 +217,16 @@ object Similarity {
       .select(col("vec_id").cast("long"), col("label").cast("int"),
         posexplode(col("embedding").cast("array<double>")))
       .toDF("vec_id", "label", "i", "e")
-      .withColumn("v", floor((col("e") + lit(1.0)) * lit(quantScale)).cast("long"))
+      // the +1 shift only de-signs coordinates >= -1; below that the
+      // quantized value goes negative, where Spark's `div` (truncate)
+      // and DuckDB's `//` (floor) disagree — fail loudly instead of
+      // silently diverging from the oracle. assert_true is NULL on pass,
+      // so folding it into v via coalesce keeps it un-prunable.
+      .withColumn("v",
+        (floor((col("e") + lit(1.0)) * lit(quantScale)) +
+          coalesce(expr("assert_true(e >= -1.0D, 'centroidClassify: embedding " +
+            "coordinate < -1 breaks Spark/DuckDB integer-division parity')"),
+            lit(0.0))).cast("long"))
     // k×dim integer centroid matrix — sketch-sized, contractual collect
     val centRows = q.groupBy("label", "i")
       .agg(expr("sum(v) div count(1)").as("c"))
