@@ -4,11 +4,10 @@
 #   n01/n02 (control replay), n16 (streaming switch), e08/e10 (seeded PQ /
 #   SemDeDup), m05 (V-ETL pipeline; doubles as n23's oracle)
 #     -> src/test/resources CSVs
-#   n03/n04/n05/n06/n12 (simulator/planner), e05/n07/n09/n10 (seeded ML),
-#   t19 (BPE merges)
+#   n03/n04/n05/n06/n12 (simulator/planner), e05/n07/n09/n10 (seeded ML)
 #     -> VALUES literals printed for manual paste into the catalog oracles
 # LIVE since round 7 (no snapshot to regen): m01-m04 (recursive-LCG
-# replays), d03 (XXH64 simhash replay), t05/d08 (winnowing replay),
+# replays), d03 (XXH64 simhash replay), t05/d08 (winnowing replay), t19 (unrolled BPE loop),
 # e04 (quantized LSH replay), e06/e09/e12 (mean-recall floors vs the
 # full-probe exact side).
 # Kernel semantics stay independently spec-checked (SortTrackerSpec,
@@ -19,7 +18,7 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT=/tmp/golden_regen
-SPARK_GRAFT_ONLY=t19_bpe_merges,e08_pq_encode,e10_semdedup,n01_sort_tracks,n02_skyscraper_replay,n16_stream_switch,n03_task_sim,n04_lp_plan,n05_placement_pareto,n06_hill_climb,n12_knapsack_plan,e05_kmeans,n07_categories,n09_forecast_mlp,n10_forecast_mae,m05_vetl_pipeline \
+SPARK_GRAFT_ONLY=e08_pq_encode,e10_semdedup,n01_sort_tracks,n02_skyscraper_replay,n16_stream_switch,n03_task_sim,n04_lp_plan,n05_placement_pareto,n06_hill_climb,n12_knapsack_plan,e05_kmeans,n07_categories,n09_forecast_mlp,n10_forecast_mae,m05_vetl_pipeline \
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 python3 - <<'EOF'
 import pandas as pd

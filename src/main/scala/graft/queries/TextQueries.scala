@@ -1175,13 +1175,48 @@ object TextQueries {
       (s, d) => graft.operators.BpeLearner
         .learnMerges(Tables.documents(s, d), steps = 12)
         .orderBy("step"),
-      Some("""SELECT step, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
-             |FROM (VALUES
-             |  (1, 'e', 'r', 4568), (2, 'i', 'n', 2760), (3, 'o', 'w', 2747),
-             |  (4, 'o', 'r', 2696), (5, 's', 't', 2676), (6, 'm', 'er', 1852),
-             |  (7, 'a', 't', 1845), (8, 'l', 'u', 1831), (9, 'a', 'r', 1758),
-             |  (10, 'p', 'ar', 1758), (11, 'j', 'o', 964), (12, 'jo', 'in', 964)
-             |) AS t(step, lhs, rhs, pair_count) ORDER BY step""".stripMargin)),
+      // LIVE oracle since round 7 (was the frozen sf0.01 merge table):
+      // the 12-round greedy loop UNROLLED into generated SQL — each round
+      // re-derives weighted adjacent-pair counts from the bracketed word
+      // matrix, picks the argmax (count desc, pair asc — the kernel's
+      // tie-break), and applies the merge via replace(), whose
+      // left-to-right non-overlapping scan equals BPE's greedy
+      // application (the t22 bracketed-symbol identity, spec-checked
+      // against mergePair). If the corpus exhausts pairs early a round's
+      // LIMIT 1 is empty and all later rounds go empty with it —
+      // matching learnMerges' early stop row-for-row.
+      Some {
+        // every w_i/p_i is referenced twice, so MATERIALIZED is load-
+        // bearing: DuckDB's default CTE inlining re-derives the whole
+        // prefix per reference (measured 256 s; materialized: ~1 s)
+        val steps = 12
+        val rounds = (1 to steps).map { i =>
+          s"""p$i AS MATERIALIZED (
+             |  SELECT a, b, n FROM (
+             |    SELECT syms[j] AS a, syms[j + 1] AS b, sum(freq)::BIGINT AS n
+             |    FROM (SELECT regexp_extract_all(sym, '\\{([^}]*)\\}', 1) AS syms, freq
+             |          FROM w${i - 1}),
+             |         unnest(range(1, len(syms))) AS t(j)
+             |    GROUP BY 1, 2)
+             |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+             |w$i AS MATERIALIZED (
+             |  SELECT replace(sym, '{' || p$i.a || '}{' || p$i.b || '}',
+             |                 '{' || p$i.a || p$i.b || '}') AS sym, freq
+             |  FROM w${i - 1}, p$i)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to steps)
+          .map(i => s"SELECT $i AS step, a AS lhs, b AS rhs, n AS pair_count FROM p$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH wf AS (
+           |  SELECT w, count(*)::BIGINT AS freq FROM (
+           |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+           |    FROM documents) GROUP BY 1),
+           |w0 AS MATERIALIZED (
+           |  SELECT regexp_replace(w, '(.)', '{\\1}', 'g') AS sym, freq FROM wf),
+           |$rounds
+           |$out
+           |ORDER BY step""".stripMargin
+      }),
 
     // Count-min-sketch heavy hitters: word frequencies estimated from d=2
     // mergeable bucket-count tables of w=512 cells each. Each CMS row is a
