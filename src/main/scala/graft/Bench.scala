@@ -58,6 +58,12 @@ object Bench {
     def resetSession(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // unload every loaded state-store provider: each streaming run uses
+      // a fresh checkpoint dir, so providers from prior runs are dead
+      // weight the maintenance thread keeps scanning — measured on
+      // n17/n18: pass-1 ~3.5 s but pass-3 5-10 s without this (the next
+      // streaming query restarts maintenance on demand)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       System.gc() // lets ContextCleaner reclaim dead broadcast/shuffle state
     }
 
@@ -70,9 +76,12 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
+      // reset before EVERY pass (not just every query): repeated runs of
+      // the same query otherwise accumulate their own dead checkpoint
+      // blocks and state-store providers, inflating later passes
       resetSession()
       val cold = once()
-      val steady = Seq.fill(steadyPasses)(once()).sorted
+      val steady = Seq.fill(steadyPasses) { resetSession(); once() }.sorted
       val median = steady(steady.length / 2)
       (q.name, cold, median, steady)
     }
