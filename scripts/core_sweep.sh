@@ -6,6 +6,9 @@
 # show up as a diff).
 set -e
 cd "$(dirname "$0")/.."
+# clean first: Verify never deletes output dirs, so a renamed/removed
+# query's stale dump would otherwise inflate the comparison count
+rm -rf /tmp/sweep4 /tmp/sweep16
 SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/sweep4"
 SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/sweep16"
 python3 - <<'EOF'
