@@ -570,15 +570,19 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify over full gram sets (shared counts + per-doc sizes)
-    val nGrams = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(nGrams.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(nGrams.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    // exact verify over full gram sets: per-doc gram ARRAYS joined to the
+    // (bounded) candidate list, intersection sized per pair — two doc_id-
+    // keyed joins whose shuffle is |cand| + |docs| rows, instead of the
+    // former gram-keyed double re-join of the full posting table (two
+    // corpus-scale shuffles with |grams(doc_a)|-fold row expansion)
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list("gram").as("grams"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("grams").as("ga"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("grams").as("gb"), col("n").as("nb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= minJaccard)
