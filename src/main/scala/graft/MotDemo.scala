@@ -11,6 +11,7 @@ object MotDemo {
     val Array(glob) = args
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dets = graft.sources.CsvSources.sortDetections(spark, glob)

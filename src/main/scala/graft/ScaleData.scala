@@ -38,8 +38,9 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts is parquet TIMESTAMP(NANOS): readable only as a long of
-    // nanoseconds (same setting graft.Tables applies)
+    // legacy testdata wrote events.ts as parquet TIMESTAMP(NANOS),
+    // readable only as a long of nanoseconds (same setting graft.Tables
+    // applies); current testdata is timestamp[us], normalized below
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
@@ -71,7 +72,9 @@ object ScaleData {
           s"concat(slice(embedding, ${i % 64} + 1, 64 - ${i % 64}), slice(embedding, 1, ${i % 64}))"))
     }, "embeddings")
 
-    val ev = read("events")
+    // shift in the ns-long domain (Tables contract), then write back as
+    // timestamp[us] NTZ so scaled dirs match the driver testdata format
+    val ev = graft.Tables.withTsNanos(read("events"))
     val evRow = ev.agg(max("event_id"), max("user_id"), max("ts"), min("ts")).head()
     val (evShift, userShift) = (evRow.getLong(0) + 1, evRow.getLong(1) + 1)
     val tsSpan = evRow.getLong(2) - evRow.getLong(3) + 3600L * 1000000000L
@@ -80,7 +83,8 @@ object ScaleData {
       else e.withColumn("event_id", col("event_id") + lit(i * evShift))
         .withColumn("user_id", col("user_id") + lit(i * userShift))
         .withColumn("ts", col("ts") + lit(i * tsSpan))
-    }, "events")
+    }.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")), "events")
 
     val ord = read("orders")
     val okShift = ord.agg(max("o_orderkey")).head().getLong(0) + 1

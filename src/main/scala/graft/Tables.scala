@@ -11,9 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects; read it as a long (ns since epoch) and convert explicitly
-    // where needed (see `tsFromNanos`).
+    // Legacy driver testdata wrote events.ts as parquet TIMESTAMP(NANOS),
+    // which Spark's vectorized reader only accepts as a long (ns since
+    // epoch); current testdata writes timestamp[us]. The conf keeps old
+    // scaled dirs readable; `withTsNanos` normalizes both to one contract.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
   }
@@ -23,6 +24,21 @@ object Tables {
     org.apache.spark.sql.functions.timestamp_micros(
       (c / org.apache.spark.sql.functions.lit(1000L)).cast("long"))
 
+  /** Normalize an events frame so `ts` is ns-since-epoch LongType — the
+    * in-memory contract every query assumes — regardless of the on-disk
+    * physical type: timestamp[us] (current driver testdata, read as
+    * TIMESTAMP_NTZ) or TIMESTAMP(NANOS)-as-long (legacy dirs). The NTZ
+    * branch casts through session-local TimestampType; every entry point
+    * pins spark.sql.session.timeZone=UTC, so the cast is value-preserving.
+    * Works on both batch and streaming frames (pure projection).
+    */
+  def withTsNanos(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => df
+    case _ =>
+      import org.apache.spark.sql.functions._
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+  }
+
   def region(s: SparkSession, dir: String): DataFrame     = t(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame     = t(s, dir, "nation")
   def customer(s: SparkSession, dir: String): DataFrame   = t(s, dir, "customer")
@@ -30,7 +46,8 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame       = t(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame     = t(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame   = t(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame     = t(s, dir, "events")
+  def events(s: SparkSession, dir: String): DataFrame     =
+    withTsNanos(t(s, dir, "events"))
 
   private val eventCountCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), Long]

@@ -15,10 +15,10 @@ import org.apache.spark.sql.types._
   * cluster the same code tails a directory/log indefinitely —
   * AvailableNow is the bounded-replay form of the identical plan.
   *
-  * NOTE (streaming parquet): the file-stream source does NOT honor the
-  * nanosAsLong legacy conf, so `events.ts` (parquet TIMESTAMP(NANOS)) is
-  * declared LongType in the explicit schema and converted with
-  * `Tables.tsFromNanos`.
+  * NOTE (streaming parquet): the file-stream source needs an explicit
+  * schema; `events.ts` is parquet timestamp[us] (TIMESTAMP_NTZ) and is
+  * normalized to the ns-since-epoch LongType contract right after the
+  * read (`eventsStream` → `Tables.withTsNanos`).
   */
 object StreamingQueries {
 
@@ -61,9 +61,19 @@ object StreamingQueries {
   }
 
   private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** events as a file-stream source, with `ts` normalized to the
+    * ns-since-epoch LongType contract (Tables.withTsNanos) that every
+    * downstream transform assumes. Glob form: the file-stream source
+    * requires a directory or glob (a literal file path fails basePath
+    * validation).
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    Tables.withTsNanos(
+      s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]"))
 
   private val documentsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -78,9 +88,7 @@ object StreamingQueries {
     Q("n13_stream_quality",
       (s, d) => {
         val nStreams = math.max(Tables.eventCount(s, d) / 2500L, 1L)
-        // glob form: the file-stream source requires a directory or glob
-        // (a literal file path fails basePath validation)
-        val src = s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]")
+        val src = eventsStream(s, d)
         // quantize BEFORE the windowed sum (the a05 lesson): the state
         // aggregates integer-valued doubles exactly, so the result is
         // micro-batch- and partition-order-independent; the final /500
@@ -261,7 +269,7 @@ object StreamingQueries {
     // and partition-order-independent; the oracle is the batch SQL.
     Q("n19_stream_trending",
       (s, d) => {
-        val src = s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]")
+        val src = eventsStream(s, d)
         val ev = src.select(Tables.tsFromNanos(col("ts")).as("ts"), col("event_type"))
         val counted = ev.withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "6 hours"), col("event_type"))
@@ -298,7 +306,7 @@ object StreamingQueries {
           .join(Tables.nation(s, d).select(col("n_nationkey"), col("n_name")),
             col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name"))
-        val src = s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]")
+        val src = eventsStream(s, d)
           .select(Tables.tsFromNanos(col("ts")).as("ts"),
             (col("user_id") % nCust + 1).as("c_custkey"),
             floor(col("value") * 1000).as("score"))
@@ -331,7 +339,7 @@ object StreamingQueries {
     Q("n21_stream_kmv",
       (s, d) => {
         val k = 32
-        val src = s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]")
+        val src = eventsStream(s, d)
         val hashed = src.select(Tables.tsFromNanos(col("ts")).as("ts"),
             md5(concat(lit("u#"), col("user_id").cast("string"))).as("h"))
           .withWatermark("ts", "1 hour")
@@ -375,7 +383,7 @@ object StreamingQueries {
     // one division, same HALF_UP output rounding).
     Q("n22_stream_anomaly",
       (s, d) => {
-        val src = s.readStream.schema(eventsSchema).parquet(s"$d/events.parque[t]")
+        val src = eventsStream(s, d)
           .select(col("user_id"), col("event_id"),
             floor(col("value") * 1000).cast("long").as("v"))
         runToTable(s, StreamingOps.zscoreStream(src), "append")

@@ -74,7 +74,10 @@ class PlanSpec extends SparkSpec {
 
   test("cohort query prunes the events scan to its two columns (q35)") {
     val p = plan("q35_cohort_retention")
-    assert(p.contains("struct<ts:bigint,user_id:bigint>"),
+    // column pruning must survive the withTsNanos normalization projection:
+    // the scan reads exactly (ts, user_id), whatever ts's physical type
+    assert(p.contains("struct<ts:timestamp_ntz,user_id:bigint>")
+        || p.contains("struct<ts:bigint,user_id:bigint>"),
       s"events scan reads more than (ts, user_id):\n$p")
   }
 
