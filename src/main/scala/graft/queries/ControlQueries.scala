@@ -225,7 +225,7 @@ object ControlQueries {
              |  (1, 0, 0.0, 13718.92), (1, 1, 1.0, 13718.92), (1, 2, 0.0, 13718.92),
              |  (2, 0, 0.0, 13718.92), (2, 1, 1.0, 13718.92), (2, 2, 0.0, 13718.92)
              |) t(category, config, ratio, expected_score)""".stripMargin),
-      bench = false),
+      ),
 
     // A8/X4 second half: eta calibration + per-group starting-point
     // election (knob_tuner.py:344-361) over per-stream (acc, cost)
@@ -263,7 +263,7 @@ object ControlQueries {
               |SELECT stream_id, start_id, chunk_id AS best_idx,
               |  round(eta, 6) AS eta, round(score, 6) AS score
               |FROM rk WHERE r = 1 ORDER BY stream_id, start_id""".stripMargin),
-      bench = false),
+      ),
 
     // X3: greedy knapsack fallback for the knob plan (knob_plan.py:135-177
     // — dead NotImplementedError sketch in the reference; paper supp. B).
@@ -286,6 +286,6 @@ object ControlQueries {
              |  (1, 0, 0.0, 13718.92), (1, 1, 1.0, 13718.92), (1, 2, 0.0, 13718.92),
              |  (2, 0, 0.0, 13718.92), (2, 1, 1.0, 13718.92), (2, 2, 0.0, 13718.92)
              |) t(category, config, ratio, expected_score)""".stripMargin),
-      bench = false)
+      )
   )
 }

@@ -85,7 +85,7 @@ object OfflineQueries {
              |  (4, 9658.5, 4152.0, 66), (2, 10177.5, 2076.0, 66),
              |  (0, 10696.5, 0.0, 66)
              |) t(cand_id, runtime, cost, n_tasks)""".stripMargin),
-      bench = false),
+      ),
 
     // X4: hill climbing over a 2-knob cadence space; each round's frontier
     // is evaluated in ONE Spark aggregation pass (the distributed analog
@@ -115,7 +115,7 @@ object OfflineQueries {
       // deterministic search over a fixed grid; the only float is a 4dp-
       // rounded sum of 0.01-quantized scores, stable across partitionings
       Some("""SELECT * FROM (VALUES (10, 1, 28.6307, 18)) t(k1, k2, score, n_evals)"""),
-      bench = false),
+      ),
 
     // M10: KMeans content categorization over per-chunk quality vectors
     // (the reference's categories_3.npy — knob_plan.py:279-281).
@@ -145,7 +145,7 @@ object OfflineQueries {
              |  (1, 0.117, 0.193, 0.058, 3996),
              |  (2, 0.679, 0.643, 0.34, 2606)
              |) t(category, center_s0, center_s1, center_s2, n_chunks)""".stripMargin),
-      bench = false),
+      ),
 
     // M12: forecast training-set builder — input = trailing 8-chunk score
     // history, label = category histogram over the next 4 chunks, both via
@@ -285,6 +285,8 @@ object OfflineQueries {
              |  (1, 0, 356), (1, 1, 2173), (1, 2, 150),
              |  (2, 0, 65), (2, 1, 125), (2, 2, 1275)
              |) t(label, prediction, n)""".stripMargin),
+      // driver-side iterative MLP training (~40 s at sf0.1): gated for
+      // correctness, excluded from the per-round bench by the BENCH.md rule
       bench = false),
 
     // M11 evaluation: forecast MAE — mean |predicted distribution −
@@ -347,6 +349,8 @@ object OfflineQueries {
       // sits inside the paper's 0.042-0.064..0.1 protocol band vs the
       // round-3 majority-class 0.2089 → literal sf0.01 gate golden
       Some("SELECT n_samples::BIGINT AS n_samples, mae FROM (VALUES (9952, 0.0898)) t(n_samples, mae)"),
+      // driver-side iterative MLP training (~36 s at sf0.1): gated for
+      // correctness, excluded from the per-round bench by the BENCH.md rule
       bench = false)
   )
 }

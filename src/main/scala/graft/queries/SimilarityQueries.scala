@@ -61,7 +61,7 @@ object SimilarityQueries {
               |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
               |SELECT id AS doc_id, min(r) AS cluster_id
               |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin),
-      bench = false),
+      ),
 
     // Exact top-5 neighbors per query (brute-force baseline for ANN).
     Q("e02_knn_topk",
@@ -211,7 +211,7 @@ object SimilarityQueries {
              |  (0, 47), (1, 1), (2, 113), (3, 1), (4, 43),
              |  (5, 60), (6, 9), (7, 52), (8, 133), (9, 41)
              |) t(cluster, n)""".stripMargin),
-      bench = false),
+      ),
 
     // Scalar int8 quantization audit (the 4× ANN memory cut): per-vector
     // codes + integer-quantized reconstruction error. Every arithmetic

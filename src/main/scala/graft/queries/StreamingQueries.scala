@@ -132,7 +132,7 @@ object StreamingQueries {
              |FROM (SELECT md5(array_to_string(
              |        regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
              |      FROM documents) t""".stripMargin),
-      bench = false),
+      ),
 
     // ST1 as a STREAM (the production tracker shape: detector output
     // lands in files, the tracker tails the directory; state = one
