@@ -141,24 +141,32 @@ object RelationalQueries {
     // Measured: a grid-cell pre-bucketing variant (explode to 256px
     // x-cells, leftmost-cell ownership) returns identical rows at
     // identical steady-state cost (3.1s vs 3.2s at sf0.1, warm JVM) —
-    // the overlap precondition already short-circuits non-candidates, so
-    // the simpler frame-keyed plan is kept.
+    // per-frame density is fixed (~40) by construction, so cell
+    // bucketing only re-partitions the same candidate volume; the
+    // simpler frame-keyed plan is kept.
+    // The overlap precondition is fused INSIDE a CASE WHEN guarding the
+    // IoU: Catalyst pushes the `iou > 0.1` filter into the join
+    // condition and is free to order it BEFORE the cheap conjuncts
+    // (observed at sf1: the full IoU ran on all ~40M frame-matched
+    // pairs). A structural guard can't be reordered away — non-candidate
+    // pairs cost 4 comparisons, never the IoU arithmetic.
     Q("q06_iou_join",
       (s, d) => {
         // native codegen'd IoU expression (graft.plans.Iou)
         graft.plans.GraftExtensions.register(s)
         val b = bboxen(s, d)
         val a = b.alias("a"); val c = b.alias("b")
-        // cheap overlap precondition in the join: pairs that can't overlap
-        // (IoU = 0 < threshold) never reach the expensive IoU arithmetic
-        a.join(c, col("a.frame") === col("b.frame") && col("a.det_id") < col("b.det_id") &&
-            col("a.x1") < col("b.x2") && col("b.x1") < col("a.x2") &&
-            col("a.y1") < col("b.y2") && col("b.y1") < col("a.y2"))
+        val guardedIou = round(
+          when(col("a.x1") < col("b.x2") && col("b.x1") < col("a.x2") &&
+               col("a.y1") < col("b.y2") && col("b.y1") < col("a.y2"),
+            expr("iou(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1, b.x2, b.y2)"))
+            .otherwise(lit(0.0)), 4)
+        a.join(c, col("a.frame") === col("b.frame") && col("a.det_id") < col("b.det_id"))
           .select(
             col("a.frame").as("frame"),
             col("a.det_id").as("det_a"),
             col("b.det_id").as("det_b"),
-            round(expr("iou(a.x1, a.y1, a.x2, a.y2, b.x1, b.y1, b.x2, b.y2)"), 4).as("iou"))
+            guardedIou.as("iou"))
           .filter(col("iou") > 0.1)
           .orderBy("frame", "det_a", "det_b")
       },
