@@ -45,6 +45,163 @@ object ControlQueries {
       |  ((round(value) % 100) / 100.0) * 0.5 AS s2
       |FROM events, (SELECT greatest(count(*) // 2500, 1) AS ns FROM events) nrm""".stripMargin
 
+  /** LIVE DuckDB oracle for the full skyscraper replay (n02 and its
+    * streaming twin n16): the whole per-chunk decision fold — content
+    * categorization, drift-argmax, priority-list scan under buffer
+    * admission, and the bug-for-bug buffer drain — re-executed as a
+    * recursive CTE over the raw events parquet, one iteration per chunk
+    * (the t19 loop-unroll technique).
+    *
+    * The one piece not re-run per planning round is the simplex itself:
+    * the LP's optimum is DERIVED in SQL instead. For this instance the
+    * budget row is provably slack for ANY mixture on the simplex
+    * (max on-prem runtime × horizon = 164160 ≤ budget 172900 — the
+    * `budget_ok` guard recomputes that inequality from the profile
+    * literals), so the unique LP optimum puts each category's whole
+    * ratio on its max-quality config (`lp_cfg` = per-category argmax of
+    * the quality centers). Both preconditions are checked LIVE: if the
+    * budget guard fails, or any non-bootstrap planning histogram has a
+    * zero entry (the one case where the LP becomes degenerate and the
+    * one-hot derivation unsound), the affected rows are poisoned and
+    * the gate fails loudly. Exact-match evidence: bit-identical to the
+    * Spark output on all 10,000 sf0.01 rows (round-9 session).
+    */
+  private[queries] val skyscraperReplayOracle: String =
+    """WITH RECURSIVE
+      |chunks AS (
+      |  SELECT user_id % ns AS stream_id,
+      |    row_number() OVER (PARTITION BY user_id % ns ORDER BY event_id) - 1 AS chunk_id,
+      |    (round(value) % 100) / 100.0 AS s0,
+      |    ((round(value) % 100) / 100.0) * 0.8 + 0.1 AS s1,
+      |    ((round(value) % 100) / 100.0) * 0.5 AS s2
+      |  FROM events, (SELECT greatest(count(*) // 2500, 1) AS ns FROM events) nrm
+      |),
+      |profiles(placement, config, rt, cost, sz) AS (VALUES
+      |  (0, 0, 1.9, 0.0, 100.0), (1, 0, 1.4, 4.0, 100.0), (2, 0, 1.0, 8.0, 100.0),
+      |  (3, 1, 1.5, 0.0,  80.0), (4, 1, 1.1, 3.0,  80.0), (5, 1, 0.8, 6.0,  80.0),
+      |  (6, 2, 1.2, 0.0,  60.0), (7, 2, 0.9, 2.0,  60.0), (8, 2, 0.7, 4.0,  60.0)),
+      |consts AS (
+      |  SELECT [[0.20, 0.25, 0.15], [0.50, 0.55, 0.45], [0.80, 0.85, 0.75]]::DOUBLE[][] AS centers,
+      |    (SELECT max(rt) * 86400 <= 172900.0 FROM profiles WHERE cost = 0) AS budget_ok,
+      |    400.0 / ((SELECT max(sz) FROM profiles) / 2.0) AS time_cap
+      |),
+      |prio AS (
+      |  SELECT cat,
+      |    list(config ORDER BY ord) AS p_cfg, list(placement ORDER BY ord) AS p_place,
+      |    list(cost ORDER BY ord) AS p_cost, list(rt ORDER BY ord) AS p_rt,
+      |    list(sz ORDER BY ord) AS p_sz,
+      |    list_position(q, list_max(q)) - 1 AS lp_cfg
+      |  FROM (
+      |    SELECT c.cat, c.q, p.*,
+      |      row_number() OVER (PARTITION BY c.cat
+      |        ORDER BY -c.q[p.config + 1], p.config, p.cost, p.placement, p.rt) AS ord
+      |    FROM (SELECT cat, centers[cat + 1] AS q
+      |          FROM consts, unnest(range(3)) AS r(cat)) c
+      |    CROSS JOIN profiles p
+      |  ) GROUP BY cat, q
+      |),
+      |step AS (
+      |  SELECT c.stream_id, c.chunk_id,
+      |    0 AS config, 0 AS placement, 0.0 AS cloud_cost, 0.0 AS runtime_s,
+      |    c.s0 AS score_raw,
+      |    0 AS cur_knob, 0 AS counter, c.s0 AS cur_score,
+      |    [1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0]::DOUBLE[] AS used,
+      |    [0.0,0.0,0.0]::DOUBLE[] AS catc,
+      |    []::DOUBLE[] AS buf_sz, []::DOUBLE[] AS buf_t,
+      |    false AS poison
+      |  FROM chunks c WHERE c.chunk_id = 0
+      |  UNION ALL
+      |  SELECT stream_id, c_chunk_id,
+      |    chosen_cfg, chosen_place, chosen_cost, chosen_rt,
+      |    score_new,
+      |    chosen_cfg, counter + 1, score_new,
+      |    list_transform(range(9), k ->
+      |      u0[k + 1] + CASE WHEN k = (dyn - 1) * 3 + chosen_cfg THEN 1.0 ELSE 0.0 END),
+      |    list_transform(range(3), k ->
+      |      catc0[k + 1] + CASE WHEN k = dyn - 1 THEN 1.0 ELSE 0.0 END),
+      |    CASE WHEN len(kept_t) > 0 AND processed > 0
+      |         THEN list_prepend(kept_sz[1] * (kept_t[1] - 2.0) / kept_t[1], kept_sz[2:])
+      |         ELSE kept_sz END,
+      |    CASE WHEN len(kept_t) > 0 AND processed > 0
+      |         THEN list_prepend(kept_t[1] - 2.0, kept_t[2:])
+      |         ELSE kept_t END,
+      |    poison2
+      |  FROM (
+      |    SELECT *, 2.0 - (CASE WHEN pops = 0 THEN 0.0 ELSE cum[pops] END) AS processed,
+      |           t1[pops + 1:] AS kept_t, sz1[pops + 1:] AS kept_sz
+      |    FROM (
+      |      SELECT *,
+      |        coalesce(list_min(list_filter(range(1, len(cum) + 1), k -> cum[k] > 2.0)) - 1,
+      |                 len(cum)) AS pops
+      |      FROM (
+      |        SELECT *, list_transform(range(1, len(t1) + 1), k -> list_sum(t1[1:k])) AS cum
+      |        FROM (
+      |          SELECT *,
+      |            list_append(sz0, p_sz[scan_idx]) AS sz1,
+      |            list_append(bt0, p_rt[scan_idx]) AS t1,
+      |            p_cfg[scan_idx] AS chosen_cfg, p_place[scan_idx] AS chosen_place,
+      |            p_cost[scan_idx] AS chosen_cost, p_rt[scan_idx] AS chosen_rt,
+      |            CASE p_cfg[scan_idx] WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END AS score_new,
+      |            (poison1 OR scan_idx IS NULL) AS poison2
+      |          FROM (
+      |            SELECT *,
+      |              list_min(list_filter(range(1, 10), k ->
+      |                k >= list_position(p_cfg, knob_place)
+      |                AND coalesce(list_sum(bt0), 0.0) + p_rt[k] <= time_cap)) AS scan_idx
+      |            FROM (
+      |              SELECT *,
+      |                list_position(ratio_err, list_max(ratio_err)) - 1 AS knob_place
+      |              FROM (
+      |                SELECT *,
+      |                  list_transform(range(3), j ->
+      |                    (CASE WHEN j = lp_cfg THEN 1.0 ELSE 0.0 END)
+      |                    - u0[(dyn - 1) * 3 + j + 1] / used_sum) AS ratio_err
+      |                FROM (
+      |                  SELECT *,
+      |                    u0[(dyn - 1) * 3 + 1] + u0[(dyn - 1) * 3 + 2] + u0[(dyn - 1) * 3 + 3] AS used_sum
+      |                  FROM (
+      |                    SELECT * FROM (
+      |                    SELECT *, list_position(dlist, list_min(dlist)) AS dyn
+      |                    FROM (
+      |                      SELECT *,
+      |                        list_transform(range(3), i ->
+      |                          abs(centers[i + 1][cur_knob + 1] - cur_score)) AS dlist,
+      |                        CASE WHEN planning THEN [1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0]::DOUBLE[] ELSE used END AS u0,
+      |                        CASE WHEN planning THEN [0.0,0.0,0.0]::DOUBLE[] ELSE catc END AS catc0,
+      |                        CASE WHEN planning AND len(buf_t) > 0
+      |                             THEN list_prepend(buf_t[1] + 0.5, buf_t[2:])
+      |                             ELSE buf_t END AS bt0,
+      |                        buf_sz AS sz0,
+      |                        (poison OR NOT budget_ok
+      |                         OR (planning AND counter > 0 AND list_min(catc) <= 0.0)) AS poison1
+      |                      FROM (
+      |                        SELECT p.stream_id, c.chunk_id AS c_chunk_id,
+      |                               c.s0, c.s1, c.s2,
+      |                               (p.counter % 500 = 0) AS planning,
+      |                               p.cur_knob, p.counter, p.cur_score, p.used, p.catc,
+      |                               p.buf_sz, p.buf_t, p.poison,
+      |                               k.centers, k.budget_ok, k.time_cap
+      |                        FROM step p
+      |                        JOIN chunks c ON c.stream_id = p.stream_id AND c.chunk_id = p.chunk_id + 1
+      |                        CROSS JOIN consts k
+      |                      ) x
+      |                    ) x
+      |                    ) y JOIN prio ON prio.cat = y.dyn - 1
+      |                  ) x
+      |                ) x
+      |              ) x
+      |            ) x
+      |          ) x
+      |        ) x
+      |      ) x
+      |    ) x
+      |  ) x
+      |)
+      |SELECT stream_id, chunk_id, config, placement, cloud_cost::DOUBLE AS cloud_cost,
+      |       round(runtime_s, 2)::DOUBLE AS runtime_s, round(score_raw, 4) AS score
+      |FROM step WHERE NOT poison
+      |ORDER BY stream_id, chunk_id""".stripMargin
+
   /** Deterministic linearly-moving detections derived from events (the
     * ST1 input adapter, shared by batch n01 and streaming n15): stream
     * count scales with volume (count/625 → 16 streams at the sf0.01
@@ -123,9 +280,9 @@ object ControlQueries {
     // re-planning, one sequential switcher per stream, parallel across
     // streams. Semantics are spec-validated against the hand-derived
     // golden decision log (ReplaySpec / golden_skyscraper_log.csv); the
-    // driver gate checks the full sf0.01 output against a committed
-    // golden snapshot (regenerate via scripts/regen_goldens.sh if the
-    // testdata or replay semantics change).
+    // driver gate is a LIVE DuckDB recursive-CTE replay of the whole
+    // decision fold since round 9 (skyscraperReplayOracle below) — the
+    // t19 unroll technique applied to the per-chunk switcher loop.
     Q("n02_skyscraper_replay",
       (s, d) => {
         import s.implicits._
@@ -141,11 +298,7 @@ object ControlQueries {
           .toDF("stream_id", "chunk_id", "config", "placement", "cloud_cost", "runtime_s", "score")
           .orderBy("stream_id", "chunk_id")
       },
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_n02_skyscraper_replay.csv',
-             |  header=true, columns={'stream_id':'BIGINT','chunk_id':'BIGINT',
-             |    'config':'INT','placement':'INT','cloud_cost':'DOUBLE',
-             |    'runtime_s':'DOUBLE','score':'DOUBLE'})""".stripMargin)),
+      Some(skyscraperReplayOracle)),
 
     // ST1: SORT tracking over deterministic linearly-moving objects
     // derived from events. Kernel semantics are spec-validated

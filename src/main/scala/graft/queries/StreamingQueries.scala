@@ -172,11 +172,11 @@ object StreamingQueries {
             round(col("score"), 4).as("score"))
           .orderBy("stream_id", "chunk_id")
       },
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_n16_stream_switch.csv',
-             |  header=true, columns={'stream_id':'BIGINT','chunk_id':'BIGINT',
-             |    'config':'INT','placement':'INT','cloud_cost':'DOUBLE',
-             |    'runtime_s':'DOUBLE','score':'DOUBLE'})""".stripMargin)),
+      // LIVE oracle since round 9: the same recursive-CTE decision-fold
+      // replay that gates batch n02 — the streaming path must reproduce
+      // the batch decisions exactly (the n01/n15 pattern, but against an
+      // independent DuckDB recomputation instead of a shared snapshot)
+      Some(ControlQueries.skyscraperReplayOracle)),
 
     // Event-time SESSION windows as a stream (the streaming twin of
     // q30): watermarked session_window state, append mode — a session
