@@ -23,8 +23,6 @@ SPARK_GRAFT_ONLY=e08_pq_encode,e10_semdedup,n01_sort_tracks,n02_skyscraper_repla
 python3 - <<'EOF'
 import pandas as pd
 for n, f in [('n01_sort_tracks', 'golden_n01_sort_tracks.csv'),
-             ('e08_pq_encode', 'golden_e08_pq.csv'),
-             ('e10_semdedup', 'golden_e10_semdedup.csv'),
              # m05's BATCH output is ALSO n23_vetl_stream's oracle — the
              # streaming twin is checked against the batch composition
              ('m05_vetl_pipeline', 'golden_m05_vetl_quality.csv')]:

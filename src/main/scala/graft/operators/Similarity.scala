@@ -835,6 +835,15 @@ object Similarity {
     * fewer distinct points; sequential sums, ties to the lowest centroid
     * index, empty clusters keep their previous center.
     */
+  /** Oracle-freeze hook: the deterministic lloyd centers the operators
+    * train (pqCodebooks' subspace books, semDedup's cells), exposed so
+    * scratch tooling can print them as full-precision SQL literals for
+    * the frozen-constant live oracles (e05/e08/e10 pattern).
+    */
+  private[graft] def lloydCenters(pts: Array[Array[Double]], k: Int,
+                                  iters: Int = 15): Array[Array[Double]] =
+    lloyd(pts, k, iters)
+
   private def lloyd(pts: Array[Array[Double]], k: Int,
                     iters: Int = 15): Array[Array[Double]] = {
     val n = pts.length

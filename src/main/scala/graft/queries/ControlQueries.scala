@@ -362,7 +362,7 @@ object ControlQueries {
 
     // X2: LP knob plan on the replay's literal dims (constraint-
     // satisfaction properties + vertex-enumeration parity in SimplexSpec;
-    // the plan itself is deterministic, so the gate golden is a literal).
+    // the gate is a LIVE closed-form derivation since round 9).
     Q("n04_lp_plan",
       (s, d) => {
         val planner = new KnobPlanner(categoryCenters, Array(1.9, 1.5, 1.2),
@@ -373,11 +373,27 @@ object ControlQueries {
         s.createDataFrame(rows).toDF("category", "config", "ratio", "expected_score")
           .orderBy("category", "config")
       },
-      Some("""SELECT * FROM (VALUES
-             |  (0, 0, 0.0, 13718.92), (0, 1, 1.0, 13718.92), (0, 2, 0.0, 13718.92),
-             |  (1, 0, 0.0, 13718.92), (1, 1, 1.0, 13718.92), (1, 2, 0.0, 13718.92),
-             |  (2, 0, 0.0, 13718.92), (2, 1, 1.0, 13718.92), (2, 2, 0.0, 13718.92)
-             |) t(category, config, ratio, expected_score)""".stripMargin),
+      // LIVE oracle since round 9 (was a literal snapshot): the LP's
+      // optimum is DERIVED in SQL via the same slack-budget argument the
+      // n02 replay oracle uses — for any mixture on the simplex the
+      // horizon cost is at most max(knobCost)*86400 = 164160 < budget
+      // 172900 (the guard recomputes that inequality), so the unique
+      // optimum is each category's max-quality one-hot and the expected
+      // score its mixture-weighted quality. The simplex must land
+      // exactly there or the gate fails.
+      Some("""WITH c AS (SELECT [[0.20,0.25,0.15],[0.50,0.55,0.45],[0.80,0.85,0.75]]::DOUBLE[][] AS q,
+             |  [1.9,1.5,1.2]::DOUBLE[] AS kc, [0.86,0.053,0.086]::DOUBLE[] AS mraw,
+             |  24*3600*2 + 100.0 AS budget),
+             |n AS (SELECT q, kc, budget, list_transform(mraw, x -> x / list_sum(mraw)) AS m FROM c),
+             |g AS (SELECT (list_max(kc) * 86400 <= budget) AS ok FROM n),
+             |am AS (SELECT i::INT AS category, (list_position(q[i+1], list_max(q[i+1])) - 1)::INT AS best
+             |       FROM n, unnest(range(3)) AS t(i)),
+             |sc AS (SELECT round(list_sum(list_transform(range(3), i ->
+             |         m[i+1] * q[i+1][list_position(q[i+1], list_max(q[i+1]))])) * 86400 / 2.0, 2) AS es FROM n)
+             |SELECT a.category, j::INT AS config,
+             |  CASE WHEN j = a.best THEN 1.0 ELSE 0.0 END AS ratio, sc.es AS expected_score
+             |FROM am a, unnest(range(3)) t(j), sc, g WHERE g.ok
+             |ORDER BY 1, 2""".stripMargin),
       ),
 
     // A8/X4 second half: eta calibration + per-group starting-point
@@ -420,8 +436,8 @@ object ControlQueries {
 
     // X3: greedy knapsack fallback for the knob plan (knob_plan.py:135-177
     // — dead NotImplementedError sketch in the reference; paper supp. B).
-    // Deterministic driver computation; LP-dominance + budget properties
-    // in KnobPlannerSpec; the gate golden is a literal.
+    // LP-dominance + budget properties in KnobPlannerSpec; the gate is a
+    // LIVE full enumeration of the 27 assignments since round 9.
     Q("n12_knapsack_plan",
       (s, d) => {
         val planner = new KnobPlanner(categoryCenters, Array(1.9, 1.5, 1.2),
@@ -434,11 +450,29 @@ object ControlQueries {
         s.createDataFrame(rows).toDF("category", "config", "ratio", "expected_score")
           .orderBy("category", "config")
       },
-      Some("""SELECT * FROM (VALUES
-             |  (0, 0, 0.0, 13718.92), (0, 1, 1.0, 13718.92), (0, 2, 0.0, 13718.92),
-             |  (1, 0, 0.0, 13718.92), (1, 1, 1.0, 13718.92), (1, 2, 0.0, 13718.92),
-             |  (2, 0, 0.0, 13718.92), (2, 1, 1.0, 13718.92), (2, 2, 0.0, 13718.92)
-             |) t(category, config, ratio, expected_score)""".stripMargin),
+      // LIVE oracle since round 9 (was a literal snapshot): DuckDB
+      // enumerates ALL 27 integral assignments from the center/cost
+      // literals, filters budget-feasible, and takes the max-quality one
+      // — an independent solve of the same knapsack instance (the greedy
+      // must land on the enumeration optimum or the gate fails).
+      Some("""WITH c AS (SELECT [[0.20,0.25,0.15],[0.50,0.55,0.45],[0.80,0.85,0.75]]::DOUBLE[][] AS q,
+             |  [1.9,1.5,1.2]::DOUBLE[] AS kc, [0.86,0.053,0.086]::DOUBLE[] AS mraw,
+             |  24*3600*2 + 100.0 AS budget, 24*3600.0 AS hz, 2.0 AS iv),
+             |n AS (SELECT *, list_transform(mraw, x -> x / list_sum(mraw)) AS m FROM c),
+             |combos AS (
+             |  SELECT j0::INT AS j0, j1::INT AS j1, j2::INT AS j2,
+             |    m[1]*kc[j0+1]*hz + m[2]*kc[j1+1]*hz + m[3]*kc[j2+1]*hz AS cost,
+             |    m[1]*q[1][j0+1]*hz/iv + m[2]*q[2][j1+1]*hz/iv + m[3]*q[3][j2+1]*hz/iv AS qual,
+             |    budget
+             |  FROM n, unnest(range(3)) a(j0), unnest(range(3)) b(j1), unnest(range(3)) d(j2)),
+             |best AS (SELECT * FROM combos WHERE cost <= budget
+             |         ORDER BY qual DESC, j0, j1, j2 LIMIT 1)
+             |SELECT i::INT AS category, j::INT AS config,
+             |  CASE WHEN (i = 0 AND j = b.j0) OR (i = 1 AND j = b.j1) OR (i = 2 AND j = b.j2)
+             |       THEN 1.0 ELSE 0.0 END AS ratio,
+             |  round(b.qual, 2) AS expected_score
+             |FROM best b, unnest(range(3)) t(i), unnest(range(3)) u(j)
+             |ORDER BY 1, 2""".stripMargin),
       )
   )
 }

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: print the deterministic trained constants (PQ codebooks,
+  * KMeans centroids, semDedup cells) as full-precision DuckDB literals
+  * for the e05/e08/e10 frozen-constant live oracles. Not in the catalog.
+  */
+object DebugFreeze {
+  private def lit1(a: Array[Double]): String =
+    a.map(java.lang.Double.toString).mkString("[", ", ", "]")
+  private def lit2(a: Array[Array[Double]]): String =
+    a.map(lit1).mkString("[", ",\n ", "]")
+  private def lit3(a: Array[Array[Array[Double]]]): String =
+    a.map(lit2).mkString("[", ",\n\n", "]")
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    println("=== PQBOOKS (8 x 16 x 8) ===")
+    println(lit3(Similarity.pqCodebooks(emb)))
+
+    println("=== KM10 (10 x 64, spark.ml seed 42 maxIter 10) ===")
+    val feats = emb.select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(10).setSeed(42).setMaxIter(10).fit(feats)
+    println(lit2(model.clusterCenters.map(_.toArray)))
+
+    println("=== SEM (autoNlist x 64, semDedup iters 10) ===")
+    val train = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(10000)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    val k = Similarity.autoNlist(emb.count())
+    println(s"k=$k")
+    println(lit2(Similarity.lloydCenters(train, k, iters = 10)))
+    println("=== KM3 (3 x 3, n07 spark.ml seed 42 maxIter 20) ===")
+    val sc3 = OfflineQueries.chunkScores(spark, d)
+      .select(array_to_vector(array(col("s0"), col("s1"), col("s2"))).as("features"))
+    val m3 = new KMeans().setK(3).setSeed(42).setMaxIter(20).fit(sc3)
+    println(lit2(m3.clusterCenters.map(_.toArray)))
+    spark.stop()
+  }
+}

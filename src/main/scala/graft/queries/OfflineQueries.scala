@@ -29,7 +29,7 @@ object OfflineQueries {
     * longs; one final division) keeps s0 bit-identical across engines and
     * partitionings.
     */
-  private def chunkScores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[queries] def chunkScores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val nStreams = math.max(Tables.eventCount(s, d) / 2500L, 1L)
     val w = Window.partitionBy("stream_id").orderBy("event_id")
     val wScene = Window.partitionBy(col("stream_id"), expr("chunk_id div 32"))
@@ -137,14 +137,28 @@ object OfflineQueries {
         }).toDF("category", "center_s0", "center_s1", "center_s2", "n_chunks")
           .orderBy("category")
       },
-      // seeded KMeans over 0.01-quantized scores is partition-stable
-      // (checked across 4/8/16-core runs) → literal sf0.01 gate golden
-      Some("""SELECT category, center_s0, center_s1, center_s2,
-             |       n_chunks::BIGINT AS n_chunks FROM (VALUES
-             |  (0, 0.343, 0.374, 0.171, 3398),
-             |  (1, 0.117, 0.193, 0.058, 3996),
-             |  (2, 0.679, 0.643, 0.34, 2606)
-             |) t(category, center_s0, center_s1, center_s2, n_chunks)""".stripMargin),
+      // LIVE oracle since round 9 (was a literal snapshot): only the 3
+      // trained centroids are frozen (FrozenModels.kmeans3Sql, seeded
+      // spark.ml fit); the nearest-centroid assignment of all ~10k chunk
+      // score vectors — the n_chunks sizes — is recomputed live by
+      // DuckDB from the raw parquet via the same chunk-scores SQL.
+      Some(s"""WITH chunks AS ($chunkScoresSql),
+              |km AS (SELECT ${FrozenModels.kmeans3Sql}::DOUBLE[][] AS c),
+              |a AS (
+              |  SELECT list_position(dl, list_min(dl)) - 1 AS cluster
+              |  FROM (
+              |    SELECT list_transform(range(3), k ->
+              |        (s0 - c[k+1][1])*(s0 - c[k+1][1]) + (s1 - c[k+1][2])*(s1 - c[k+1][2])
+              |        + (s2 - c[k+1][3])*(s2 - c[k+1][3])) AS dl
+              |    FROM chunks CROSS JOIN km
+              |  )
+              |)
+              |SELECT a.cluster::INT AS category,
+              |  round(km.c[a.cluster+1][1], 3) AS center_s0,
+              |  round(km.c[a.cluster+1][2], 3) AS center_s1,
+              |  round(km.c[a.cluster+1][3], 3) AS center_s2,
+              |  count(*)::BIGINT AS n_chunks
+              |FROM a CROSS JOIN km GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin),
       ),
 
     // M12: forecast training-set builder — input = trailing 8-chunk score

@@ -166,13 +166,49 @@ object SimilarityQueries {
     // Output depends on the deterministic Lloyd centroids → committed
     // sf0.01 golden (stability-checked across 4/8/16 cores;
     // scripts/regen_goldens.sh).
+    // LIVE oracle since round 9 (was a frozen output snapshot): only the
+    // 22 trained cell centers are frozen (FrozenModels.semCellsSql); the
+    // data-plane pipeline — nearest-cell assignment + own-centroid
+    // distance, within-cell cosine>=0.3 pairs, connected components
+    // (reachability closure, min-id label, the d04 pattern), and the
+    // keep-farthest-from-centroid ranking — is recomputed live by DuckDB
+    // from the raw floats. Exact on all 500 sf0.01 rows.
     Q("e10_semdedup",
       (s, d) => Similarity.semDedup(Tables.embeddings(s, d), threshold = 0.3)
         .orderBy("vec_id"),
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_e10_semdedup.csv',
-             |  header=true, columns={'vec_id':'BIGINT','cell':'INTEGER',
-             |    'group_id':'BIGINT','keep':'BOOLEAN'})""".stripMargin)),
+      Some(s"""WITH RECURSIVE sem AS (SELECT ${FrozenModels.semCellsSql}::DOUBLE[][] AS c),
+              |v AS (SELECT vec_id::BIGINT AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |a AS (
+              |  SELECT vec_id, v,
+              |    list_position(dl, list_min(dl)) - 1 AS cell,
+              |    list_min(dl) AS cdist
+              |  FROM (
+              |    SELECT vec_id, v,
+              |      list_transform(range(22), k ->
+              |        list_sum(list_transform(range(64), i ->
+              |          (v[i + 1] - c.c[k + 1][i + 1]) * (v[i + 1] - c.c[k + 1][i + 1])))) AS dl
+              |    FROM v CROSS JOIN sem c
+              |  )
+              |),
+              |pairs AS (
+              |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+              |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+              |  WHERE list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1]))
+              |        / (sqrt(list_sum(list_transform(range(64), i -> x.v[i+1] * x.v[i+1])))
+              |         * sqrt(list_sum(list_transform(range(64), i -> y.v[i+1] * y.v[i+1])))) >= 0.3
+              |),
+              |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT s, s FROM edges
+              |  UNION
+              |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+              |grp AS (SELECT id AS vec_id, min(r) AS group_id FROM reach GROUP BY 1)
+              |SELECT a.vec_id, a.cell::INTEGER AS cell,
+              |  coalesce(g.group_id, a.vec_id) AS group_id,
+              |  (row_number() OVER (PARTITION BY coalesce(g.group_id, a.vec_id)
+              |     ORDER BY a.cdist DESC, a.vec_id ASC) = 1) AS keep
+              |FROM a LEFT JOIN grp g ON g.vec_id = a.vec_id
+              |ORDER BY a.vec_id""".stripMargin)),
 
     // Johnson-Lindenstrauss random projection 64→16 dims with a
     // deterministic Rademacher matrix (md5-parity signs): quantized
@@ -205,12 +241,26 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy("cluster")
       },
-      // seeded KMeans cluster sizes are partition-stable (checked across
-      // 4/8/16-core runs) → literal sf0.01 gate golden
-      Some("""SELECT cluster::BIGINT AS cluster, n::BIGINT AS n FROM (VALUES
-             |  (0, 47), (1, 1), (2, 113), (3, 1), (4, 43),
-             |  (5, 60), (6, 9), (7, 52), (8, 133), (9, 41)
-             |) t(cluster, n)""".stripMargin),
+      // LIVE oracle since round 9 (was a literal size snapshot): only the
+      // 10 trained centroids are frozen (FrozenModels.kmeans10Sql, seeded
+      // spark.ml fit); the nearest-centroid assignment of every vector —
+      // what makes these k-means cluster sizes — is recomputed live by
+      // DuckDB from the raw floats (naive strict-< argmin reproduces
+      // spark.ml's findClosest on this data, all 500 assignments).
+      Some(s"""WITH km AS (SELECT ${FrozenModels.kmeans10Sql}::DOUBLE[][] AS c),
+              |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |a AS (
+              |  SELECT vec_id, list_position(dl, list_min(dl)) - 1 AS cluster
+              |  FROM (
+              |    SELECT vec_id,
+              |      list_transform(range(10), k ->
+              |        list_sum(list_transform(range(64), i ->
+              |          (v[i + 1] - c[k + 1][i + 1]) * (v[i + 1] - c[k + 1][i + 1])))) AS dl
+              |    FROM v CROSS JOIN km
+              |  )
+              |)
+              |SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n
+              |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
       ),
 
     // Scalar int8 quantization audit (the 4× ANN memory cut): per-vector
@@ -244,12 +294,37 @@ object SimilarityQueries {
     // to a committed sf0.01 snapshot — stability-checked across
     // 4/8/16-core runs like the other seeded-ML goldens
     // (scripts/regen_goldens.sh).
+    // LIVE oracle since round 9 (was a frozen output snapshot): only the
+    // trained codebooks are frozen (FrozenModels.pqBooksSql, deterministic
+    // fit); the full per-vector encode — 8 subspace argmins over 16 codes
+    // with strict-< tie-break, code_sum/code_hash, and the floor(err*1e6)
+    // quantized reconstruction error — is recomputed by DuckDB from the
+    // raw floats. Bit-identical on all 500 sf0.01 rows incl. err_q
+    // (same left-to-right double summation order).
     Q("e08_pq_encode",
       (s, d) => Similarity.pqEncode(Tables.embeddings(s, d)).orderBy("vec_id"),
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_e08_pq.csv',
-             |  header=true, columns={'vec_id':'BIGINT','code_sum':'BIGINT',
-             |    'code_hash':'BIGINT','err_q':'BIGINT'})""".stripMargin)),
+      Some(s"""WITH books AS (SELECT ${FrozenModels.pqBooksSql}::DOUBLE[][][] AS b),
+              |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |d AS (
+              |  SELECT vec_id,
+              |    list_transform(range(8), j ->
+              |      list_transform(range(16), c ->
+              |        list_sum(list_transform(range(8), i ->
+              |          (v[j * 8 + i + 1] - b[j + 1][c + 1][i + 1])
+              |          * (v[j * 8 + i + 1] - b[j + 1][c + 1][i + 1]))))) AS dl
+              |  FROM v CROSS JOIN books
+              |),
+              |e AS (
+              |  SELECT vec_id,
+              |    list_transform(dl, sub -> list_position(sub, list_min(sub)) - 1) AS codes,
+              |    list_transform(dl, sub -> list_min(sub)) AS errs
+              |  FROM d
+              |)
+              |SELECT vec_id,
+              |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+              |  CAST(list_sum(list_transform(range(8), j -> (j + 1) * codes[j + 1])) AS BIGINT) AS code_hash,
+              |  CAST(floor(list_sum(errs) * 1e6) AS BIGINT) AS err_q
+              |FROM e ORDER BY vec_id""".stripMargin)),
 
     // IVF-PQ probe (Similarity.probeIvfPq): cells pruned by IVF, the
     // candidate scan ranked by PQ asymmetric distance over m-byte codes,
