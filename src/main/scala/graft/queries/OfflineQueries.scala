@@ -112,9 +112,63 @@ object OfflineQueries {
         s.createDataFrame(Seq((best.head, best(1), math.rint(score * 10000) / 10000, evals)))
           .toDF("k1", "k2", "score", "n_evals")
       },
-      // deterministic search over a fixed grid; the only float is a 4dp-
-      // rounded sum of 0.01-quantized scores, stable across partitionings
-      Some("""SELECT * FROM (VALUES (10, 1, 28.6307, 18)) t(k1, k2, score, n_evals)"""),
+      // LIVE oracle since round 9 (was a literal snapshot): DuckDB
+      // recomputes the 8x8 objective grid from the raw events (the
+      // sum-where-divisible quality aggregate minus the cadence cost)
+      // and replays the hill-climb fold — start election, +-1-position
+      // neighbors, first-max tie-breaks, distinct-eval counting — as a
+      // recursive CTE, one iteration per climb step.
+      Some("""WITH RECURSIVE
+             |dom(pos, k) AS (VALUES (0,1),(1,2),(2,3),(3,4),(4,5),(5,6),(6,8),(7,10)),
+             |grid AS (
+             |  SELECT a.k AS k1, a.pos AS p1, b.k AS k2, b.pos AS p2, a.k * 100 + b.k AS cid,
+             |    (SELECT sum(CASE WHEN event_id % a.k = 0 OR event_id % b.k = 0 THEN value END) FROM events)
+             |      / (SELECT count(*) FROM events)
+             |    - 30.0 / a.k - 18.0 / b.k AS score
+             |  FROM dom a, dom b
+             |),
+             |init AS (
+             |  SELECT g.k1, g.k2, g.p1, g.p2, g.score, 0 AS iter, 3 AS evals,
+             |    [1010, 101, 404] AS seen, true AS improved
+             |  FROM (VALUES (10,10,0),(1,1,1),(4,4,2)) s(k1,k2,ord)
+             |  JOIN grid g ON g.k1 = s.k1 AND g.k2 = s.k2
+             |  ORDER BY g.score DESC, s.ord LIMIT 1
+             |),
+             |climb AS (
+             |  SELECT * FROM init
+             |  UNION ALL
+             |  SELECT
+             |    CASE WHEN g.score > z.score THEN g.k1 ELSE z.k1 END,
+             |    CASE WHEN g.score > z.score THEN g.k2 ELSE z.k2 END,
+             |    CASE WHEN g.score > z.score THEN g.p1 ELSE z.p1 END,
+             |    CASE WHEN g.score > z.score THEN g.p2 ELSE z.p2 END,
+             |    CASE WHEN g.score > z.score THEN g.score ELSE z.score END,
+             |    z.iter + 1,
+             |    z.evals + len(list_distinct(z.nbs || z.seen)) - len(list_distinct(z.seen)),
+             |    list_distinct(z.seen || z.nbs),
+             |    g.score > z.score
+             |  FROM (
+             |    SELECT c.*,
+             |      (SELECT list(n.cid) FROM (
+             |        SELECT d.k * 100 + c.k2 AS cid FROM dom d WHERE d.pos IN (c.p1 - 1, c.p1 + 1)
+             |        UNION ALL SELECT c.k1 * 100 + d.k FROM dom d WHERE d.pos IN (c.p2 - 1, c.p2 + 1)
+             |      ) n) AS nbs,
+             |      (SELECT n.cid FROM (
+             |         SELECT d.k * 100 + c.k2 AS cid,
+             |           10 + (CASE WHEN d.pos < c.p1 THEN 0 ELSE 1 END) AS o
+             |         FROM dom d WHERE d.pos IN (c.p1 - 1, c.p1 + 1)
+             |         UNION ALL
+             |         SELECT c.k1 * 100 + d.k,
+             |           20 + (CASE WHEN d.pos < c.p2 THEN 0 ELSE 1 END)
+             |         FROM dom d WHERE d.pos IN (c.p2 - 1, c.p2 + 1)) n
+             |       JOIN grid g2 ON g2.cid = n.cid
+             |       ORDER BY g2.score DESC, n.o LIMIT 1) AS nbc
+             |    FROM climb c WHERE c.improved AND c.iter < 10
+             |  ) z
+             |  JOIN grid g ON g.cid = z.nbc
+             |)
+             |SELECT k1, k2, round(score, 4) AS score, evals AS n_evals
+             |FROM climb ORDER BY iter DESC LIMIT 1""".stripMargin),
       ),
 
     // M10: KMeans content categorization over per-chunk quality vectors
