@@ -55,4 +55,16 @@ class MultimodalSpec extends SparkSpec {
       .agg(sum(floor(col("mean_luma") * 100).cast("long"))).collect()(0).getLong(0)
     assert(luma(sampled) == luma(sampled.repartition(5)))
   }
+
+  test("RealCodecSeam preserves row count and (stream, frame) keys for any kernel") {
+    val frames = Multimodal.syntheticFrames(events, nStreams = 2L)
+    val out = RealCodecSeam.decodeAndFeaturize(frames, RealCodecSeam.identityKernel)
+    assert(out.columns.toSeq ==
+      Seq("stream_id", "frame", "width", "height", "features"))
+    val inKeys = frames.select("stream_id", "frame")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val outKeys = out.select("stream_id", "frame")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(outKeys == inKeys)
+  }
 }
