@@ -25,6 +25,20 @@ class PlanSpec extends SparkSpec {
       !p.contains("props"), "scan reads unprojected columns")
   }
 
+  test("q06's IoU stays behind the overlap guard after predicate pushdown") {
+    // the 6.2x-at-sf1 regression guard: Catalyst pushes the iou>0.1
+    // filter into the join condition in arbitrary conjunct order; the
+    // CASE WHEN guard must survive optimization so non-overlapping
+    // pairs never pay the IoU arithmetic
+    val p = plan("q06_iou_join")
+    assert(p.contains("CASE WHEN") && p.contains("iou("),
+      s"q06 join condition lost the CASE WHEN overlap guard:\n$p")
+    val condStart = p.indexOf("CASE WHEN")
+    val iouAt = p.indexOf("iou(")
+    assert(iouAt > condStart,
+      s"iou() evaluates outside/before the CASE WHEN guard:\n$p")
+  }
+
   test("dim-fact joins broadcast the dim side (q07)") {
     val p = plan("q07_join_agg")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
