@@ -50,6 +50,17 @@ object DebugFreeze {
       .select(array_to_vector(array(col("s0"), col("s1"), col("s2"))).as("features"))
     val m3 = new KMeans().setK(3).setSeed(42).setMaxIter(20).fit(sc3)
     println(lit2(m3.clusterCenters.map(_.toArray)))
+    println("=== N05 candidates (cand_id, runtime, cost) ===")
+    val base = graft.ops.TaskSim.detectToTrack(10, 60)
+    val g = base.copy(tasks = base.tasks.map(t =>
+      t.copy(inBytes = 200000, outBytes = 80000, rtCloud = t.rtSingle * 0.6)))
+    graft.operators.KnobTuning.placementCandidates(g.tasks.length, 64).foreach {
+      case (candId, placement) =>
+        val gg = g.copy(tasks = g.tasks.zipWithIndex.map { case (t, i) =>
+          t.copy(placement = placement(i)) })
+        println(s"($candId, ${java.lang.Double.toString(gg.simulateRt(4))}, " +
+          s"${java.lang.Double.toString(gg.simulateCost)}),")
+    }
     spark.stop()
   }
 }
