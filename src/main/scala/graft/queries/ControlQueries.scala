@@ -68,7 +68,7 @@ object ControlQueries {
     */
   private[queries] val skyscraperReplayOracle: String =
     """WITH RECURSIVE
-      |chunks AS (
+      |chunks AS MATERIALIZED (
       |  SELECT user_id % ns AS stream_id,
       |    row_number() OVER (PARTITION BY user_id % ns ORDER BY event_id) - 1 AS chunk_id,
       |    (round(value) % 100) / 100.0 AS s0,

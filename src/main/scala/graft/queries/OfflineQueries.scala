@@ -121,7 +121,7 @@ object OfflineQueries {
       // recursive CTE, one iteration per climb step.
       Some("""WITH RECURSIVE
              |dom(pos, k) AS (VALUES (0,1),(1,2),(2,3),(3,4),(4,5),(5,6),(6,8),(7,10)),
-             |grid AS (
+             |grid AS MATERIALIZED (
              |  SELECT a.k AS k1, a.pos AS p1, b.k AS k2, b.pos AS p2, a.k * 100 + b.k AS cid,
              |    (SELECT sum(CASE WHEN event_id % a.k = 0 OR event_id % b.k = 0 THEN value END) FROM events)
              |      / (SELECT count(*) FROM events)
