@@ -1,15 +1,21 @@
 #!/bin/sh
 # Regenerate the committed driver-gate goldens (sf0.01 snapshots) after an
 # intentional semantics or testdata change:
-#   n01/n02 (control replay), n16 (streaming switch), e08/e10 (seeded PQ /
-#   SemDeDup), m05 (V-ETL pipeline; doubles as n23's oracle)
-#     -> src/test/resources CSVs
-#   n03/n04/n05/n06/n12 (simulator/planner), e05/n07/n09/n10 (seeded ML)
+#   n01 (SORT tracks; n15's cross-check), m05 (V-ETL pipeline; doubles as
+#   n23's oracle) -> src/test/resources CSVs
+#   n03 (simulator), n09/n10 (seeded MLP)
 #     -> VALUES literals printed for manual paste into the catalog oracles
-# LIVE since round 7 (no snapshot to regen): m01-m04 (recursive-LCG
-# replays), d03 (XXH64 simhash replay), t05/d08 (winnowing replay), t19 (unrolled BPE loop),
-# e04 (quantized LSH replay), e06/e09/e12 (mean-recall floors vs the
-# full-probe exact side).
+# FROZEN-CONSTANT live oracles (e05/e08/e10/n07 centroids/codebooks, n05
+# candidate ledger points): regenerate the FrozenModels.scala literals with
+#   sbt "runMain graft.queries.DebugFreeze /root/testdata/sf0.01"
+# (plus the N05 candidates section) — the oracles recompute the data-plane
+# work live against them, so only the fit constants need refreshing.
+# LIVE with no frozen part (nothing to regen): m01-m04 (recursive-LCG
+# replays), d03 (XXH64 simhash replay), t05/d08 (winnowing replay),
+# t19 (unrolled BPE loop), e04 (quantized LSH replay), e06/e09/e12
+# (mean-recall floors vs the full-probe exact side), n02/n16 (decision-fold
+# recursive-CTE replay), n04/n12 (independent SQL solves), n06 (grid +
+# climb replay).
 # Kernel semantics stay independently spec-checked (SortTrackerSpec,
 # ReplaySpec, TaskSimSpec, SimplexSpec, KnobPlannerSpec, DedupSpec,
 # SimilaritySpec); these snapshots give the driver's DuckDB gate a hard
@@ -18,7 +24,7 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT=/tmp/golden_regen
-SPARK_GRAFT_ONLY=e08_pq_encode,e10_semdedup,n01_sort_tracks,n02_skyscraper_replay,n16_stream_switch,n03_task_sim,n04_lp_plan,n05_placement_pareto,n06_hill_climb,n12_knapsack_plan,e05_kmeans,n07_categories,n09_forecast_mlp,n10_forecast_mae,m05_vetl_pipeline \
+SPARK_GRAFT_ONLY=n01_sort_tracks,n03_task_sim,n09_forecast_mlp,n10_forecast_mae,m05_vetl_pipeline \
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 python3 - <<'EOF'
 import pandas as pd
@@ -29,9 +35,7 @@ for n, f in [('n01_sort_tracks', 'golden_n01_sort_tracks.csv'),
     df = pd.read_parquet(f'/tmp/golden_regen/{n}')
     df.to_csv(f'src/test/resources/{f}', index=False)
     print(f'wrote src/test/resources/{f} ({len(df)} rows)')
-for n in ['n03_task_sim', 'n04_lp_plan', 'n05_placement_pareto', 'n06_hill_climb',
-          'n12_knapsack_plan', 'e05_kmeans', 'n07_categories', 'n09_forecast_mlp',
-          'n10_forecast_mae']:
+for n in ['n03_task_sim', 'n09_forecast_mlp', 'n10_forecast_mae']:
     df = pd.read_parquet(f'/tmp/golden_regen/{n}')
     print(f'-- {n}: paste into the catalog oracle --')
     for t in df.itertuples(index=False):
