@@ -3,13 +3,24 @@
 # intentional semantics or testdata change:
 #   n01 (SORT tracks; n15's cross-check), m05 (V-ETL pipeline; doubles as
 #   n23's oracle) -> src/test/resources CSVs
-#   n03 (simulator), n09/n10 (seeded MLP)
+#   n03 (simulator)
 #     -> VALUES literals printed for manual paste into the catalog oracles
 # FROZEN-CONSTANT live oracles (e05/e08/e10/n07 centroids/codebooks, n05
-# candidate ledger points): regenerate the FrozenModels.scala literals with
+# candidate ledger points, n09/n10 MLP weights): regenerate the
+# FrozenModels.scala literals with
 #   sbt "runMain graft.queries.DebugFreeze /root/testdata/sf0.01"
 # (plus the N05 candidates section) — the oracles recompute the data-plane
 # work live against them, so only the fit constants need refreshing.
+# Regeneration cross-checks (the frozen fits come from the same kernels the
+# queries run, so check one fit per family against something independent
+# before freezing): KMeans centroids — the spark.ml fits (e05/n07) vs the
+# hand-rolled Similarity.lloydCenters (e10) are independent Lloyd
+# implementations over the same data family, and each frozen fit must make
+# its OWN live gate (assignment counts / pair structure recomputed by
+# DuckDB) pass, which a drifted or mis-fit constant set does not; TaskSim
+# ledger points (n05) — bit-exact-vs-reference TaskSimSpec must be green;
+# MLP weights (n09/n10) — DuckDB's independent forward pass must reproduce
+# the confusion counts cell-for-cell (it did at freeze time, r10).
 # LIVE with no frozen part (nothing to regen): m01-m04 (recursive-LCG
 # replays), d03 (XXH64 simhash replay), t05/d08 (winnowing replay),
 # t19 (unrolled BPE loop), e04 (quantized LSH replay), e06/e09/e12
@@ -24,7 +35,7 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT=/tmp/golden_regen
-SPARK_GRAFT_ONLY=n01_sort_tracks,n03_task_sim,n09_forecast_mlp,n10_forecast_mae,m05_vetl_pipeline \
+SPARK_GRAFT_ONLY=n01_sort_tracks,n03_task_sim,m05_vetl_pipeline \
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 python3 - <<'EOF'
 import pandas as pd
@@ -35,7 +46,7 @@ for n, f in [('n01_sort_tracks', 'golden_n01_sort_tracks.csv'),
     df = pd.read_parquet(f'/tmp/golden_regen/{n}')
     df.to_csv(f'src/test/resources/{f}', index=False)
     print(f'wrote src/test/resources/{f} ({len(df)} rows)')
-for n in ['n03_task_sim', 'n09_forecast_mlp', 'n10_forecast_mae']:
+for n in ['n03_task_sim']:
     df = pd.read_parquet(f'/tmp/golden_regen/{n}')
     print(f'-- {n}: paste into the catalog oracle --')
     for t in df.itertuples(index=False):

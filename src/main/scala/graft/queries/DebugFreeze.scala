@@ -50,6 +50,20 @@ object DebugFreeze {
       .select(array_to_vector(array(col("s0"), col("s1"), col("s2"))).as("features"))
     val m3 = new KMeans().setK(3).setSeed(42).setMaxIter(20).fit(sc3)
     println(lit2(m3.clusterCenters.map(_.toArray)))
+    // n09/n10 forecast MLP weights (8→24→12→3: 555 doubles, layer-major;
+    // each affine layer = W column-major [numOut×numIn] then bias —
+    // spark.ml FeedForwardModel's breeze unroll order). Deterministic
+    // single-partition seeded fits, same code path as the queries.
+    println("=== N09 weights (555, label = round(fut_avg)) ===")
+    println(lit1(OfflineQueries.fitForecast(
+      OfflineQueries.forecastFeatures(OfflineQueries.forecastRaw(spark, d))
+        .withColumn("label", round(col("fut_avg")).cast("double"))).weights.toArray))
+    println("=== N10 weights (555, label = dominant future category) ===")
+    println(lit1(OfflineQueries.fitForecast(
+      OfflineQueries.forecastFeatures(OfflineQueries.forecastRaw(spark, d))
+        .withColumn("label",
+          when(col("a0") >= col("a1") && col("a0") >= col("a2"), 0.0)
+            .when(col("a1") >= col("a2"), 1.0).otherwise(2.0))).weights.toArray))
     println("=== N05 candidates (cand_id, runtime, cost) ===")
     val base = graft.ops.TaskSim.detectToTrack(10, 60)
     val g = base.copy(tasks = base.tasks.map(t =>

@@ -56,6 +56,127 @@ object OfflineQueries {
       |  FROM ev)
       |SELECT stream_id, chunk_id, s0, s0 * 0.8 + 0.1 AS s1, s0 * 0.5 AS s2 FROM sc""".stripMargin
 
+  /** Shared forecast-sample builder for n09/n10 (and DebugFreeze's
+    * weight-freeze regen): trailing-8 history windows plus BOTH label
+    * protocols' ingredients (fut_avg for n09's rounded-mean label,
+    * a0-a2 future-category frequencies for n10's dominant label + MAE
+    * targets). Values per column are identical to the pre-refactor
+    * per-query builds, so the seeded fits are unchanged.
+    */
+  private[queries] def forecastRaw(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val wHist = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(-8, -1)
+    val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
+    val cat = when(col("s0") < 0.35, 0).when(col("s0") < 0.65, 1).otherwise(2)
+    chunkScores(s, d)
+      .withColumn("category", cat)
+      .withColumn("s0q", round(col("s0") * 1000).cast("long"))
+      .select(col("stream_id"), col("chunk_id"),
+        collect_list(col("s0")).over(wHist).as("history"),
+        sum(col("s0q")).over(wHist).as("hist_sum_q"),
+        sum(col("s0q") * col("s0q")).over(wHist).as("hist_sq_q"),
+        count(lit(1)).over(wFut).as("n_future"),
+        avg(col("category")).over(wFut).as("fut_avg"),
+        (sum(when(col("category") === 0, 1).otherwise(0)).over(wFut) / 4.0).as("a0"),
+        (sum(when(col("category") === 1, 1).otherwise(0)).over(wFut) / 4.0).as("a1"),
+        (sum(when(col("category") === 2, 1).otherwise(0)).over(wFut) / 4.0).as("a2"))
+      .filter(size(col("history")) === 8 && col("n_future") === 4)
+  }
+
+  /** Feature standardization (x − μ)/σ with μ,σ from EXACT integer
+    * sums (s0 = k/1000, so the k and k² longs sum partition-order-
+    * independently) — bit-stable across runs. The reference's global
+    * X /= ||X||_F (knob_plan.py:225-226) is calibrated to its
+    * 1200-sample matrix; on a 10k-sample corpus the same scalar
+    * squashes every feature to ~1e-2 and the 25-iteration MLP
+    * collapses to the majority class (round-3 verdict). Centered
+    * unit-variance features keep the scale corpus-size-invariant.
+    */
+  private[queries] def forecastFeatures(raw: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val r = raw.agg(sum("hist_sum_q"), sum("hist_sq_q"), count(lit(1))).head()
+    val n8 = r.getLong(2).toDouble * 8.0
+    val mu = r.getLong(0).toDouble / n8 / 1000.0
+    val sigma = math.sqrt(
+      math.max(r.getLong(1).toDouble / n8 / 1e6 - mu * mu, 1e-12))
+    raw.withColumn("features",
+      array_to_vector(transform(col("history"),
+        x => (x - lit(mu)) / lit(sigma))))
+  }
+
+  /** Shared CTE chain for the n09/n10 live oracles: recomputes the
+    * forecast data plane — chunk scores, trailing-8 history windows,
+    * exact-integer standardization (same operation order as
+    * `forecastFeatures`, so μ/σ are bit-identical), and the MLP
+    * forward pass (sigmoid hidden layers, per-layer index arithmetic
+    * over the flat 555-weight array, see FrozenModels) — live from
+    * the raw parquet. Only the trained weights are frozen; `zt` ends
+    * with per-sample logits `z` (argmax z = argmax softmax(z), so n09
+    * needs no softmax) plus both label protocols' ingredients.
+    */
+  private def forecastOracleCtes(weightsSql: String): String =
+    s"""chunks AS ($chunkScoresSql),
+       |cat AS (
+       |  SELECT stream_id, chunk_id, s0,
+       |    CAST(round(s0 * 1000, 0) AS BIGINT) AS s0q,
+       |    CASE WHEN s0 < 0.35 THEN 0 WHEN s0 < 0.65 THEN 1 ELSE 2 END AS category
+       |  FROM chunks),
+       |w AS (
+       |  SELECT stream_id, chunk_id,
+       |    list(s0) OVER wh AS history,
+       |    count(s0q) OVER wh AS hist_cnt,
+       |    sum(s0q) OVER wh AS hist_sum_q,
+       |    sum(s0q * s0q) OVER wh AS hist_sq_q,
+       |    count(*) OVER wf AS n_future,
+       |    avg(category) OVER wf AS fut_avg,
+       |    sum(CASE WHEN category = 0 THEN 1 ELSE 0 END) OVER wf / 4.0 AS a0,
+       |    sum(CASE WHEN category = 1 THEN 1 ELSE 0 END) OVER wf / 4.0 AS a1,
+       |    sum(CASE WHEN category = 2 THEN 1 ELSE 0 END) OVER wf / 4.0 AS a2
+       |  FROM cat
+       |  WINDOW
+       |    wh AS (PARTITION BY stream_id ORDER BY chunk_id ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+       |    wf AS (PARTITION BY stream_id ORDER BY chunk_id ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING)),
+       |f AS (SELECT * FROM w WHERE hist_cnt = 8 AND n_future = 4),
+       |ms AS (
+       |  SELECT sum(hist_sum_q) / (count(*) * 8.0) / 1000.0 AS mu,
+       |    sqrt(greatest(sum(hist_sq_q) / (count(*) * 8.0) / 1e6
+       |      - (sum(hist_sum_q) / (count(*) * 8.0) / 1000.0)
+       |        * (sum(hist_sum_q) / (count(*) * 8.0) / 1000.0), 1e-12)) AS sigma
+       |  FROM f),
+       |wt AS (SELECT $weightsSql::DOUBLE[] AS w),
+       |feat AS (
+       |  SELECT f.fut_avg, f.a0, f.a1, f.a2,
+       |    list_transform(f.history, v -> (v - ms.mu) / ms.sigma) AS x
+       |  FROM f, ms),
+       |h1t AS (
+       |  SELECT fut_avg, a0, a1, a2,
+       |    list_transform(range(24), r -> 1.0 / (1.0 + exp(-(wt.w[193 + r]
+       |      + list_sum(list_transform(range(8), c -> wt.w[c * 24 + r + 1] * x[c + 1])))))) AS h1
+       |  FROM feat CROSS JOIN wt),
+       |h2t AS (
+       |  SELECT fut_avg, a0, a1, a2,
+       |    list_transform(range(12), r -> 1.0 / (1.0 + exp(-(wt.w[505 + r]
+       |      + list_sum(list_transform(range(24), c -> wt.w[217 + c * 12 + r] * h1[c + 1])))))) AS h2
+       |  FROM h1t CROSS JOIN wt),
+       |zt AS (
+       |  SELECT fut_avg, a0, a1, a2,
+       |    list_transform(range(3), r -> wt.w[553 + r]
+       |      + list_sum(list_transform(range(12), c -> wt.w[517 + c * 3 + r] * h2[c + 1]))) AS z
+       |  FROM h2t CROSS JOIN wt)""".stripMargin
+
+  /** Seeded 8→24→12→3 MLP fit on ONE sorted partition: LBFGS
+    * partial-gradient aggregation order varies with partitioning, and
+    * over 200 iterations the float drift amplifies into different
+    * confusion counts — a single sorted partition makes the fit
+    * bit-deterministic. The distributed part (window feature build over
+    * the full corpus) stays distributed; the sample matrix an MLP
+    * trains on is small by design.
+    */
+  private[queries] def fitForecast(data: DataFrame)
+      : org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel =
+    new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+      .setLayers(Array(8, 24, 12, 3)).setSeed(42).setMaxIter(200)
+      .fit(data.repartition(1).sortWithinPartitions("stream_id", "chunk_id"))
+
   val all: Seq[Q] = Seq(
 
     // X1+X5+D3: placement search — 64 deterministic candidate placements
@@ -294,66 +415,31 @@ object OfflineQueries {
     // Keras input->16->8->|C| softmax net, knob_plan.py:289-317).
     Q("n09_forecast_mlp",
       (s, d) => {
-        import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
-        import org.apache.spark.ml.functions.array_to_vector
-        val wHist = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(-8, -1)
-        val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
-        val cat = when(col("s0") < 0.35, 0).when(col("s0") < 0.65, 1).otherwise(2)
-        val raw = chunkScores(s, d)
-          .withColumn("category", cat)
-          .withColumn("s0q", round(col("s0") * 1000).cast("long"))
-          .select(col("stream_id"), col("chunk_id"),
-            collect_list(col("s0")).over(wHist).as("history"),
-            sum(col("s0q")).over(wHist).as("hist_sum_q"),
-            sum(col("s0q") * col("s0q")).over(wHist).as("hist_sq_q"),
-            count(lit(1)).over(wFut).as("n_future"),
-            avg(col("category")).over(wFut).as("fut_avg"))
-          .filter(size(col("history")) === 8 && col("n_future") === 4)
-        // Feature standardization (x − μ)/σ with μ,σ from EXACT integer
-        // sums (s0 = k/1000, so the k and k² longs sum partition-order-
-        // independently) — bit-stable across runs. The reference's global
-        // X /= ||X||_F (knob_plan.py:225-226) is calibrated to its
-        // 1200-sample matrix; on a 10k-sample corpus the same scalar
-        // squashes every feature to ~1e-2 and the 25-iteration MLP
-        // collapses to the majority class (round-3 verdict). Centered
-        // unit-variance features keep the scale corpus-size-invariant.
-        val (muS, sigmaS) = {
-          val r = raw.agg(sum("hist_sum_q"), sum("hist_sq_q"), count(lit(1))).head()
-          val n8 = r.getLong(2).toDouble * 8.0
-          val mu = r.getLong(0).toDouble / n8 / 1000.0
-          val sigma = math.sqrt(
-            math.max(r.getLong(1).toDouble / n8 / 1e6 - mu * mu, 1e-12))
-          (mu, sigma)
-        }
-        val data = raw
-          .select(col("stream_id"), col("chunk_id"),
-            array_to_vector(transform(col("history"),
-              x => (x - lit(muS)) / lit(sigmaS))).as("features"),
-            round(col("fut_avg")).cast("double").as("label"))
-        val mlp = new MultilayerPerceptronClassifier()
-          .setLayers(Array(8, 24, 12, 3)).setSeed(42).setMaxIter(200)
-        // fit on ONE sorted partition: LBFGS partial-gradient aggregation
-        // order varies with partitioning, and over 200 iterations the float
-        // drift amplifies into different confusion counts — a single sorted
-        // partition makes the fit bit-deterministic. The distributed part
-        // (window feature build over the full corpus) stays distributed;
-        // the sample matrix an MLP trains on is small by design.
-        val model = mlp.fit(data.repartition(1).sortWithinPartitions("stream_id", "chunk_id"))
+        val data = forecastFeatures(forecastRaw(s, d))
+          .withColumn("label", round(col("fut_avg")).cast("double"))
+        val model = fitForecast(data)
         model.transform(data)
           .groupBy(col("label").cast("long").as("label"),
             col("prediction").cast("long").as("prediction"))
           .agg(count(lit(1)).as("n"))
           .orderBy("label", "prediction")
       },
-      // seeded MLP confusion counts, single-partition fit → bit-
-      // deterministic (checked across 4/8/16-core runs); accuracy 0.909
-      // with all three classes predicted → literal sf0.01 gate golden
-      Some("""SELECT label::BIGINT AS label, prediction::BIGINT AS prediction,
-             |       n::BIGINT AS n FROM (VALUES
-             |  (0, 0, 5594), (0, 1, 158), (0, 2, 56),
-             |  (1, 0, 356), (1, 1, 2173), (1, 2, 150),
-             |  (2, 0, 65), (2, 1, 125), (2, 2, 1275)
-             |) t(label, prediction, n)""".stripMargin),
+      // LIVE oracle since round 10 (was a literal confusion snapshot):
+      // only the 555 trained weights are frozen (FrozenModels
+      // .n09WeightsSql); DuckDB recomputes the windows, the exact-integer
+      // standardization, the full sigmoid forward pass, the argmax
+      // predictions (= argmax of the logits — softmax is monotone), the
+      // round-half-up labels (floor(x+0.5): DuckDB's round() is
+      // banker's on doubles, Spark's is HALF_UP — fut_avg hits exact
+      // halves) and the confusion counts live from the raw parquet.
+      // Accuracy 0.909 with all three classes predicted; cell-for-cell
+      // equal to Spark's model.transform at sf0.01.
+      Some(s"""WITH ${forecastOracleCtes(FrozenModels.n09WeightsSql)}
+              |SELECT label, prediction, count(*)::BIGINT AS n FROM (
+              |  SELECT CAST(floor(fut_avg + 0.5) AS BIGINT) AS label,
+              |         CAST(list_position(z, list_max(z)) - 1 AS BIGINT) AS prediction
+              |  FROM zt)
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       // driver-side iterative MLP training (~40 s at sf0.1): gated for
       // correctness, excluded from the per-round bench by the BENCH.md rule
       bench = false),
@@ -363,37 +449,8 @@ object OfflineQueries {
     // supp. I.3), computed over the same windowed samples.
     Q("n10_forecast_mae",
       (s, d) => {
-        import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
-        import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-        val wHist = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(-8, -1)
-        val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
-        val cat = when(col("s0") < 0.35, 0).when(col("s0") < 0.65, 1).otherwise(2)
-        val raw = chunkScores(s, d)
-          .withColumn("category", cat)
-          .withColumn("s0q", round(col("s0") * 1000).cast("long"))
-          .select(col("stream_id"), col("chunk_id"),
-            collect_list(col("s0")).over(wHist).as("history"),
-            sum(col("s0q")).over(wHist).as("hist_sum_q"),
-            sum(col("s0q") * col("s0q")).over(wHist).as("hist_sq_q"),
-            count(lit(1)).over(wFut).as("n_future"),
-            (sum(when(col("category") === 0, 1).otherwise(0)).over(wFut) / 4.0).as("a0"),
-            (sum(when(col("category") === 1, 1).otherwise(0)).over(wFut) / 4.0).as("a1"),
-            (sum(when(col("category") === 2, 1).otherwise(0)).over(wFut) / 4.0).as("a2"))
-          .filter(size(col("history")) === 8 && col("n_future") === 4)
-        // standardized features from exact-integer sums, deterministic
-        // single-partition fit — same rationale as n09
-        val (muS, sigmaS) = {
-          val r = raw.agg(sum("hist_sum_q"), sum("hist_sq_q"), count(lit(1))).head()
-          val n8 = r.getLong(2).toDouble * 8.0
-          val mu = r.getLong(0).toDouble / n8 / 1000.0
-          val sigma = math.sqrt(
-            math.max(r.getLong(1).toDouble / n8 / 1e6 - mu * mu, 1e-12))
-          (mu, sigma)
-        }
-        val data = raw
-          .withColumn("features",
-            array_to_vector(transform(col("history"),
-              x => (x - lit(muS)) / lit(sigmaS))))
+        import org.apache.spark.ml.functions.vector_to_array
+        val data = forecastFeatures(forecastRaw(s, d))
           .withColumn("label",
             when(col("a0") >= col("a1") && col("a0") >= col("a2"), 0.0)
               .when(col("a1") >= col("a2"), 1.0).otherwise(2.0))
@@ -401,9 +458,7 @@ object OfflineQueries {
         // category, the replication form of the reference's distribution
         // targets — was measured at MAE 0.0903 vs 0.0898 for this
         // hard-dominant-label fit; the simpler protocol stays)
-        val model = new MultilayerPerceptronClassifier()
-          .setLayers(Array(8, 24, 12, 3)).setSeed(42).setMaxIter(200)
-          .fit(data.repartition(1).sortWithinPartitions("stream_id", "chunk_id"))
+        val model = fitForecast(data)
         model.transform(data)
           .withColumn("p", vector_to_array(col("probability")))
           .select(
@@ -413,11 +468,21 @@ object OfflineQueries {
           .agg(count(lit(1)).as("n_samples"),
             round(avg((col("e0") + col("e1") + col("e2")) / 3.0), 4).as("mae"))
       },
-      // Table-5-protocol MAE on standardized features; single-partition
-      // fit → bit-deterministic (checked across 4/8/16-core runs). 0.0898
-      // sits inside the paper's 0.042-0.064..0.1 protocol band vs the
-      // round-3 majority-class 0.2089 → literal sf0.01 gate golden
-      Some("SELECT n_samples::BIGINT AS n_samples, mae FROM (VALUES (9952, 0.0898)) t(n_samples, mae)"),
+      // LIVE oracle since round 10 (was a literal (9952, 0.0898)
+      // snapshot): only the 555 trained weights are frozen (FrozenModels
+      // .n10WeightsSql); DuckDB recomputes the windows, standardization,
+      // forward pass, the max-subtracted softmax (Spark's
+      // SoftmaxLayerModel form), the future-frequency targets and the
+      // Table-5-protocol MAE live from the raw parquet. 0.0898 sits
+      // inside the paper's 0.042-0.064..0.1 protocol band vs the
+      // round-3 majority-class 0.2089.
+      Some(s"""WITH ${forecastOracleCtes(FrozenModels.n10WeightsSql)},
+              |p AS (
+              |  SELECT a0, a1, a2, list_transform(ez, v -> v / list_sum(ez)) AS p
+              |  FROM (SELECT a0, a1, a2, list_transform(z, v -> exp(v - list_max(z))) AS ez FROM zt) s)
+              |SELECT count(*)::BIGINT AS n_samples,
+              |  round(avg((abs(p[1] - a0) + abs(p[2] - a1) + abs(p[3] - a2)) / 3.0), 4) AS mae
+              |FROM p""".stripMargin),
       // driver-side iterative MLP training (~36 s at sf0.1): gated for
       // correctness, excluded from the per-round bench by the BENCH.md rule
       bench = false)
