@@ -72,7 +72,8 @@ object Bench {
       .filter(q => keep(q.name)).map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try q.benchFn.getOrElse(q.fn)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }

@@ -89,5 +89,13 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
     /** Included in the per-round benchmark run (sf0.1). */
-    bench: Boolean = true
+    bench: Boolean = true,
+    /** When set, the benchmark times THIS plan instead of `fn` — used
+      * where the correctness gate wraps the production path in a
+      * measurement arm that is not itself the operator (the e06/e09/e12
+      * recall gates run an exact nprobe=nlist probe over every query to
+      * pin the floor; the published number should measure the
+      * production-nprobe ANN path, BENCH.md). Verify always runs `fn`.
+      */
+    benchFn: Option[(SparkSession, String) => DataFrame] = None
 )

@@ -157,7 +157,17 @@ object SimilarityQueries {
         recallFloor(ann, exact, queries, k = 5, milliFloor = 300)
       },
       Some("""SELECT count(*)::BIGINT AS n_queries, 300::BIGINT AS recall_milli
-             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin)),
+             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin),
+      // benched plan = the production nprobe=4 probe only. The gate's
+      // exact arm (nprobe=nlist over every query — brute force by the
+      // e14 property) exists to PIN the recall floor and costs ~nlist/4
+      // times the probe; at sf10 it dominated the published number
+      // (SCALING.md r9). Correctness still runs the full gate.
+      benchFn = Some((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.probeIvf(Similarity.ivfIndexFor(emb, key = d),
+          emb.filter(col("vec_id") % 20 === 0), k = 5, nprobe = 4)
+      })),
 
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
     // corpus-vs-corpus scale path e01/d07 lack. K-means cells bound the
@@ -345,7 +355,16 @@ object SimilarityQueries {
         recallFloor(ann, exact, queries, k = 5, milliFloor = 250)
       },
       Some("""SELECT count(*)::BIGINT AS n_queries, 250::BIGINT AS recall_milli
-             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin)),
+             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin),
+      // benched plan = codebook fit + the PQ-ranked probe with exact
+      // re-rank (the production read path); the gate's exact
+      // nprobe=nlist arm stays correctness-only (see e06).
+      benchFn = Some((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.probeIvfPq(Similarity.ivfIndexFor(emb, key = d),
+          Similarity.pqCodebooks(emb),
+          emb.filter(col("vec_id") % 20 === 0), kNn = 5)
+      })),
 
     // IVF incremental APPEND — the nightly-ingest path: ~75% of the
     // corpus builds the index (trains centroids), the remaining ~25%
@@ -371,7 +390,18 @@ object SimilarityQueries {
         recallFloor(ann, exact, queries, k = 5, milliFloor = 350)
       },
       Some("""SELECT count(*)::BIGINT AS n_queries, 350::BIGINT AS recall_milli
-             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin)),
+             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin),
+      // benched plan = the nightly-ingest path (build on ~75%, append
+      // the rest, nprobe=4 probe); the gate's exact nprobe=nlist arm
+      // stays correctness-only (see e06).
+      benchFn = Some((s, d) => {
+        val em = Tables.embeddings(s, d)
+        val isNew = substring(md5(concat(lit("iv#"), col("vec_id").cast("string"))), 1, 1) < "4"
+        val appended = Similarity.appendToIvf(
+          Similarity.buildIvfIndex(em.filter(!isNew)), em.filter(isNew))
+        Similarity.probeIvf(appended, em.filter(col("vec_id") % 20 === 0),
+          k = 5, nprobe = 4)
+      })),
 
     // Nearest-centroid classification over the labeled embeddings —
     // integer-exact (quantize, integer means, integer squared distances;
