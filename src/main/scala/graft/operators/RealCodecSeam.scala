@@ -49,6 +49,13 @@ trait FrameKernel extends Serializable {
   def decode(payload: Array[Byte]): FrameKernel.DecodedFrame
   /** Decoded frame → feature vector (ONNX Runtime / DJL session.run). */
   def features(frame: FrameKernel.DecodedFrame): Array[Float]
+  /** Batch inference hook — THE call the seam makes, one whole group at
+    * a time, so a GPU kernel can run a single session.run over a real
+    * [batch, H, W, C] tensor. Default = per-frame loop, which is what a
+    * CPU kernel wants anyway; override for batched execution.
+    */
+  def featuresBatch(frames: Seq[FrameKernel.DecodedFrame]): Seq[Array[Float]] =
+    frames.map(features)
 }
 
 object FrameKernel {
@@ -75,13 +82,15 @@ object RealCodecSeam {
     frames.as[Multimodal.FrameRow]
       .mapPartitions { it =>
         // kernel state (codec contexts, NN session) materializes lazily
-        // on the executor; batching keeps tensor dims real for GPU runs
+        // on the executor; decode is per-frame (codecs are), inference
+        // goes through featuresBatch with the WHOLE group so tensor
+        // batch dims are real, not just iterator chunking
         it.grouped(batch).flatMap { group =>
-          group.map { f =>
-            val dec = kernel.decode(f.data)
-            (f.stream_id, f.frame, dec.width, dec.height,
-              kernel.features(dec))
-          }
+          val decoded = group.map(f => kernel.decode(f.data))
+          group.lazyZip(kernel.featuresBatch(decoded)).lazyZip(decoded)
+            .map { (f, feat, dec) =>
+              (f.stream_id, f.frame, dec.width, dec.height, feat)
+            }
         }
       }
       .toDF("stream_id", "frame", "width", "height", "features")

@@ -177,7 +177,9 @@ object SimilarityQueries {
     // sf0.01 golden (stability-checked across 4/8/16 cores;
     // scripts/regen_goldens.sh).
     // LIVE oracle since round 9 (was a frozen output snapshot): only the
-    // 22 trained cell centers are frozen (FrozenModels.semCellsSql); the
+    // trained cell centers are frozen (FrozenModels.semCellsSql — the
+    // cell-count loop bound derives from len() of the frozen array, so
+    // regenerating for different testdata touches FrozenModels only); the
     // data-plane pipeline — nearest-cell assignment + own-centroid
     // distance, within-cell cosine>=0.3 pairs, connected components
     // (reachability closure, min-id label, the d04 pattern), and the
@@ -194,7 +196,7 @@ object SimilarityQueries {
               |    list_min(dl) AS cdist
               |  FROM (
               |    SELECT vec_id, v,
-              |      list_transform(range(22), k ->
+              |      list_transform(range(len(c.c)), k ->
               |        list_sum(list_transform(range(64), i ->
               |          (v[i + 1] - c.c[k + 1][i + 1]) * (v[i + 1] - c.c[k + 1][i + 1])))) AS dl
               |    FROM v CROSS JOIN sem c

@@ -31,12 +31,16 @@ class PlanSpec extends SparkSpec {
     // CASE WHEN guard must survive optimization so non-overlapping
     // pairs never pay the IoU arithmetic
     val p = plan("q06_iou_join")
-    assert(p.contains("CASE WHEN") && p.contains("iou("),
-      s"q06 join condition lost the CASE WHEN overlap guard:\n$p")
-    val condStart = p.indexOf("CASE WHEN")
-    val iouAt = p.indexOf("iou(")
-    assert(iouAt > condStart,
-      s"iou() evaluates outside/before the CASE WHEN guard:\n$p")
+    assert(p.contains("iou("), s"q06 plan lost the iou expression:\n$p")
+    // anchor per-line (a formatted plan renders each condition on one
+    // line): EVERY iou( occurrence must sit inside a CASE WHEN on ITS
+    // line — a global first-index compare would pass vacuously if an
+    // unrelated CASE WHEN preceded an unguarded iou()
+    p.linesIterator.filter(_.contains("iou(")).foreach { line =>
+      val guard = line.indexOf("CASE WHEN")
+      assert(guard >= 0 && guard < line.indexOf("iou("),
+        s"iou() evaluates outside/before a CASE WHEN guard on:\n$line")
+    }
   }
 
   test("dim-fact joins broadcast the dim side (q07)") {

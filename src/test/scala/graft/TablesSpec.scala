@@ -42,4 +42,50 @@ class TablesSpec extends SparkSpec {
 
   private def unixMicros(t: java.sql.Timestamp): Long =
     t.getTime / 1000L * 1000000L + t.getNanos / 1000L % 1000000L
+
+  test("every table satisfies its declared read contract (fail-fast at read)") {
+    // the loaders themselves throw on drift; reading each one IS the check
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "region" -> Tables.region(spark, sfDir),
+      "nation" -> Tables.nation(spark, sfDir),
+      "customer" -> Tables.customer(spark, sfDir),
+      "supplier" -> Tables.supplier(spark, sfDir),
+      "part" -> Tables.part(spark, sfDir),
+      "orders" -> Tables.orders(spark, sfDir),
+      "lineitem" -> Tables.lineitem(spark, sfDir),
+      "events" -> Tables.events(spark, sfDir),
+      "documents" -> Tables.documents(spark, sfDir),
+      "embeddings" -> Tables.embeddings(spark, sfDir)
+    ).foreach { case (n, df) => assert(df.schema.fields.nonEmpty, n) }
+  }
+
+  test("a physical-type drift is a named error, not a silent misread") {
+    // simulate the round-8 upstream change class: write a table whose
+    // contract-relevant column has a type the queries would misread
+    val dir = java.nio.file.Files.createTempDirectory("graft_contract").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, "x")).toDF("r_regionkey", "wrong_name_col")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val e1 = intercept[IllegalStateException](Tables.region(spark, dir).schema)
+    assert(e1.getMessage.contains("missing column 'r_name'"), e1.getMessage)
+    Seq((1, 2.5)).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val e2 = intercept[IllegalStateException](Tables.region(spark, dir).schema)
+    assert(e2.getMessage.contains("'r_name'") && e2.getMessage.contains("double"),
+      e2.getMessage)
+  }
+
+  test("withTsNanos refuses a non-UTC session instead of shifting values") {
+    val s = spark
+    import s.implicits._
+    val ntz = Seq((1L, "2023-11-14 22:13:20.123456")).toDF("event_id", "s")
+      .select(col("s").cast(TimestampNTZType).as("ts"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException](Tables.withTsNanos(ntz))
+      assert(e.getMessage.contains("America/New_York"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

@@ -67,4 +67,24 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(outKeys == inKeys)
   }
+
+  test("the seam's inference call is genuinely batched (featuresBatch sees groups)") {
+    // a kernel that encodes the batch size it was invoked with into every
+    // feature: if the seam degenerated to per-row calls, all values are 1
+    val batchAware = new FrameKernel {
+      def decode(payload: Array[Byte]): FrameKernel.DecodedFrame =
+        FrameKernel.DecodedFrame(0, 0, payload)
+      def features(frame: FrameKernel.DecodedFrame): Array[Float] =
+        Array(1f) // deliberately wrong if used instead of featuresBatch
+      override def featuresBatch(frames: Seq[FrameKernel.DecodedFrame]): Seq[Array[Float]] =
+        frames.map(_ => Array(frames.length.toFloat))
+    }
+    val frames = Multimodal.syntheticFrames(events, nStreams = 2L).coalesce(1)
+    val n = frames.count()
+    val sizes = RealCodecSeam.decodeAndFeaturize(frames, batchAware, batch = 32)
+      .select("features").collect().map(_.getSeq[Float](0).head.toLong)
+    assert(sizes.count(_ == 32L) >= (n / 32) * 32,
+      s"expected full 32-sized groups, got sizes ${sizes.distinct.toSeq}")
+    assert(sizes.forall(s => s == 32L || s == n % 32), sizes.distinct.toSeq.toString)
+  }
 }
