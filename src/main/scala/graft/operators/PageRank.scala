@@ -31,6 +31,25 @@ object PageRank {
   /** Run `iters` integer power iterations over a directed edge list
     * (`srcCol`, `dstCol`). Returns (node, mass_milli).
     */
+  /** localCheckpoint that KEEPS the frame's hash partitioning. Under AQE
+    * (the default), `Dataset.localCheckpoint` captures the partitioning
+    * from an un-executed AdaptiveSparkPlan — i.e. none — so every
+    * consumer re-shuffles the checkpointed data (measured on q40: the
+    * static node list was re-exchanged in all 5 iterations, 10 exchanges
+    * where the design says 5). Capturing the checkpoint with AQE
+    * momentarily off stores the real hashpartitioning in the LogicalRDD;
+    * consumers (AQE back on) then meet their distribution requirements
+    * exchange-free. Driver-side conf flip around an eager one-off
+    * materialization — no concurrent query in this session sees it.
+    */
+  private def checkpointPartitioned(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val k = "spark.sql.adaptive.enabled"
+    val prev = conf.get(k)
+    conf.set(k, "false")
+    try df.localCheckpoint() finally conf.set(k, prev)
+  }
+
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     // ONE materialization of the edge table: the degree self-join reads
     // the distinct edge shuffle twice inside a single plan, which
@@ -39,16 +58,15 @@ object PageRank {
     // checkpoint instead of re-running the distinct
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eo = e.join(outdeg, "src")
-      .repartition(col("src"))
-      .localCheckpoint() // edges are iterated 5x: cut the double-scan lineage
+    val eo = checkpointPartitioned(e.join(outdeg, "src")
+      .repartition(col("src"))) // edges are iterated 5x: cut the double-scan lineage
     // nodes partitioned on the key every per-iteration join uses: the
     // left join then consumes contrib's agg partitioning directly and the
     // edge join consumes the left join's — ONE exchange per iteration
     // (contrib's groupBy), not three
-    val nodes = eo.select(col("src").as("node"))
+    val nodes = checkpointPartitioned(eo.select(col("src").as("node"))
       .union(eo.select(col("dst"))).distinct()
-      .repartition(col("node")).localCheckpoint()
+      .repartition(col("node")))
 
     var mass = nodes.withColumn("mass", lit(1000L))
     (1 to iters).foreach { _ =>

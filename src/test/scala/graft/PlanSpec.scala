@@ -130,6 +130,14 @@ class PlanSpec extends SparkSpec {
     // there must be ZERO (all inputs come from checkpointed RDDs)
     assert(!p.contains("FileScan parquet"),
       s"iteration plan re-reads parquet instead of the checkpoint:\n$p")
+    // ONE hash exchange per iteration (contrib's groupBy): the edge join
+    // and the mass left-join consume the AQE-off-captured checkpoint
+    // partitionings (PageRank.checkpointPartitioned — a plain AQE-on
+    // localCheckpoint loses them and re-shuffles the static node list
+    // every iteration: 10 exchanges instead of these 5, the r10 find)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 5,
+      s"expected 5 per-iteration exchanges, found $exchanges:\n$p")
   }
 
   test("no catalog query degenerates into an unkeyed cartesian product") {
@@ -150,6 +158,16 @@ class PlanSpec extends SparkSpec {
         s"${q.name} plans a CartesianProduct")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"${q.name} plans a BroadcastNestedLoopJoin")
+    }
+    // the bench-only plan overrides (production probe paths) drop the
+    // recallFloor summary join, so they must be clean WITHOUT exemption
+    SparkEntry.catalog.flatMap(q => q.benchFn.map(q.name -> _)).foreach {
+      case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"$name benchFn plans a CartesianProduct")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name benchFn plans a BroadcastNestedLoopJoin")
     }
   }
 }
