@@ -31,24 +31,9 @@ object PageRank {
   /** Run `iters` integer power iterations over a directed edge list
     * (`srcCol`, `dstCol`). Returns (node, mass_milli).
     */
-  /** localCheckpoint that KEEPS the frame's hash partitioning. Under AQE
-    * (the default), `Dataset.localCheckpoint` captures the partitioning
-    * from an un-executed AdaptiveSparkPlan — i.e. none — so every
-    * consumer re-shuffles the checkpointed data (measured on q40: the
-    * static node list was re-exchanged in all 5 iterations, 10 exchanges
-    * where the design says 5). Capturing the checkpoint with AQE
-    * momentarily off stores the real hashpartitioning in the LogicalRDD;
-    * consumers (AQE back on) then meet their distribution requirements
-    * exchange-free. Driver-side conf flip around an eager one-off
-    * materialization — no concurrent query in this session sees it.
-    */
-  private def checkpointPartitioned(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.conf
-    val k = "spark.sql.adaptive.enabled"
-    val prev = conf.get(k)
-    conf.set(k, "false")
-    try df.localCheckpoint() finally conf.set(k, prev)
-  }
+  // partitioning-preserving checkpoint (the r10 AQE find) — shared
+  private def checkpointPartitioned(df: DataFrame): DataFrame =
+    graft.ops.Checkpoints.partitioned(df)
 
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     // ONE materialization of the edge table: the degree self-join reads

@@ -331,6 +331,23 @@ object Similarity {
     * a cell-partitioned at-rest index gets static partition pruning (the
     * scan reads nprobe/nlist of the files — asserted in SimilaritySpec).
     */
+  /** 64 MB cap for broadcasting a probe/candidate side — the local-mode
+    * analog of a sane executor broadcast budget (matches the session's
+    * autoBroadcastJoinThreshold in Bench).
+    */
+  private val maxProbeBroadcastBytes = 64L << 20
+
+  /** Broadcast-hint the probe frame iff its materialized size fits the
+    * cap (cheap count: the frame is an eager checkpoint). Production
+    * probes (|queries|·nprobe) broadcast; the recall gates' exact
+    * nprobe=nlist arm stays on the shuffle join.
+    */
+  private def maybeBroadcastProbe(probes: DataFrame, dim: Int): DataFrame = {
+    val rowBytes = dim * 8L + 24L // qv doubles + (query_id, cell) + overhead
+    if (probes.count() * rowBytes <= maxProbeBroadcastBytes) broadcast(probes)
+    else probes
+  }
+
   def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -367,7 +384,17 @@ object Similarity {
     // and the dot+norms run as one fused generated loop; arithmetic order
     // matches the former typed kernel, so results are bit-identical
     graft.plans.GraftExtensions.register(spark)
-    val scored = probes.join(corpus, "cell")
+    // BROADCAST the probe side when it is genuinely small (the
+    // production contract: |queries|·nprobe rows): hash-joining on cell
+    // would shuffle the CORPUS, the one thing a 10^9-vector read path
+    // must never do per query batch. With the broadcast the candidate
+    // scan is shuffle-free; the only exchange left in the probe is the
+    // per-query top-k window. The recall gates' exact arm probes at
+    // nprobe=nlist, where the probe side is queries×nlist and NOT
+    // broadcast-sized — the guard (cheap count on the materialized
+    // checkpoint) keeps that arm on the hash join.
+    val probeSide = maybeBroadcastProbe(probes, index.centers.headOption.map(_.length).getOrElse(64))
+    val scored = probeSide.join(corpus, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         call_function("cosine_sim", col("qv"), col("v")).as("cos"))
@@ -426,7 +453,13 @@ object Similarity {
         (id, best, bd, v)
       }
       .toDF("vec_id", "cell", "cdist", "v")
-      .localCheckpoint(true) // feeds both join sides + the keep ranking
+      // pre-partition on the pair-join key and checkpoint WITH the
+      // partitioning kept (Checkpoints.partitioned, the r10 AQE find):
+      // the within-cell self-join below then consumes both sides from
+      // one cell-partitioned materialization — zero exchanges in the
+      // Σ|cell|² candidate scan, the operator's dominant work
+      .repartition(col("cell"))
+      .transform(graft.ops.Checkpoints.partitioned) // feeds both join sides + the keep ranking
     graft.plans.GraftExtensions.register(spark)
     val pairs = assigned.select(col("vec_id").as("doc_a"), col("cell"), col("v").as("va"))
       .join(assigned.select(col("vec_id").as("doc_b"), col("cell"), col("v").as("vb")), "cell")
@@ -768,8 +801,12 @@ object Similarity {
       if (cells.length == index.centers.length) coded
       else coded.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
 
-    // ADC ranking from codes only; exact re-rank of the survivors
-    val adcScored = probes.join(corpus, "cell")
+    // ADC ranking from codes only; exact re-rank of the survivors.
+    // size-guarded broadcast(probes): see probeIvf — the hash join would
+    // shuffle the coded corpus on cell; the production probe side is
+    // |queries|·nprobe rows
+    val dim = index.centers.headOption.map(_.length).getOrElse(64)
+    val adcScored = maybeBroadcastProbe(probes, dim).join(corpus, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("codes"))
       .as[(Long, Array[Double], Long, Array[Int])]
@@ -784,7 +821,17 @@ object Similarity {
     graft.plans.GraftExtensions.register(spark)
     val raw = index.assigned.select(col("vec_id").cast("long").as("neighbor_id"),
       col("v").cast("array<double>"))
-    val exact = candidates.join(raw, "neighbor_id")
+    // size-guarded broadcast(candidates): |queries|·rerank rows vs the
+    // full inverted file — the re-rank fetch must not shuffle the corpus
+    // either. The candidate frame is not materialized, so the guard uses
+    // the known bound |queries|×rerank (|queries| = probe rows / cells
+    // probed per query, exact by construction) instead of a count.
+    val nQueries = probes.count() / math.max(1, math.min(nprobe, index.centers.length))
+    val exactLeft =
+      if (nQueries * rerank * (dim * 8L + 24L) <= maxProbeBroadcastBytes)
+        broadcast(candidates)
+      else candidates
+    val exact = exactLeft.join(raw, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         call_function("cosine_sim", col("qv"), col("v")).as("cos"))
     val wCos = org.apache.spark.sql.expressions.Window
