@@ -337,14 +337,31 @@ object Similarity {
     */
   private val maxProbeBroadcastBytes = 64L << 20
 
-  /** Broadcast-hint the probe frame iff its materialized size fits the
-    * cap (cheap count: the frame is an eager checkpoint). Production
-    * probes (|queries|·nprobe) broadcast; the recall gates' exact
-    * nprobe=nlist arm stays on the shuffle join.
+  /** Broadcast the probe side only when the corpus it would otherwise
+    * shuffle dwarfs it. Measured at sf10 local[32] (200k vectors, the
+    * gate's 10k-query fixed-fraction slice, median-of-3): corpus ≈ 5×
+    * probe bytes → the shuffle join wins (2.99 s vs 3.93 s — locally a
+    * ~100 MB corpus shuffle is a memory copy while the broadcast build
+    * is ~1 s of fixed driver work). On a cluster the corpus shuffle is
+    * network-bound and grows with n while the probe broadcast cost is
+    * constant, so once corpusBytes ≥ 16× probeBytes the broadcast is
+    * the plan you want — production batches (small |queries|, 10⁹-
+    * vector corpus) sit far past the crossover; the recall gates' exact
+    * nprobe=nlist arm (probe side = queries×nlist, over the 64 MB cap)
+    * and the sf10 gate slice (ratio ~5) stay on the shuffle join.
     */
-  private def maybeBroadcastProbe(probes: DataFrame, dim: Int): DataFrame = {
+  private val probeBroadcastRatio = 16L
+
+  private[operators] def maybeBroadcastProbe(probes: DataFrame, dim: Int,
+                                             nlist: Int): DataFrame = {
     val rowBytes = dim * 8L + 24L // qv doubles + (query_id, cell) + overhead
-    if (probes.count() * rowBytes <= maxProbeBroadcastBytes) broadcast(probes)
+    val probeBytes = probes.count() * rowBytes // cheap: eager checkpoint
+    // corpus estimate from the IVF sizing law nlist ≈ √n — exact enough
+    // for a crossover decision; the 4096 clamp only UNDERestimates huge
+    // corpora, which errs toward broadcast, the side that's right there
+    val corpusBytesEst = nlist.toLong * nlist * rowBytes
+    if (probeBytes <= maxProbeBroadcastBytes &&
+        corpusBytesEst >= probeBroadcastRatio * probeBytes) broadcast(probes)
     else probes
   }
 
@@ -389,11 +406,11 @@ object Similarity {
     // would shuffle the CORPUS, the one thing a 10^9-vector read path
     // must never do per query batch. With the broadcast the candidate
     // scan is shuffle-free; the only exchange left in the probe is the
-    // per-query top-k window. The recall gates' exact arm probes at
-    // nprobe=nlist, where the probe side is queries×nlist and NOT
-    // broadcast-sized — the guard (cheap count on the materialized
-    // checkpoint) keeps that arm on the hash join.
-    val probeSide = maybeBroadcastProbe(probes, index.centers.headOption.map(_.length).getOrElse(64))
+    // per-query top-k window. The guard (see maybeBroadcastProbe) keeps
+    // the recall gates' exact nprobe=nlist arm and low-corpus/probe-
+    // ratio slices on the shuffle join, where measurement says it wins.
+    val probeSide = maybeBroadcastProbe(probes,
+      index.centers.headOption.map(_.length).getOrElse(64), index.centers.length)
     val scored = probeSide.join(corpus, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -802,11 +819,16 @@ object Similarity {
       else coded.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
 
     // ADC ranking from codes only; exact re-rank of the survivors.
-    // size-guarded broadcast(probes): see probeIvf — the hash join would
-    // shuffle the coded corpus on cell; the production probe side is
-    // |queries|·nprobe rows
+    // cap-guarded broadcast(probes) with NO ratio test, unlike probeIvf:
+    // measured at sf10 (median passes) the broadcast ADC join runs 4.9 s
+    // vs 7.6 s for the shuffle form even though the coded corpus is
+    // small — the broadcast keeps the scan→join→ADC-map pipeline in one
+    // stage with no exchange/sort boundary before the per-query window
     val dim = index.centers.headOption.map(_.length).getOrElse(64)
-    val adcScored = maybeBroadcastProbe(probes, dim).join(corpus, "cell")
+    val probeBytes = probes.count() * (dim * 8L + 24L)
+    val adcProbeSide =
+      if (probeBytes <= maxProbeBroadcastBytes) broadcast(probes) else probes
+    val adcScored = adcProbeSide.join(corpus, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("codes"))
       .as[(Long, Array[Double], Long, Array[Int])]

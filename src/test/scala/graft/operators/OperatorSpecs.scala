@@ -356,6 +356,32 @@ class SimilaritySpec extends SparkSpec {
     assert(appended.assigned.count() == 300L)
   }
 
+  test("probe broadcast crossover: both join strategies return identical neighbors") {
+    // few queries over the corpus -> high corpus/probe ratio -> the
+    // broadcast path; many queries -> low ratio -> the shuffle path.
+    // Results must be bit-identical either way (same cosine kernel, same
+    // tie-break) — the guard picks a physical strategy, never semantics.
+    val index = Similarity.buildIvfIndex(vectors, nlist = 16)
+    def rows(q: org.apache.spark.sql.DataFrame) =
+      Similarity.probeIvf(index, q, k = 3, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(2))).sorted.toSeq
+    val fewQ = vectors.filter(col("vec_id") < 6)      // broadcast side
+    val manyQ = vectors                               // shuffle side
+    val few = rows(fewQ)
+    val many = rows(manyQ).filter(_._1 < 6)
+    assert(few.nonEmpty && few == many,
+      s"broadcast and shuffle probe plans disagree: $few vs $many")
+    // the decision itself: small probe side over a big-corpus estimate
+    // broadcasts, the same probe side over a small corpus does not
+    val probeLike = fewQ.selectExpr("vec_id as query_id", "0 as cell",
+      "cast(embedding as array<double>) as qv").localCheckpoint(true)
+    def isBc(nlist: Int) = Similarity.maybeBroadcastProbe(probeLike, 64, nlist)
+      .queryExecution.analyzed.toString.contains("Hint")
+    // 6 probe rows ≈ 3.2 KB: nlist=4096 estimates a ~9 GB corpus (ratio
+    // >> 16, broadcast); nlist=4 estimates ~8.6 KB (ratio < 16, shuffle)
+    assert(isBc(4096) && !isBc(4), "broadcast guard crossover misplaced")
+  }
+
   test("ivfKnn: valid ranked output and better recall than nprobe/nlist fraction") {
     val exact = Similarity.quantizedKnn(vectors, col("vec_id") < 20, 5)
       .collect().groupBy(_.getLong(0))
