@@ -3,8 +3,6 @@
 # intentional semantics or testdata change:
 #   n01 (SORT tracks; n15's cross-check), m05 (V-ETL pipeline; doubles as
 #   n23's oracle) -> src/test/resources CSVs
-#   n03 (simulator)
-#     -> VALUES literals printed for manual paste into the catalog oracles
 # FROZEN-CONSTANT live oracles (e05/e08/e10/n07 centroids/codebooks, n05
 # candidate ledger points, n09/n10 MLP weights): regenerate the
 # FrozenModels.scala literals with
@@ -26,7 +24,8 @@
 # t19 (unrolled BPE loop), e04 (quantized LSH replay), e06/e09/e12
 # (mean-recall floors vs the full-probe exact side), n02/n16 (decision-fold
 # recursive-CTE replay), n04/n12 (independent SQL solves), n06 (grid +
-# climb replay).
+# climb replay), n03 (the list-scheduling fold replayed as a recursive
+# CTE, knob grid from events — LIVE since r10).
 # Kernel semantics stay independently spec-checked (SortTrackerSpec,
 # ReplaySpec, TaskSimSpec, SimplexSpec, KnobPlannerSpec, DedupSpec,
 # SimilaritySpec); these snapshots give the driver's DuckDB gate a hard
@@ -35,7 +34,7 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT=/tmp/golden_regen
-SPARK_GRAFT_ONLY=n01_sort_tracks,n03_task_sim,m05_vetl_pipeline \
+SPARK_GRAFT_ONLY=n01_sort_tracks,m05_vetl_pipeline \
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 python3 - <<'EOF'
 import pandas as pd
@@ -46,13 +45,4 @@ for n, f in [('n01_sort_tracks', 'golden_n01_sort_tracks.csv'),
     df = pd.read_parquet(f'/tmp/golden_regen/{n}')
     df.to_csv(f'src/test/resources/{f}', index=False)
     print(f'wrote src/test/resources/{f} ({len(df)} rows)')
-for n in ['n03_task_sim']:
-    df = pd.read_parquet(f'/tmp/golden_regen/{n}')
-    print(f'-- {n}: paste into the catalog oracle --')
-    for t in df.itertuples(index=False):
-        # float(v): numpy 2.x repr is 'np.float64(..)'; escape ' in strings
-        print('(' + ', '.join(
-            "'" + v.replace("'", "''") + "'" if isinstance(v, str)
-            else repr(float(v)) if isinstance(v, float)
-            else str(v) for v in t) + '),')
 EOF

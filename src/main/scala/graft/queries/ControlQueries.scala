@@ -338,27 +338,67 @@ object ControlQueries {
           .toDF("graph_id", "cores", "runtime", "cost")
           .orderBy("graph_id", "cores")
       },
-      // simulator outputs are deterministic (exact ledger arithmetic,
-      // bit-exact golden in TaskSimSpec — e.g. rt(60,120m,4c)=32110.5),
-      // so the gate golden is a literal table
-      Some("""SELECT * FROM (VALUES
-             |  ('detect_to_track_10', 2, 42786.0, 0.0),
-             |  ('detect_to_track_10', 4, 21393.0, 0.0),
-             |  ('detect_to_track_10', 8, 10696.5, 0.0),
-             |  ('detect_to_track_10', 16, 6645.75, 0.0),
-             |  ('detect_to_track_20', 2, 36963.0, 0.0),
-             |  ('detect_to_track_20', 4, 18481.5, 0.0),
-             |  ('detect_to_track_20', 8, 11835.75, 0.0),
-             |  ('detect_to_track_20', 16, 11107.875, 0.0),
-             |  ('detect_to_track_30', 2, 35022.0, 0.0),
-             |  ('detect_to_track_30', 4, 17511.0, 0.0),
-             |  ('detect_to_track_30', 8, 16540.5, 0.0),
-             |  ('detect_to_track_30', 16, 16055.25, 0.0),
-             |  ('detect_to_track_60', 2, 33081.0, 0.0),
-             |  ('detect_to_track_60', 4, 32110.5, 0.0),
-             |  ('detect_to_track_60', 8, 31625.25, 0.0),
-             |  ('detect_to_track_60', 16, 31382.625, 0.0)
-             |) t(graph_id, cores, runtime, cost)""".stripMargin)),
+      // LIVE oracle since round 10 (was a literal snapshot): DuckDB
+      // replays the whole list-scheduling fold as a recursive CTE — the
+      // knob grid derived live from events (event_id % 4, as the query
+      // does), and per (knob, cores) row the state {core queue, buffer
+      // of (dispatchable, position, id) structs, running max finish}
+      // advanced one scheduled task per iteration. The stable-sort
+      // tie-break is reproduced exactly by sorting structs (bd, p, id)
+      // — blocked tasks carry bd=1e18 so ready-before-blocked and
+      // buffer-position ties match the Scala comparator; detectors pay
+      // rtAll/cores on every core, trackers rtSingle on the first min
+      // core. n03's graphs are all-on-prem (cost 0, no cloud ledger),
+      // so the fold is exact IEEE double arithmetic — bit-identical to
+      // TaskSim (all 16 rows; the ledger path stays pinned by the
+      // bit-exact-vs-reference TaskSimSpec and n05's frozen points).
+      Some("""WITH RECURSIVE
+             |knobs AS (
+             |  SELECT ([10,20,30,60])[k + 1] AS knob
+             |  FROM (SELECT DISTINCT event_id % 4 AS k FROM events) t
+             |),
+             |spec AS (
+             |  SELECT knob, cores, (knob + 1) * (120 // knob) AS n
+             |  FROM knobs, (VALUES (2),(4),(8),(16)) c(cores)
+             |),
+             |init AS (
+             |  SELECT knob, cores, n,
+             |    list_transform(range(cores), c -> 0.0::DOUBLE) AS coreq,
+             |    list_transform(range(n), i -> struct_pack(
+             |      bd := CASE WHEN i % (knob + 1) = 0 THEN 0.0::DOUBLE ELSE 1e18::DOUBLE END,
+             |      p := i::INT, id := i::INT)) AS rem,
+             |    0.0::DOUBLE AS total
+             |  FROM spec
+             |),
+             |sim AS (
+             |  SELECT * FROM init
+             |  UNION ALL
+             |  SELECT knob, cores, n, coreq2 AS coreq,
+             |    list_transform(range(len(tail)), i -> struct_pack(
+             |      bd := CASE WHEN (tail[i + 1]).id = (hd).id + 1 AND ((hd).id + 1) % (knob + 1) <> 0
+             |                 THEN fin ELSE (tail[i + 1]).bd END,
+             |      p := i::INT, id := (tail[i + 1]).id)) AS rem,
+             |    greatest(total, fin) AS total
+             |  FROM (
+             |    SELECT y.*,
+             |      CASE WHEN (y.hd).id % (knob + 1) = 0
+             |           THEN list_max(cq2d) ELSE cq1v END AS fin,
+             |      CASE WHEN (y.hd).id % (knob + 1) = 0 THEN cq2d
+             |           ELSE list_transform(range(cores), c ->
+             |                  CASE WHEN c = cq1i THEN cq1v ELSE coreq[c + 1] END)
+             |      END AS coreq2
+             |    FROM (
+             |      SELECT z.*, srt[1] AS hd, srt[2:] AS tail,
+             |        list_transform(coreq, q -> greatest(srt[1].bd, q) + 1941.0 / cores) AS cq2d,
+             |        (list_position(coreq, list_min(coreq)) - 1)::INT AS cq1i,
+             |        greatest(srt[1].bd, list_min(coreq)) + 519.0 AS cq1v
+             |      FROM (SELECT *, list_sort(rem) AS srt FROM sim WHERE len(rem) > 0) z
+             |    ) y
+             |  )
+             |)
+             |SELECT 'detect_to_track_' || knob AS graph_id, cores, total AS runtime, 0.0 AS cost
+             |FROM sim WHERE len(rem) = 0
+             |ORDER BY graph_id, cores""".stripMargin)),
 
     // X2: LP knob plan on the replay's literal dims (constraint-
     // satisfaction properties + vertex-enumeration parity in SimplexSpec;
