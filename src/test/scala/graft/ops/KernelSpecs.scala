@@ -1,6 +1,5 @@
 package graft.ops
 
-import breeze.linalg.DenseVector
 import org.scalatest.funsuite.AnyFunSuite
 
 class KalmanSpec extends AnyFunSuite {
@@ -8,8 +7,8 @@ class KalmanSpec extends AnyFunSuite {
   test("bbox<->z conversion round-trips") {
     val (x1, y1, x2, y2) = (100.0, 50.0, 180.0, 210.0)
     val z = Kalman7.bboxToZ(x1, y1, x2, y2)
-    val x = DenseVector.zeros[Double](7)
-    x(0 until 4) := z
+    val x = new Array[Double](7)
+    System.arraycopy(z, 0, x, 0, 4)
     val (rx1, ry1, rx2, ry2) = Kalman7.xToBbox(x)
     assert(math.abs(rx1 - x1) < 1e-9 && math.abs(ry1 - y1) < 1e-9)
     assert(math.abs(rx2 - x2) < 1e-9 && math.abs(ry2 - y2) < 1e-9)
@@ -24,7 +23,9 @@ class KalmanSpec extends AnyFunSuite {
     val (bx1, _, _, _) = Kalman7.xToBbox(kf.x)
     assert(bx1 > 1.0, s"expected motion carried forward, got x1=$bx1")
     // covariance stays symmetric positive-ish
-    assert(breeze.linalg.max(breeze.numerics.abs(kf.P - kf.P.t)) < 1e-6)
+    val asym = (for (i <- 0 until 7; j <- 0 until 7)
+      yield math.abs(kf.P(i * 7 + j) - kf.P(j * 7 + i))).max
+    assert(asym < 1e-6)
   }
 
   test("stationary box converges to the measurement") {
@@ -36,6 +37,44 @@ class KalmanSpec extends AnyFunSuite {
     val (x1, y1, x2, y2) = Kalman7.xToBbox(kf.x)
     assert(math.abs(x1 - 50) < 0.5 && math.abs(y1 - 50) < 0.5)
     assert(math.abs(x2 - 100) < 0.5 && math.abs(y2 - 100) < 0.5)
+  }
+
+  test("explicit-arithmetic filter matches an independent breeze/LAPACK " +
+    "implementation over a noisy 100-frame trajectory") {
+    import breeze.linalg.{inv, DenseMatrix, DenseVector}
+    // independent reference: same model, library linear algebra
+    val F = { val m = DenseMatrix.eye[Double](7); m(0, 4) = 1.0; m(1, 5) = 1.0; m(2, 6) = 1.0; m }
+    val H = { val m = DenseMatrix.zeros[Double](4, 7); (0 until 4).foreach(i => m(i, i) = 1.0); m }
+    val R = breeze.linalg.diag(DenseVector(1.0, 1.0, 10.0, 10.0))
+    val Qm = breeze.linalg.diag(DenseVector(1.0, 1.0, 1.0, 1.0, 0.01, 0.01, 0.0001))
+    var bx = DenseVector.zeros[Double](7)
+    var bP = breeze.linalg.diag(DenseVector(10.0, 10.0, 10.0, 10.0, 10000.0, 10000.0, 10000.0))
+    val z0 = Kalman7.bboxToZ(40, 60, 100, 140)
+    bx(0 until 4) := DenseVector(z0)
+    val kf = Kalman7.fromBbox(40, 60, 100, 140)
+    val rnd = new scala.util.Random(7)
+    for (f <- 1 to 100) {
+      bx = F * bx; bP = F * bP * F.t + Qm
+      kf.predict()
+      val z = Kalman7.bboxToZ(
+        40 + 2.0 * f + rnd.nextGaussian(), 60 + 1.5 * f + rnd.nextGaussian(),
+        100 + 2.0 * f + rnd.nextGaussian(), 140 + 1.5 * f + rnd.nextGaussian())
+      val zv = DenseVector(z)
+      val yv = zv - H * bx
+      val S = H * bP * H.t + R
+      val K = bP * H.t * inv(S)
+      bx = bx + K * yv
+      val ikh = DenseMatrix.eye[Double](7) - K * H
+      bP = ikh * bP * ikh.t + K * R * K.t
+      kf.update(z)
+      for (i <- 0 until 7) {
+        assert(math.abs(kf.x(i) - bx(i)) <= 1e-9 * math.max(1.0, math.abs(bx(i))),
+          s"frame $f state dim $i: ${kf.x(i)} vs breeze ${bx(i)}")
+        for (j <- 0 until 7)
+          assert(math.abs(kf.P(i * 7 + j) - bP(i, j)) <= 1e-9 * math.max(1.0, math.abs(bP(i, j))),
+            s"frame $f P($i,$j): ${kf.P(i * 7 + j)} vs breeze ${bP(i, j)}")
+      }
+    }
   }
 }
 
