@@ -1,8 +1,9 @@
 #!/bin/sh
 # Regenerate the committed driver-gate goldens (sf0.01 snapshots) after an
 # intentional semantics or testdata change:
-#   n01 (SORT tracks; n15's cross-check), m05 (V-ETL pipeline; doubles as
-#   n23's oracle) -> src/test/resources CSVs
+#   m05 (V-ETL pipeline; doubles as n23's oracle) -> src/test/resources CSV
+# n01/n15 need NO snapshot since round 10: their gate is a live DuckDB
+# recursive-CTE replay of the whole tracker fold (SortReplayOracle).
 # FROZEN-CONSTANT live oracles (e05/e08/e10/n07 centroids/codebooks, n05
 # candidate ledger points, n09/n10 MLP weights): regenerate the
 # FrozenModels.scala literals with
@@ -25,7 +26,9 @@
 # (mean-recall floors vs the full-probe exact side), n02/n16 (decision-fold
 # recursive-CTE replay), n04/n12 (independent SQL solves), n06 (grid +
 # climb replay), n03 (the list-scheduling fold replayed as a recursive
-# CTE, knob grid from events — LIVE since r10).
+# CTE, knob grid from events — LIVE since r10), n01/n15 (the SORT
+# tracker fold — Kalman predict/update, IoU association, lifecycle —
+# replayed as a recursive CTE, LIVE since r10).
 # Kernel semantics stay independently spec-checked (SortTrackerSpec,
 # ReplaySpec, TaskSimSpec, SimplexSpec, KnobPlannerSpec, DedupSpec,
 # SimilaritySpec); these snapshots give the driver's DuckDB gate a hard
@@ -34,14 +37,13 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT=/tmp/golden_regen
-SPARK_GRAFT_ONLY=n01_sort_tracks,m05_vetl_pipeline \
+SPARK_GRAFT_ONLY=m05_vetl_pipeline \
   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 python3 - <<'EOF'
 import pandas as pd
-for n, f in [('n01_sort_tracks', 'golden_n01_sort_tracks.csv'),
-             # m05's BATCH output is ALSO n23_vetl_stream's oracle — the
-             # streaming twin is checked against the batch composition
-             ('m05_vetl_pipeline', 'golden_m05_vetl_quality.csv')]:
+# m05's BATCH output is ALSO n23_vetl_stream's oracle — the
+# streaming twin is checked against the batch composition
+for n, f in [('m05_vetl_pipeline', 'golden_m05_vetl_quality.csv')]:
     df = pd.read_parquet(f'/tmp/golden_regen/{n}')
     df.to_csv(f'src/test/resources/{f}', index=False)
     print(f'wrote src/test/resources/{f} ({len(df)} rows)')

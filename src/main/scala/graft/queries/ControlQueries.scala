@@ -303,8 +303,9 @@ object ControlQueries {
     // ST1: SORT tracking over deterministic linearly-moving objects
     // derived from events. Kernel semantics are spec-validated
     // (SortTrackerSpec brute-force parity, streaming==batch); the driver
-    // gate checks the full sf0.01 track table against a committed golden
-    // snapshot (scripts/regen_goldens.sh).
+    // gate is a LIVE DuckDB replay of the whole tracker fold since
+    // round 10 — Kalman predict/update, IoU association, lifecycle — as
+    // a recursive CTE (SortReplayOracle), bit-identical to this output.
     Q("n01_sort_tracks",
       (s, d) => {
         Tracking.track(sortDetections(s, d))
@@ -313,11 +314,7 @@ object ControlQueries {
             round(col("x2"), 2).as("x2"), round(col("y2"), 2).as("y2"))
           .orderBy("stream_id", "frame", "track_id")
       },
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_n01_sort_tracks.csv',
-             |  header=true, columns={'stream_id':'BIGINT','frame':'BIGINT',
-             |    'track_id':'INT','x1':'DOUBLE','y1':'DOUBLE',
-             |    'x2':'DOUBLE','y2':'DOUBLE'})""".stripMargin)),
+      Some(SortReplayOracle.sql)),
 
     // X1: task-graph runtime/cost simulation — thousands of candidate
     // (graph, cores) points evaluated in parallel on executors.

@@ -136,10 +136,10 @@ object StreamingQueries {
 
     // ST1 as a STREAM (the production tracker shape: detector output
     // lands in files, the tracker tails the directory; state = one
-    // SortTracker per stream carried across micro-batches). The oracle is
-    // the SAME golden snapshot the batch n01 gate checks — a genuine
-    // cross-check that the streaming path reproduces the batch tracks
-    // exactly, not a snapshot of itself.
+    // SortTracker per stream carried across micro-batches). LIVE oracle
+    // since round 10: the same recursive-CTE tracker replay that gates
+    // batch n01 — the streaming path must reproduce an independent
+    // DuckDB recomputation of the whole fold, not a shared snapshot.
     Q("n15_stream_tracks",
       (s, d) => withStaged(s, ControlQueries.sortDetections(s, d), "n15") { src =>
         val dets = s.readStream.schema(detsSchema).parquet(src)
@@ -149,11 +149,7 @@ object StreamingQueries {
             round(col("x2"), 2).as("x2"), round(col("y2"), 2).as("y2"))
           .orderBy("stream_id", "frame", "track_id")
       },
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_n01_sort_tracks.csv',
-             |  header=true, columns={'stream_id':'BIGINT','frame':'BIGINT',
-             |    'track_id':'INT','x1':'DOUBLE','y1':'DOUBLE',
-             |    'x2':'DOUBLE','y2':'DOUBLE'})""".stripMargin)),
+      Some(SortReplayOracle.sql)),
 
     // ST3 as a STREAM: per-chunk scores stream in, the knob switcher's
     // decision log streams out (buffer/plan/counter state per stream,
