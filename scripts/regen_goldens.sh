@@ -1,9 +1,9 @@
 #!/bin/sh
-# Regenerate the committed driver-gate goldens (sf0.01 snapshots) after an
-# intentional semantics or testdata change:
-#   m05 (V-ETL pipeline; doubles as n23's oracle) -> src/test/resources CSV
-# n01/n15 need NO snapshot since round 10: their gate is a live DuckDB
-# recursive-CTE replay of the whole tracker fold (SortReplayOracle).
+# NO committed driver-gate snapshots remain (round 10): every catalog
+# query's gate is a live DuckDB derivation. This script documents what
+# still needs regenerating after an intentional semantics or testdata
+# change, and verifies the result.
+#
 # FROZEN-CONSTANT live oracles (e05/e08/e10/n07 centroids/codebooks, n05
 # candidate ledger points, n09/n10 MLP weights): regenerate the
 # FrozenModels.scala literals with
@@ -20,6 +20,7 @@
 # ledger points (n05) — bit-exact-vs-reference TaskSimSpec must be green;
 # MLP weights (n09/n10) — DuckDB's independent forward pass must reproduce
 # the confusion counts cell-for-cell (it did at freeze time, r10).
+#
 # LIVE with no frozen part (nothing to regen): m01-m04 (recursive-LCG
 # replays), d03 (XXH64 simhash replay), t05/d08 (winnowing replay),
 # t19 (unrolled BPE loop), e04 (quantized LSH replay), e06/e09/e12
@@ -28,23 +29,20 @@
 # climb replay), n03 (the list-scheduling fold replayed as a recursive
 # CTE, knob grid from events — LIVE since r10), n01/n15 (the SORT
 # tracker fold — Kalman predict/update, IoU association, lifecycle —
-# replayed as a recursive CTE, LIVE since r10).
+# replayed as a recursive CTE, LIVE since r10), m05/n23 (the composite
+# V-ETL pipeline: LCG synthesis + detect stub + tracker fold + windowed
+# quality, all recomputed end-to-end by SortReplayOracle.m05Sql, LIVE
+# since r10).
+#
 # Kernel semantics stay independently spec-checked (SortTrackerSpec,
 # ReplaySpec, TaskSimSpec, SimplexSpec, KnobPlannerSpec, DedupSpec,
-# SimilaritySpec); these snapshots give the driver's DuckDB gate a hard
-# hash to hold the full-pipeline output to. All snapshot queries were
-# stability-checked across 4/8/16-core runs before freezing.
+# SimilaritySpec). The only committed CSV left under src/test/resources
+# is golden_skyscraper_log.csv — a HAND-DERIVED ReplaySpec fixture, not a
+# generated snapshot.
+#
+# After any regen, this verifies the full catalog against the live gates:
 set -e
 cd "$(dirname "$0")/.."
 OUT=/tmp/golden_regen
-SPARK_GRAFT_ONLY=m05_vetl_pipeline \
-  SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
-python3 - <<'EOF'
-import pandas as pd
-# m05's BATCH output is ALSO n23_vetl_stream's oracle — the
-# streaming twin is checked against the batch composition
-for n, f in [('m05_vetl_pipeline', 'golden_m05_vetl_quality.csv')]:
-    df = pd.read_parquet(f'/tmp/golden_regen/{n}')
-    df.to_csv(f'src/test/resources/{f}', index=False)
-    print(f'wrote src/test/resources/{f} ({len(df)} rows)')
-EOF
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
+python3 scripts/check.py /root/testdata/sf0.01 $OUT

@@ -246,13 +246,18 @@ object MultimodalQueries {
 
     // The COMPOSITE V-ETL pipeline (SURVEY Q1/Q3) as one BATCH gate:
     // synthesize → detect (stub seam) → SORT tracking → 2 s event-time
-    // quality windows, integer-exact aggregates. The committed golden
-    // this produces is ALSO the oracle of n23_vetl_stream — the
-    // Structured-Streaming twin runs the identical composition through
-    // trackStream's FMGWS state, so the pair checks batch == streaming
-    // over the full pipeline, not just per stage (the n01/n15 pattern).
+    // quality windows, integer-exact aggregates. LIVE oracle since
+    // round 10: DuckDB recomputes the WHOLE composition — LCG payload
+    // synthesis, the luma-modulated detect stub, the full tracker fold
+    // as a recursive CTE, and the windowed quality aggregates — from the
+    // events table (SortReplayOracle.m05Sql). The same oracle gates
+    // n23_vetl_stream, whose Structured-Streaming twin runs the
+    // identical composition through trackStream's FMGWS state, so
+    // batch == streaming == independent recomputation, end to end.
     // Sentinel frames (far-future, past the cutoff on both twins) exist
-    // so the streaming twin's append-mode windows all close.
+    // so the streaming twin's append-mode windows all close; the replay
+    // crosses the ~30k-frame sentinel gap via its empty-state frame
+    // jump.
     Q("m05_vetl_pipeline",
       (s, d) => {
         val frames = graft.streaming.VetlPipeline.withSentinels(
@@ -265,9 +270,6 @@ object MultimodalQueries {
             graft.streaming.VetlPipeline.epochMs + 600000L)
           .orderBy("stream_id", "chunk_start")
       },
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_m05_vetl_quality.csv',
-             |  header=true, columns={'chunk_start':'VARCHAR','stream_id':'BIGINT',
-             |    'n_tracks':'BIGINT','n_boxes':'BIGINT','score_micro':'BIGINT'})""".stripMargin))
+      Some(SortReplayOracle.m05Sql))
   )
 }

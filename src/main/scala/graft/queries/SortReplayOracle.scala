@@ -113,7 +113,12 @@ object SortReplayOracle {
 
   // ---- the oracle ------------------------------------------------------
 
-  /** Full replay SQL (DuckDB), over the `events` view.
+  /** The shared replay engine: given CTEs that define a
+    * `dets(stream_id, frame, x1, y1, x2, y2)` table (plus any helper
+    * CTEs the caller needs downstream, e.g. per-frame scores) and a
+    * final SELECT over the recursive `step` table
+    * (stream_id, frame, em: [(tid, b1..b4)], poison), prints the full
+    * WITH RECURSIVE query replaying the SORT fold over those detections.
     *
     * Layout note (why the update math runs on UNNESTED track rows): the
     * first cut kept per-track intermediates (S⁻¹, K, M) as stream-level
@@ -125,8 +130,23 @@ object SortReplayOracle {
     * GROUP BY stream re-packs the updated states — same doubles, ~5x
     * cheaper. Only matched tracks take the trip; predict/associate/spawn/
     * emit stay at stream level where the whole track list is in scope.
+    *
+    * Frame-gap jump: when the live track set is EMPTY, every update on a
+    * detection-less frame is a no-op (nothing to predict/age, nothing to
+    * spawn or emit; frameCount is derived as fr - f0 + 1, not stored), so
+    * the recursion jumps straight to the next detection frame instead of
+    * stepping one frame at a time. With live tracks it still steps frame
+    * by frame (aging/eviction are per-frame observable). This is what
+    * makes the m05 sentinel gap (~30k empty frames) replayable in
+    * O(det frames) iterations. The jump target comes from a precomputed
+    * `skips` map instead of a per-iteration ASOF join (~25% cheaper):
+    * the state can only be empty on a no-det frame (any detection spawns
+    * a tsu=0 track that survives the same frame's eviction), and with
+    * maxAge=1 the last track dies at most 2 frames past a det frame, so
+    * the only possible jump origins are f0-1 (stream start) and
+    * det_frame + 1/2 — a small equi-joinable key set.
     */
-  lazy val sql: String = {
+  private def engine(detsCtes: String, finalSelect: String): String = {
     // per-row refs in the unnested update pipeline
     def pp(i: Int, j: Int) = s"pp[${i * 7 + j + 1}]"
     def si(i: Int, j: Int) = s"si[${i * 4 + j + 1}]"
@@ -207,18 +227,7 @@ object SortReplayOracle {
         |  + CASE WHEN a[3] > 0 THEN (iouM[3])[a[3]] ELSE 0.0 END""".stripMargin
 
     s"""WITH RECURSIVE
-dets AS MATERIALIZED (
-  SELECT stream_id, frame, x1, y1, x1 + 60.0 AS x2, y1 + 80.0 AS y2
-  FROM (
-    SELECT stream_id, frame,
-      50.0 + frame * 2.0 + obj * 300.0 + (eid % 5) * 0.5 AS x1,
-      100.0 + frame * 1.5 + obj * 50.0 AS y1
-    FROM (
-      SELECT user_id % ns AS stream_id, event_id % 150 AS frame,
-        user_id % 3 AS obj, min(event_id) AS eid
-      FROM events, (SELECT greatest(count(*) // 625, 1) AS ns FROM events) nrm
-      GROUP BY 1, 2, 3))
-),
+$detsCtes,
 fdets AS MATERIALIZED (
   SELECT stream_id, frame,
     list(struct_pack(x1 := x1, y1 := y1, x2 := x2, y2 := y2)
@@ -226,6 +235,30 @@ fdets AS MATERIALIZED (
   FROM dets GROUP BY 1, 2
 ),
 bounds AS (SELECT stream_id, min(frame) AS f0, max(frame) AS f1 FROM dets GROUP BY 1),
+skips AS MATERIALIZED (
+  -- next det frame after every possible empty-state frame (see scaladoc);
+  -- sorted distinct det frames mean the answer for origin df+k (k<=2) is
+  -- always among the next three det frames after df
+  -- min+GROUP BY dedups origins reachable from two det frames (df+2 of
+  -- one is df+1 of the next): a duplicate key would multiply recursion
+  -- rows exponentially
+  SELECT stream_id, frame, min(nxt) AS nxt FROM (
+    SELECT stream_id, df + o.k AS frame,
+      CASE WHEN l1 > df + o.k THEN l1
+           WHEN l2 > df + o.k THEN l2
+           ELSE l3 END AS nxt
+    FROM (
+      SELECT stream_id, frame AS df,
+        lead(frame, 1) OVER w AS l1, lead(frame, 2) OVER w AS l2,
+        lead(frame, 3) OVER w AS l3
+      FROM fdets
+      WINDOW w AS (PARTITION BY stream_id ORDER BY frame)
+    ) q, unnest([1, 2]) AS o(k)
+    WHERE l1 IS NOT NULL
+    UNION ALL
+    SELECT stream_id, f0 - 1 AS frame, f0 AS nxt FROM bounds
+  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
 step AS (
   SELECT b.stream_id, b.f0, b.f1, b.f0 - 1 AS frame, CAST(0 AS BIGINT) AS next_id,
     CAST([] AS $TRACK[]) AS tracks, CAST([] AS $EMS[]) AS em, false AS poison
@@ -303,13 +336,24 @@ step AS (
                      x := ${predX("t")},
                      p := ${predP("t")})) AS tr1
                    FROM (
-                    SELECT s.stream_id, s.f0, s.f1, s.frame + 1 AS fr,
-                      s.frame + 1 - s.f0 + 1 AS fc, s.next_id, s.tracks AS tr0,
-                      coalesce(d.dl, CAST([] AS $DETS[])) AS dl, s.poison
-                    FROM step s
-                    LEFT JOIN fdets d
-                      ON d.stream_id = s.stream_id AND d.frame = s.frame + 1
-                    WHERE s.frame < s.f1
+                    SELECT stream_id, f0, f1, fr, fr - f0 + 1 AS fc,
+                      next_id, tr0,
+                      CASE WHEN dfr = fr THEN ddl
+                           ELSE CAST([] AS $DETS[]) END AS dl, poison
+                    FROM (
+                     SELECT s.stream_id, s.f0, s.f1, s.next_id,
+                       s.tracks AS tr0, s.poison, d.frame AS dfr, d.dl AS ddl,
+                       CAST(CASE WHEN len(s.tracks) = 0 THEN k.nxt
+                                 ELSE s.frame + 1 END AS BIGINT) AS fr
+                     FROM step s
+                     LEFT JOIN skips k
+                       ON k.stream_id = s.stream_id AND k.frame = s.frame
+                     LEFT JOIN fdets d
+                       ON d.stream_id = s.stream_id
+                       AND d.frame = CASE WHEN len(s.tracks) = 0 THEN k.nxt
+                                          ELSE s.frame + 1 END
+                     WHERE s.frame < s.f1
+                    ) x
                    ) x
                   ) x
                  ) x
@@ -358,13 +402,110 @@ step AS (
    ) x
   ) x
 )
-SELECT stream_id, frame, CAST(e.tid AS INTEGER) AS track_id,
-  round(e.b1, 2) AS x1, round(e.b2, 2) AS y1,
-  round(e.b3, 2) AS x2, round(e.b4, 2) AS y2
-FROM (SELECT stream_id, frame, unnest(em) AS e FROM step WHERE NOT poison) u
-ORDER BY stream_id, frame, track_id"""
+$finalSelect"""
   }
 
-  /** Dev tool: print the generated SQL. */
-  def main(args: Array[String]): Unit = println(sql)
+  /** n01/n15 detections (mirror of ControlQueries.sortDetections). */
+  private val n01Dets =
+    """dets AS MATERIALIZED (
+      |  SELECT stream_id, frame, x1, y1, x1 + 60.0 AS x2, y1 + 80.0 AS y2
+      |  FROM (
+      |    SELECT stream_id, frame,
+      |      50.0 + frame * 2.0 + obj * 300.0 + (eid % 5) * 0.5 AS x1,
+      |      100.0 + frame * 1.5 + obj * 50.0 AS y1
+      |    FROM (
+      |      SELECT user_id % ns AS stream_id, event_id % 150 AS frame,
+      |        user_id % 3 AS obj, min(event_id) AS eid
+      |      FROM events, (SELECT greatest(count(*) // 625, 1) AS ns FROM events) nrm
+      |      GROUP BY 1, 2, 3))
+      |)""".stripMargin
+
+  private val n01Final =
+    """SELECT stream_id, frame, CAST(e.tid AS INTEGER) AS track_id,
+      |  round(e.b1, 2) AS x1, round(e.b2, 2) AS y1,
+      |  round(e.b3, 2) AS x2, round(e.b4, 2) AS y2
+      |FROM (SELECT stream_id, frame, unnest(em) AS e FROM step WHERE NOT poison) u
+      |ORDER BY stream_id, frame, track_id""".stripMargin
+
+  /** Full n01/n15 replay SQL (DuckDB), over the `events` view. */
+  lazy val sql: String = engine(n01Dets, n01Final)
+
+  /** m05/n23 detections: the composite V-ETL front half — LCG payload
+    * synthesis (the m01 technique: 64-bit LCG in HUGEINT mod-2^64
+    * arithmetic, byte = state >>> 56), far-future sentinel copies of
+    * stream 0's first 10 frames (VetlPipeline.withSentinels), and the
+    * luma-modulated stub detector (VetlPipeline.detectStub: two boxes
+    * per frame, score = 0.5 + (byteSum/60)/512 — exact, the byte sum is
+    * an integer). `scores` mirrors the per-frame avg over the two equal
+    * det scores (avg of two identical doubles is exact).
+    */
+  private val m05Dets =
+    """seeds AS (
+      |  SELECT (user_id % 4) AS stream_id, (event_id % 600) AS frame,
+      |    min(event_id) AS seed
+      |  FROM events GROUP BY 1, 2),
+      |lcg AS (
+      |  SELECT stream_id, frame, 4 AS i,
+      |    ((((seed::HUGEINT * 6364136223846793005 + 1442695040888963407) % 18446744073709551616)
+      |      * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS s
+      |  FROM seeds
+      |  UNION ALL
+      |  SELECT stream_id, frame, i + 1,
+      |    ((s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616)
+      |  FROM lcg WHERE i < 63),
+      |lumas AS MATERIALIZED (
+      |  SELECT stream_id, frame, CAST(sum(s // 72057594037927936) AS BIGINT) AS luma60
+      |  FROM lcg GROUP BY 1, 2),
+      |allf AS (
+      |  SELECT * FROM lumas
+      |  UNION ALL
+      |  SELECT stream_id, frame + 30000, luma60 FROM lumas
+      |  WHERE stream_id = 0 AND frame < 10),
+      |sdets AS MATERIALIZED (
+      |  SELECT stream_id, frame,
+      |    80.0 + 2.0 * frame + 400.0 * obj + 15.0 * stream_id AS x1,
+      |    60.0 + 1.5 * frame + 120.0 * obj AS y1,
+      |    0.5 + (luma60 / 60.0) / 512.0 AS score
+      |  FROM allf, unnest([0, 1]) AS o(obj)),
+      |dets AS MATERIALIZED (
+      |  SELECT stream_id, frame, x1, y1, x1 + 70.0 AS x2, y1 + 90.0 AS y2
+      |  FROM sdets),
+      |scores AS (
+      |  SELECT stream_id, frame, min(score) AS score
+      |  FROM sdets GROUP BY 1, 2)""".stripMargin
+
+  /** m05/n23 windowed quality over the replayed tracks (mirror of
+    * VetlPipeline.qualityGateWindows): 2 s tumbling event-time windows
+    * from the 30 fps frame clock, integer-exact quantized score sum,
+    * windows at/after the sentinel cutoff dropped. n_tracks uses exact
+    * COUNT(DISTINCT) against Spark's approx_count_distinct — at these
+    * cardinalities (<= tracks-per-stream-window, single digits) the
+    * HLL++ linear-counting estimate equals the exact count unless two
+    * track ids collide in a 2^14-register sketch; a collision would fail
+    * the gate loudly, which is the point of an oracle.
+    */
+  private val m05Final =
+    """SELECT CAST(epoch_ms(win_ms) AS VARCHAR) AS chunk_start, stream_id,
+      |  count(DISTINCT track_id) AS n_tracks, count(*) AS n_boxes,
+      |  CAST(sum(CAST(floor(score * 1e6) AS BIGINT)) AS BIGINT) // count(*) AS score_micro
+      |FROM (
+      |  SELECT t.stream_id, t.frame, t.track_id, sc.score,
+      |    (1704067200000 + t.frame * 33) - ((1704067200000 + t.frame * 33) % 2000) AS win_ms
+      |  FROM (
+      |    SELECT stream_id, frame, CAST((e).tid AS INTEGER) AS track_id
+      |    FROM (SELECT stream_id, frame, unnest(em) AS e FROM step WHERE NOT poison) u
+      |  ) t JOIN scores sc ON sc.stream_id = t.stream_id AND sc.frame = t.frame
+      |) w
+      |WHERE win_ms < 1704067800000
+      |GROUP BY win_ms, stream_id
+      |ORDER BY stream_id, chunk_start""".stripMargin
+
+  /** Full m05/n23 replay SQL: synthesize → detect → track → window,
+    * all recomputed live by DuckDB from the events table.
+    */
+  lazy val m05Sql: String = engine(m05Dets, m05Final)
+
+  /** Dev tool: print the generated SQL (`--m05` for the composite). */
+  def main(args: Array[String]): Unit =
+    println(if (args.contains("--m05")) m05Sql else sql)
 }

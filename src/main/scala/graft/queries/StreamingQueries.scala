@@ -404,9 +404,10 @@ object StreamingQueries {
     // The COMPOSITE V-ETL pipeline as a STREAM — m05's exact composition
     // (frames → detect stub → SORT tracking → 2 s integer-exact quality
     // windows) run through trackStream's FMGWS state and an append-mode
-    // windowed aggregation, against the SAME committed golden that the
-    // batch twin m05 produces: the pair is a live batch==streaming
-    // cross-check of the whole pipeline (the n01/n15 pattern, composed).
+    // windowed aggregation. LIVE oracle since round 10: the same
+    // end-to-end DuckDB recomputation that gates batch m05
+    // (SortReplayOracle.m05Sql) — so batch, streaming, and the
+    // independent replay must all three agree, not just the twins.
     // The staged sentinel frames advance the final watermark so every
     // real window closes under Trigger.AvailableNow; their own windows
     // fall past the cutoff on both twins.
@@ -428,10 +429,7 @@ object StreamingQueries {
             "append")
           .orderBy("stream_id", "chunk_start")
       },
-      Some("""SELECT * FROM read_csv(
-             |  '/root/repo/src/test/resources/golden_m05_vetl_quality.csv',
-             |  header=true, columns={'chunk_start':'VARCHAR','stream_id':'BIGINT',
-             |    'n_tracks':'BIGINT','n_boxes':'BIGINT','score_micro':'BIGINT'})""".stripMargin))
+      Some(SortReplayOracle.m05Sql))
   )
 
   private val sessionSchema = StructType(Seq(
