@@ -140,6 +140,21 @@ class PlanSpec extends SparkSpec {
       s"expected 5 per-iteration exchanges, found $exchanges:\n$p")
   }
 
+  test("corpus-prep composite keeps its shuffle budget (d10)") {
+    // d10 chains dedup -> quality -> sampling over documents; the whole
+    // composite needs exactly 3 hash exchanges (fingerprint group, the
+    // cluster-representative join's hash side, final stratum group) and
+    // 2 document scans, with the tiny cluster map broadcast. A regression
+    // that re-shuffles the corpus between stages (e.g. losing the reused
+    // partitioning) shows up here before it shows up at scale.
+    val p = plan("d10_corpus_prep")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 3, s"d10 gained hash exchanges ($hashEx > 3):\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"d10 re-reads the corpus ($scans scans > 2):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cluster map not broadcast:\n$p")
+  }
+
   test("no catalog query degenerates into an unkeyed cartesian product") {
     // intentional broadcast-nested-loop joins over provably tiny sides:
     // a06 (3-row prefix dim), n05 (<=64 Pareto candidates, group-less
