@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for training-data pipelines.
@@ -678,5 +679,66 @@ object Dedup {
       .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
+  }
+
+  /** Exact duplicated-substring spans — the span-level dedup pass of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): for each document, every maximal token range
+    * covered by some `spanTokens`-token substring that also occurs in
+    * at least one OTHER document. Doc-level dedup (exact/minhash)
+    * misses these — boilerplate, licenses, and quoted passages
+    * duplicate at the span level inside otherwise-unique documents.
+    *
+    * The paper builds a corpus-wide suffix array (sequential, memory-
+    * bound); the distributed re-expression is an inverted gram index:
+    * one length-L token window per position (linear in corpus tokens),
+    * grouped by the gram string to find cross-document grams, then a
+    * left-semi join back and a per-document gaps-and-islands merge of
+    * overlapping windows (windows whose starts differ by <= L cover a
+    * contiguous duplicated region). Returns
+    * (doc_id, span_start, span_end, span_tokens) in token offsets.
+    *
+    * Scale: the only shuffles are the gram groupBy and the left-semi
+    * join back — both keyed on the gram, both linear in corpus tokens;
+    * the island merge is a per-document window. A hot gram (shared
+    * boilerplate in millions of docs) costs its occurrence count, never
+    * a pair count: nothing here is quadratic. At 100 TB the gram
+    * strings dominate shuffle width (~6-8 bytes/token); mapping grams
+    * to xxhash64 keys shrinks that 5-6x at a ~n_grams²/2^64 false-span
+    * probability — kept exact here because "exact substring" is the
+    * operator's contract (the near-dup families handle approximation).
+    */
+  def dupSpans(
+      docs: DataFrame,
+      id: String = "doc_id",
+      text: String = "text",
+      spanTokens: Int = 8): DataFrame = {
+    val L = spanTokens
+    val occ = docs
+      .select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
+      .filter(size(col("tk")) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - L),
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(L))))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
+    // grams occurring in >= 2 distinct documents; left-semi keeps the
+    // hit positions without duplicating rows for multi-partner grams
+    val dup = occ.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val hits = occ.join(dup, Seq("gram"), "left_semi").select("doc_id", "pos")
+    // merge windows into maximal spans: window [p, p+L-1] overlaps or
+    // touches the previous span iff p - prev <= L
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + L - 1).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 import scala.collection.immutable.TreeSet
 
@@ -17,9 +18,12 @@ import scala.collection.immutable.TreeSet
   * sketching 10^11 distinct shingles per source still moves only k
   * strings per source).
   *
-  * Unlike HLL (whose register layout is engine-specific), every retained
-  * value is an exact md5 the DuckDB oracle reproduces verbatim — the gate
-  * hash-checks the sketch itself, not just a tolerance on the estimate.
+  * Every retained KMV value is an exact md5 the DuckDB oracle reproduces
+  * verbatim — the gate hash-checks the sketch itself, not just a
+  * tolerance on the estimate. The HLL below (`hllRegisters`) gets the
+  * same treatment: its register layout is pinned to xxhash64 bits that
+  * the oracle recomputes in HUGEINT SQL, so both sketches are
+  * cross-engine bit-exact.
   * Reference analog: the knob tuner's seen-hash sets
   * (`code/src/offline/knob_tuner.py:189-196`) are exact; this is the
   * bounded-memory version a 100 TB corpus forces.
@@ -164,4 +168,55 @@ object Sketches {
       .groupBy("q_milli").agg(min("bin").cast("long").as("bin"))
       .withColumn("est_upper", expr("shiftleft(cast(1 as bigint), bin) - 1"))
   }
+
+  // ---- HyperLogLog (Flajolet et al. 2007), m = 256 registers ----------
+
+  /** alpha_m * m^2 for m = 256 — public so the t24 oracle SQL embeds the
+    * SAME double literal the Spark plan folds in.
+    */
+  val hllAlphaMM: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+
+  /** HLL register table (bucket, reg) over a long key column: bucket =
+    * low 8 bits of xxhash64(key), rank = trailing-zero count + 1 of the
+    * remaining 56-bit window (identically geometric to the paper's
+    * leading-zero rank on uniform hash bits, but integer-exact: the
+    * lowest set bit `w & -w` is a power of two whose log2 is exact in
+    * doubles, where floor(log2(w)) for the MSB rank rounds wrong near
+    * 2^56). The register table is the sketch state: 256 rows, merged
+    * across partitions/corpora by element-wise max — the map-side
+    * combine ships bytes per partition at any corpus size.
+    */
+  def hllRegisters(df: DataFrame, key: String): DataFrame = {
+    val h = xxhash64(col(key))
+    df.select(h.as("h"))
+      .select(col("h").bitwiseAND(lit(255L)).as("bucket"),
+        shiftrightunsigned(col("h"), 8).as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0L, lit(57))
+          .otherwise((log2(col("w").bitwiseAND(-col("w"))) + 1).cast("int")).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("reg"))
+  }
+
+  /** Harmonic-mean estimate from a register table, with the small-range
+    * linear-counting correction (E <= 2.5m with empty registers). The
+    * numerator sum(2^-reg) is computed EXACTLY: scaled by 2^57 each term
+    * is an integer power of two (exact in doubles, summed as
+    * decimal(38,0)), so the one rounding step is the final division —
+    * bit-reproducible against the oracle's HUGEINT recomputation.
+    * Returns one row (m, n_zero, hll_estimate).
+    */
+  def hllEstimate(registers: DataFrame): DataFrame =
+    registers
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("cast(power(2, 57 - reg) as decimal(38,0))")).as("s_present"))
+      .select(col("n_present"),
+        (col("s_present") + (lit(256L) - col("n_present"))
+          * expr("cast(144115188075855872 as decimal(38,0))")).as("s_total"))
+      .select((lit(256L) - col("n_present")).as("n_zero"),
+        (lit(hllAlphaMM) / (col("s_total").cast("double") / 1.44115188075855872e17))
+          .as("est_raw"))
+      .select(lit(256).as("m"), col("n_zero"),
+        round(when(col("est_raw") <= 640.0 && col("n_zero") > 0,
+            lit(256.0) * log(lit(256.0) / col("n_zero")))
+          .otherwise(col("est_raw")), 2).as("hll_estimate"))
 }

@@ -116,6 +116,21 @@ object TextQueries {
        |hsh AS (SELECT tk, xor(v, v // 4294967296) AS hu FROM a2)""".stripMargin
   }
 
+  /** CTE chain computing `hsh(hu)` — hu = unsigned xxhash64(key, 42) —
+    * from an existing CTE `keys(v)` of HUGEINT key values: Spark hashes
+    * a LongType column as its 8-byte little-endian word, which is
+    * exactly the n=8 single-word path above with the word value equal
+    * to the key itself (mod 2^64) and an empty byte tail.
+    */
+  private val xxh64LongDuck: String =
+    s"""s0 AS (SELECT v, (42::HUGEINT + $xxP5 + 8) % $M64 AS h0 FROM keys),
+       |k1 AS (SELECT *, ${mmD(s"v % $M64", xxP2)} AS t1 FROM s0),
+       |k2 AS (SELECT *, ${mmD(rotlD("t1", 31), xxP1)} AS t2 FROM k1),
+       |k3 AS (SELECT v, (${mmD(rotlD("xor(h0, t2)", 27), xxP1)} + $xxP4) % $M64 AS h3 FROM k2),
+       |a1 AS (SELECT v, ${mmD("xor(h3, h3 // 8589934592)", xxP2)} AS x FROM k3),
+       |a2 AS (SELECT v, ${mmD("xor(x, x // 536870912)", xxP3)} AS x FROM a1),
+       |hsh AS (SELECT xor(x, x // 4294967296) AS hu FROM a2)""".stripMargin
+
   /** t22's frozen BPE merge table — t19's sf0.01-learned merges (the gate
     * golden; BpeSpec re-proves learnMerges reproduces it), applied as a
     * fixed tokenizer so the t22 gate is scale-factor independent.
@@ -1507,6 +1522,136 @@ object TextQueries {
              |SELECT source, count(*) AS n_total,
              |  CAST(sum(CASE WHEN h < q_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  CAST(sum(CASE WHEN h < q_milli THEN q_milli ELSE 0 END) AS BIGINT) AS sum_q_kept
-             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // HyperLogLog distinct-count sketch (Flajolet et al. 2007) over
+    // lineitem order keys: m=256 registers, bucket = low 8 hash bits,
+    // rank from the remaining 56-bit window. Completes the sketch
+    // family (exact HH t11, CMS t20, KMV t18, DDSketch t21) with the
+    // register-max-mergeable cardinality sketch — at 100 TB the
+    // groupBy(bucket).max is a 256-row map-side-combined aggregate
+    // (bytes per partition over the wire), where t18's KMV must ship
+    // its k minima per partition. Determinism: the rank uses the
+    // TRAILING-zero count of the 56-bit window (lowest set bit via
+    // w & -w, an exact power of two whose log2 is exact in doubles)
+    // instead of the paper's leading-zero count — identically
+    // geometric on uniform hash bits, but integer-exact in both
+    // engines, where floor(log2(w)) for leading zeros rounds wrong at
+    // w near 2^56 (above 2^53, doubles can round w UP to the next
+    // power of two). The estimator numerator sum(2^-reg) is kept
+    // exact by scaling to integers (2^(57-reg), summed as
+    // decimal(38)/HUGEINT); the oracle recomputes xxhash64 of each
+    // key in HUGEINT SQL (the validated n=8 word path) and the whole
+    // estimator pipeline independently, so both the hash bits and the
+    // register/estimator arithmetic are cross-engine-gated bit-exact.
+    Q("t24_hll_distinct",
+      (s, d) => {
+        val exact = Tables.lineitem(s, d)
+          .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+        graft.operators.Sketches
+          .hllEstimate(graft.operators.Sketches.hllRegisters(
+            Tables.lineitem(s, d), "l_orderkey"))
+          .crossJoin(broadcast(exact))
+      },
+      Some(s"""WITH keys AS (SELECT l_orderkey::HUGEINT AS v FROM lineitem),
+              |$xxh64LongDuck,
+              |b AS (SELECT hu % 256 AS bucket, hu // 256 AS w FROM hsh),
+              |r AS (SELECT bucket,
+              |        max(CASE WHEN w = 0 THEN 57
+              |                 ELSE CAST(log2(w & (-w)) AS INT) + 1 END) AS reg
+              |      FROM b GROUP BY 1),
+              |ag AS (SELECT count(*) AS n_present,
+              |         sum((2::HUGEINT ^ (57 - reg))::HUGEINT) AS s_present FROM r),
+              |st AS (SELECT n_present,
+              |         s_present + (256 - n_present) * 144115188075855872::HUGEINT AS s_total
+              |       FROM ag),
+              |er AS (SELECT 256 - n_present AS n_zero,
+              |         ${graft.operators.Sketches.hllAlphaMM} / (CAST(s_total AS DOUBLE) / 144115188075855872.0) AS est_raw
+              |       FROM st),
+              |ex AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS exact_distinct FROM lineitem)
+              |SELECT 256 AS m, CAST(n_zero AS BIGINT) AS n_zero,
+              |  round(CASE WHEN est_raw <= 640.0 AND n_zero > 0
+              |             THEN 256.0 * ln(256.0 / n_zero) ELSE est_raw END, 2) AS hll_estimate,
+              |  exact_distinct
+              |FROM er CROSS JOIN ex""".stripMargin)),
+
+    // Exact duplicated-substring spans (Lee et al. 2022's span-level
+    // dedup pass, re-expressed as an inverted gram index — see
+    // Dedup.dupSpans scaladoc for the suffix-array-to-Spark mapping
+    // and the scale argument). Token offsets, 8-token windows.
+    Q("d16_dup_spans",
+      (s, d) => Dedup.dupSpans(Tables.documents(s, d))
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+             |occ AS (
+             |  SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+8], ' ') AS gram
+             |  FROM toks, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
+             |dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             |hits AS (SELECT doc_id, pos FROM occ WHERE gram IN (SELECT gram FROM dup)),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM (SELECT doc_id, pos,
+             |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             |        FROM hits) l)
+             |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+             |  max(pos) + 8 - min(pos) AS span_tokens
+             |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin)),
+
+    // BM25 top-k retrieval (Robertson-Sparck Jones; Lucene's idf form
+    // ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75) for a fixed query
+    // over the document corpus. The per-doc score is a FIXED-ORDER sum
+    // of the per-term partials (conditional aggregation, one column per
+    // query term) — a bare sum() would re-associate double additions
+    // across partitions and can flip the rounded 4th decimal between
+    // engines. Plan: one token explode feeds both the dl aggregate and
+    // the tf aggregate; df (|terms| rows) and the N/avgdl scalar are
+    // broadcast; top-k is TakeOrderedAndProject (no global sort).
+    Q("t26_bm25",
+      (s, d) => {
+        val terms = Seq("hash", "join", "spark")
+        val occ = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        val dl = occ.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val g = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+        val tf = occ.filter(col("tk").isin(terms: _*))
+          .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tk").agg(count(lit(1)).cast("double").as("df"))
+        val sc = tf.join(broadcast(df), "tk").join(dl, "doc_id").crossJoin(broadcast(g))
+          .withColumn("s",
+            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+              * (col("tf") * 2.2)
+              / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+        val termCols = terms.map(t =>
+          coalesce(sum(when(col("tk") === t, col("s"))), lit(0.0)))
+        sc.groupBy("doc_id")
+          .agg(termCols.head.as("s0"), termCols(1).as("s1"), termCols(2).as("s2"))
+          .select(col("doc_id"), (col("s0") + col("s1") + col("s2")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+      },
+      Some("""WITH occ AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents),
+             |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM occ GROUP BY 1),
+             |g AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, tk, count(*)::BIGINT AS tf FROM occ
+             |       WHERE tk IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+             |df AS (SELECT tk, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+             |sc AS (
+             |  SELECT tf.doc_id, tf.tk,
+             |    ln(1.0 + (g.n_docs - df.df + 0.5) / (df.df + 0.5))
+             |      * (tf.tf * 2.2)
+             |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / g.avgdl)) AS s
+             |  FROM tf JOIN df USING (tk) JOIN dl USING (doc_id) CROSS JOIN g),
+             |p AS (
+             |  SELECT doc_id,
+             |    coalesce(sum(CASE WHEN tk = 'hash'  THEN s END), 0.0)
+             |    + coalesce(sum(CASE WHEN tk = 'join'  THEN s END), 0.0)
+             |    + coalesce(sum(CASE WHEN tk = 'spark' THEN s END), 0.0) AS score
+             |  FROM sc GROUP BY 1)
+             |SELECT doc_id, round(score, 4) AS bm25 FROM p
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
   )
 }
