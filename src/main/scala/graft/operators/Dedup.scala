@@ -721,11 +721,16 @@ object Dedup {
         sequence(lit(0), size(col("tk")) - L),
         i => concat_ws(" ", slice(col("tk"), i + 1, lit(L))))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
-    // grams occurring in >= 2 distinct documents; left-semi keeps the
-    // hit positions without duplicating rows for multi-partner grams
+    // grams occurring in >= 2 distinct documents: min(doc) != max(doc)
+    // is the same predicate as countDistinct(doc) >= 2 but map-side-
+    // combines in ONE aggregation pass (countDistinct would expand to a
+    // two-shuffle distinct plan); the oracle keeps the count(DISTINCT)
+    // formulation, so the equivalence is itself cross-checked. The
+    // left-semi join keeps hit positions without duplicating rows for
+    // multi-partner grams.
     val dup = occ.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select("gram")
     val hits = occ.join(dup, Seq("gram"), "left_semi").select("doc_id", "pos")
     // merge windows into maximal spans: window [p, p+L-1] overlaps or

@@ -186,15 +186,23 @@ object Sketches {
     * across partitions/corpora by element-wise max — the map-side
     * combine ships bytes per partition at any corpus size.
     */
-  def hllRegisters(df: DataFrame, key: String): DataFrame = {
-    val h = xxhash64(col(key))
-    df.select(h.as("h"))
-      .select(col("h").bitwiseAND(lit(255L)).as("bucket"),
-        shiftrightunsigned(col("h"), 8).as("w"))
-      .select(col("bucket"),
-        when(col("w") === 0L, lit(57))
-          .otherwise((log2(col("w").bitwiseAND(-col("w"))) + 1).cast("int")).as("rho"))
+  def hllRegisters(df: DataFrame, key: String): DataFrame =
+    hllProject(df, key)
       .groupBy("bucket").agg(max(col("rho")).as("reg"))
+
+  /** Per-row (bucket, rho) projection behind `hllRegisters`, with
+    * pass-through columns — the streaming variant (n24) reuses it under
+    * a watermarked event-time window, where the register state is the
+    * same bounded 256-rows-per-window monoid.
+    */
+  def hllProject(df: DataFrame, key: String, keep: org.apache.spark.sql.Column*): DataFrame = {
+    val h = xxhash64(col(key))
+    df.select(keep :+ h.as("h"): _*)
+      .select(keep :+ col("h").bitwiseAND(lit(255L)).as("bucket")
+        :+ shiftrightunsigned(col("h"), 8).as("w"): _*)
+      .select(keep :+ col("bucket")
+        :+ when(col("w") === 0L, lit(57))
+          .otherwise((log2(col("w").bitwiseAND(-col("w"))) + 1).cast("int")).as("rho"): _*)
   }
 
   /** Harmonic-mean estimate from a register table, with the small-range

@@ -429,7 +429,79 @@ object StreamingQueries {
             "append")
           .orderBy("stream_id", "chunk_start")
       },
-      Some(SortReplayOracle.m05Sql))
+      Some(SortReplayOracle.m05Sql)),
+
+    // t24's STREAMING twin: HyperLogLog registers as windowed streaming
+    // aggregation state (the register-max monoid — order-invariant and
+    // idempotent, so the result is micro-batch-split independent). State
+    // is BOUNDED at <= 256 register rows per open window regardless of
+    // user volume — the cardinality-sketch complement of n21's KMV
+    // (which ships k exact hashes). The per-window estimator finish
+    // runs batch-side on the sink's register table (256 rows/window —
+    // a production job reads the register store the same way). Oracle:
+    // DuckDB recomputes xxhash64-of-long in HUGEINT SQL, the register
+    // maxes, and the exact-integer estimator per window, plus the
+    // exact distinct count each estimate is gated against.
+    Q("n24_stream_hll",
+      (s, d) => {
+        val src = eventsStream(s, d)
+        val proj = graft.operators.Sketches.hllProject(
+            src.select(Tables.tsFromNanos(col("ts")).as("ts"), col("user_id")),
+            "user_id", col("ts"))
+          .withWatermark("ts", "1 hour")
+        val regs = proj.groupBy(window(col("ts"), "12 hours"), col("bucket"))
+          .agg(max(col("rho")).as("reg"))
+        val est = runToTable(s, regs, "complete")
+          .groupBy(col("window"))
+          .agg(count(lit(1)).as("n_present"),
+            sum(expr("cast(power(2, 57 - reg) as decimal(38,0))")).as("s_present"))
+          .select(col("window"),
+            (lit(256L) - col("n_present")).as("n_zero"),
+            (lit(graft.operators.Sketches.hllAlphaMM) /
+              ((col("s_present") + (lit(256L) - col("n_present"))
+                * expr("cast(144115188075855872 as decimal(38,0))")).cast("double")
+                / 1.44115188075855872e17)).as("est_raw"))
+          .select(col("window"), col("n_zero"),
+            round(when(col("est_raw") <= 640.0 && col("n_zero") > 0,
+                lit(256.0) * log(lit(256.0) / col("n_zero")))
+              .otherwise(col("est_raw")), 2).as("hll_estimate"))
+        val exact = Tables.events(s, d)
+          .select(Tables.tsFromNanos(col("ts")).as("ts"), col("user_id"))
+          .groupBy(window(col("ts"), "12 hours"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        est.join(exact, "window")
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("n_zero"), col("hll_estimate"), col("exact_distinct"))
+          .orderBy("window_start")
+      },
+      Some(s"""WITH keys AS (SELECT DISTINCT user_id::HUGEINT AS v FROM events),
+              |${TextQueries.xxh64LongDuck},
+              |uw AS (SELECT DISTINCT time_bucket(INTERVAL '12 hours', ts) AS w, user_id
+              |       FROM events),
+              |bw AS (SELECT uw.w, hsh.hu % 256 AS bucket, hsh.hu // 256 AS win56
+              |       FROM uw JOIN hsh ON hsh.v = uw.user_id),
+              |r AS (SELECT w, bucket,
+              |        max(CASE WHEN win56 = 0 THEN 57
+              |                 ELSE CAST(log2(win56 & (-win56)) AS INT) + 1 END) AS reg
+              |      FROM bw GROUP BY 1, 2),
+              |ag AS (SELECT w, count(*) AS n_present,
+              |         sum((2::HUGEINT ^ (57 - reg))::HUGEINT) AS s_present
+              |       FROM r GROUP BY 1),
+              |er AS (SELECT w, 256 - n_present AS n_zero,
+              |         ${graft.operators.Sketches.hllAlphaMM} /
+              |           (CAST(s_present + (256 - n_present) * 144115188075855872::HUGEINT
+              |                 AS DOUBLE) / 144115188075855872.0) AS est_raw
+              |       FROM ag),
+              |ex AS (SELECT time_bucket(INTERVAL '12 hours', ts) AS w,
+              |         count(DISTINCT user_id)::BIGINT AS exact_distinct
+              |       FROM events GROUP BY 1)
+              |SELECT strftime(er.w, '%Y-%m-%d %H:%M:%S') AS window_start,
+              |  CAST(n_zero AS BIGINT) AS n_zero,
+              |  round(CASE WHEN est_raw <= 640.0 AND n_zero > 0
+              |             THEN 256.0 * ln(256.0 / n_zero) ELSE est_raw END, 2) AS hll_estimate,
+              |  exact_distinct
+              |FROM er JOIN ex ON ex.w = er.w ORDER BY 1""".stripMargin))
   )
 
   private val sessionSchema = StructType(Seq(

@@ -122,14 +122,14 @@ object TextQueries {
     * exactly the n=8 single-word path above with the word value equal
     * to the key itself (mod 2^64) and an empty byte tail.
     */
-  private val xxh64LongDuck: String =
+  private[queries] val xxh64LongDuck: String =
     s"""s0 AS (SELECT v, (42::HUGEINT + $xxP5 + 8) % $M64 AS h0 FROM keys),
        |k1 AS (SELECT *, ${mmD(s"v % $M64", xxP2)} AS t1 FROM s0),
        |k2 AS (SELECT *, ${mmD(rotlD("t1", 31), xxP1)} AS t2 FROM k1),
        |k3 AS (SELECT v, (${mmD(rotlD("xor(h0, t2)", 27), xxP1)} + $xxP4) % $M64 AS h3 FROM k2),
        |a1 AS (SELECT v, ${mmD("xor(h3, h3 // 8589934592)", xxP2)} AS x FROM k3),
        |a2 AS (SELECT v, ${mmD("xor(x, x // 536870912)", xxP3)} AS x FROM a1),
-       |hsh AS (SELECT xor(x, x // 4294967296) AS hu FROM a2)""".stripMargin
+       |hsh AS (SELECT v, xor(x, x // 4294967296) AS hu FROM a2)""".stripMargin
 
   /** t22's frozen BPE merge table — t19's sf0.01-learned merges (the gate
     * golden; BpeSpec re-proves learnMerges reproduces it), applied as a

@@ -155,6 +155,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"cluster map not broadcast:\n$p")
   }
 
+  test("dup-span index keeps its shuffle budget (d16)") {
+    // d16 is two linear passes over the token stream: ONE gram-keyed
+    // aggregate finds cross-doc grams (the min!=max rewrite — a
+    // countDistinct regression would add a second gram exchange), one
+    // semi-join keeps hits, one doc-keyed exchange feeds the island
+    // windows, one (doc, island) exchange the span groupBy. Budget: 4
+    // hash exchanges, 2 corpus scans, and no sort-merge path for the
+    // dup-gram side at this SF (broadcast semi-join).
+    val p = plan("d16_dup_spans")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 4, s"d16 gained hash exchanges ($hashEx > 4):\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"d16 re-reads the corpus ($scans scans > 2):\n$p")
+  }
+
   test("no catalog query degenerates into an unkeyed cartesian product") {
     // intentional broadcast-nested-loop joins over provably tiny sides:
     // a06 (3-row prefix dim), n05 (<=64 Pareto candidates, group-less
@@ -163,10 +178,13 @@ class PlanSpec extends SparkSpec {
     // t21 (≤64-cell histogram sketch × 3 quantile literals — the theta
     // join runs over the SKETCH, never the data),
     // e06/e09/e12 (recallFloor: ONE global-agg row × ONE global-agg row —
-    // the gate's n_queries × total_hits summary join, never data-sized)
+    // the gate's n_queries × total_hits summary join, never data-sized),
+    // t24 (ONE-row HLL estimate × ONE-row exact count),
+    // t26 (ONE-row broadcast of the global N/avgdl scalar)
     val exempt = Set("a06_containment_join", "n05_placement_pareto",
       "n08_forecast_trainset", "t21_hist_quantiles",
-      "e06_ivf_knn", "e09_ivfpq_knn", "e12_ivf_append")
+      "e06_ivf_knn", "e09_ivfpq_knn", "e12_ivf_append",
+      "t24_hll_distinct", "t26_bm25")
     SparkEntry.catalog.filterNot(q => exempt(q.name)).foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
