@@ -1573,7 +1573,15 @@ object TextQueries {
               |  round(CASE WHEN est_raw <= 640.0 AND n_zero > 0
               |             THEN 256.0 * ln(256.0 / n_zero) ELSE est_raw END, 2) AS hll_estimate,
               |  exact_distinct
-              |FROM er CROSS JOIN ex""".stripMargin)),
+              |FROM er CROSS JOIN ex""".stripMargin),
+      benchFn = Some((s, d) =>
+        // the gate's exact countDistinct arm is a measurement device
+        // (it pins the estimate against truth; at sf10 it dominates the
+        // wall); the benched number is the sketch path a production job
+        // pays (BENCH.md bench-plan overrides)
+        graft.operators.Sketches
+          .hllEstimate(graft.operators.Sketches.hllRegisters(
+            Tables.lineitem(s, d), "l_orderkey")))),
 
     // Exact duplicated-substring spans (Lee et al. 2022's span-level
     // dedup pass, re-expressed as an inverted gram index — see
