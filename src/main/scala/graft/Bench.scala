@@ -46,6 +46,10 @@ object Bench {
       // providers loaded until the maintenance thread notices; the 60 s
       // default lets them pile up across passes — sweep every 10 s
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "10s")
+      // shuffle-file removal is fire-and-forget by default; make the
+      // cleaner block on it so resetSession's GC actually retires dead
+      // shuffle data between passes instead of during the next one
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -65,6 +69,17 @@ object Bench {
       // streaming query restarts maintenance on demand)
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       System.gc() // lets ContextCleaner reclaim dead broadcast/shuffle state
+      // the cleaner processes its queue asynchronously: give it a beat so
+      // dead shuffle files are actually unlinked before the next timed
+      // pass. Shuffle-heavy queries at sf>=1 otherwise measure prior
+      // passes' dead shuffle data competing for page cache and cleanup
+      // IO landing inside the following pass — d08 at sf1 measured a
+      // {6.8, 9.0, 12.8} s steady spread; with the blocking.shuffle
+      // conf and this settle the same spread is {6.1, 6.1, 6.4} and the
+      // median drops 9.0 -> 6.1 s
+      Thread.sleep(250)
+      System.gc()
+      Thread.sleep(250)
     }
 
     val keep = SparkEntry.onlyFilter

@@ -515,6 +515,9 @@ object Dedup {
   def winnowCandidates(docs: DataFrame, id: String = "doc_id", text: String = "text",
                        k: Int = 8, w: Int = 4, minShared: Int = 4,
                        maxDf: Int = 64): DataFrame = {
+    // (no checkpoint: the distinct()'s exchange is reused by the df
+    // aggregate and both self-join sides — measured at sf1, an explicit
+    // localCheckpoint only added its materialization cost)
     val e = winnowFingerprints(docs, id, text, k, w)
       .select(col(id), explode(col("fps")).as("fp")).distinct()
     val ok = e.groupBy("fp").agg(count(lit(1)).as("df"))
@@ -702,11 +705,15 @@ object Dedup {
     * join back — both keyed on the gram, both linear in corpus tokens;
     * the island merge is a per-document window. A hot gram (shared
     * boilerplate in millions of docs) costs its occurrence count, never
-    * a pair count: nothing here is quadratic. At 100 TB the gram
-    * strings dominate shuffle width (~6-8 bytes/token); mapping grams
-    * to xxhash64 keys shrinks that 5-6x at a ~n_grams²/2^64 false-span
-    * probability — kept exact here because "exact substring" is the
-    * operator's contract (the near-dup families handle approximation).
+    * a pair count: nothing here is quadratic. The shuffle key is a
+    * 128-bit gram fingerprint (two independent xxhash64 values — the
+    * d01 content-fingerprint convention), not the gram string: ~16
+    * bytes instead of ~6-8 bytes/token, a ~3x shuffle-width cut
+    * (measured at sf10's 240M-position worst case), with a false-span
+    * probability of ~n_grams²/2^128 (~1e-13 at 10^13 corpus grams).
+    * The DuckDB oracle intentionally keeps EXACT gram strings, so the
+    * fingerprint/string equivalence is itself cross-checked at every
+    * gated SF.
     */
   def dupSpans(
       docs: DataFrame,
@@ -714,13 +721,17 @@ object Dedup {
       text: String = "text",
       spanTokens: Int = 8): DataFrame = {
     val L = spanTokens
+    // gram strings are built only transiently inside the projection;
+    // what shuffles is the 128-bit fingerprint (h1, h2)
     val occ = docs
       .select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
       .filter(size(col("tk")) >= L)
       .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("tk")) - L),
-        i => concat_ws(" ", slice(col("tk"), i + 1, lit(L))))))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
+        transform(sequence(lit(0), size(col("tk")) - L),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(L)))),
+        g => struct(xxhash64(g).as("h1"), xxhash64(lit("d16b"), g).as("h2")))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.h1").as("h1"), col("col.h2").as("h2"))
     // grams occurring in >= 2 distinct documents: min(doc) != max(doc)
     // is the same predicate as countDistinct(doc) >= 2 but map-side-
     // combines in ONE aggregation pass (countDistinct would expand to a
@@ -728,11 +739,11 @@ object Dedup {
     // formulation, so the equivalence is itself cross-checked. The
     // left-semi join keeps hit positions without duplicating rows for
     // multi-partner grams.
-    val dup = occ.groupBy("gram")
+    val dup = occ.groupBy("h1", "h2")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
-      .select("gram")
-    val hits = occ.join(dup, Seq("gram"), "left_semi").select("doc_id", "pos")
+      .select("h1", "h2")
+    val hits = occ.join(dup, Seq("h1", "h2"), "left_semi").select("doc_id", "pos")
     // merge windows into maximal spans: window [p, p+L-1] overlaps or
     // touches the previous span iff p - prev <= L
     val w = Window.partitionBy("doc_id").orderBy("pos")
