@@ -77,9 +77,16 @@ object Bench {
       // {6.8, 9.0, 12.8} s steady spread; with the blocking.shuffle
       // conf and this settle the same spread is {6.1, 6.1, 6.4} and the
       // median drops 9.0 -> 6.1 s
-      Thread.sleep(250)
+      // settle is un-timed but IS wall (~280 s over the 564 resets of a
+      // full run at 250 ms). A 100 ms default was tried and rejected:
+      // the full sf0.1 catalog measured 107.7 s steady vs 90.6 s at
+      // 250 ms — the cleaner genuinely needs the beat at this reset
+      // rate. Env-overridable for heavy-SF sweeps where per-query cost
+      // dwarfs the settle.
+      val settle = sys.env.getOrElse("SPARK_GRAFT_RESET_SETTLE_MS", "250").toLong
+      Thread.sleep(settle)
       System.gc()
-      Thread.sleep(250)
+      Thread.sleep(settle)
     }
 
     val keep = SparkEntry.onlyFilter
