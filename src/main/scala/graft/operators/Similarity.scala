@@ -98,6 +98,82 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98):
+    * per query, greedily pick k of its top-n cosine candidates maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the diversified
+    * retrieval pass a RAG pipeline runs after ANN candidate generation.
+    *
+    * Exactness: relevance and candidate-candidate similarities are
+    * micro-quantized (`floor(cos·1e6)`, cos from the same exact-integer
+    * dot + IEEE sqrt/divide sequence as e01/e02) and λ=0.7 is applied as
+    * the integer pair 7/3, so every argmax compares integers — the greedy
+    * trace is bit-reproducible across engines and partitionings.
+    *
+    * Scale shape: candidate generation reuses `quantizedKnn` (broadcast
+    * queries, corpus never shuffled); the rerank itself is one shuffle of
+    * n rows per query to its group and an O(n²·d) local kernel per group
+    * (n=20, d=64 ⇒ ~25k multiplies) — embarrassingly parallel across
+    * queries, nothing global. At 100 TB swap the candidate generator for
+    * `probeIvf`: the rerank consumes any (query_id, neighbor_id) frame.
+    */
+  def mmrRerank(corpus: DataFrame, queryPred: Column, n: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = quantizedKnn(corpus, queryPred, n)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("cos") * 1e6).cast("long").as("rel"))
+    val withVec = cands
+      .join(quantized(corpus).withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("qv"))
+      .as[(Long, Long, Long, Array[Long])]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy { case (_, nid, rel, _) => (-rel, nid) }
+        val m = cs.length
+        val sim = Array.ofDim[Long](m, m)
+        var i = 0
+        while (i < m) {
+          var j = i + 1
+          while (j < m) {
+            val s = math.floor(cosQ(cs(i)._4, cs(j)._4) * 1e6).toLong
+            sim(i)(j) = s; sim(j)(i) = s
+            j += 1
+          }
+          i += 1
+        }
+        val selected = Array.fill(m)(false)
+        val out = Seq.newBuilder[(Long, Long, Long, Long)]
+        var pick = 1
+        while (pick <= math.min(k, m)) {
+          var best = -1; var bestScore = Long.MinValue
+          var c = 0
+          while (c < m) {
+            if (!selected(c)) {
+              var maxSim = Long.MinValue
+              var s = 0
+              while (s < m) {
+                if (selected(s) && sim(c)(s) > maxSim) maxSim = sim(c)(s)
+                s += 1
+              }
+              // pick 1 has no selected set: pure relevance
+              val score = if (pick == 1) 7L * cs(c)._3 else 7L * cs(c)._3 - 3L * maxSim
+              if (score > bestScore ||
+                  (score == bestScore && best >= 0 && cs(c)._2 < cs(best)._2)) {
+                best = c; bestScore = score
+              }
+            }
+            c += 1
+          }
+          selected(best) = true
+          out += ((qid, pick.toLong, cs(best)._2, bestScore))
+          pick += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "pick", "neighbor_id", "mmr_micro")
+      .orderBy("query_id", "pick")
+  }
+
   /** Float-cosine brute-force top-k (non-quantized baseline API). The
     * scoring runs as the native codegen'd `cosine_sim` expression — one
     * fused loop per pair inside whole-stage codegen.

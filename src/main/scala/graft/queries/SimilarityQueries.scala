@@ -471,6 +471,71 @@ object SimilarityQueries {
               |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
               |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // MMR diversified rerank (Carbonell & Goldstein SIGIR'98): the
+    // retrieval pass after ANN candidate generation — per query, greedily
+    // pick 5 of the top-20 cosine candidates maximizing
+    // 0.7·rel − 0.3·max-sim-to-selected. All comparisons happen on
+    // micro-quantized integer cosines with λ as the integer pair 7/3, so
+    // the greedy trace is bit-reproducible; the oracle replays the whole
+    // selection as a recursive CTE (the n06 argmax-via-correlated-LIMIT-1
+    // technique) from the raw embeddings. Scale: the rerank is one
+    // shuffle of 20 rows/query + an O(n²·d) local kernel per group;
+    // candidate generation composes with probeIvf at corpus scale.
+    Q("e15_mmr_rerank",
+      (s, d) => Similarity
+        .mmrRerank(Tables.embeddings(s, d), col("vec_id") < 50, n = 20, k = 5),
+      Some(s"""WITH RECURSIVE
+              |q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+              |scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosDuck AS cos
+              |  FROM q a JOIN q b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+              |cand AS (
+              |  SELECT query_id, neighbor_id, CAST(floor(cos * 1e6) AS BIGINT) AS rel
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              |                    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored)
+              |  WHERE rn <= 20),
+              |pair AS (
+              |  -- NOT materialized: correlated refs into a MATERIALIZED CTE
+              |  -- from a recursive arm silently decorrelate to NULL in DuckDB
+              |  SELECT c1.query_id, c1.neighbor_id AS a_id, c2.neighbor_id AS b_id,
+              |    CAST(floor((CAST(list_sum(list_transform(generate_series(1, 64),
+              |                       i -> qa.qv[i] * qb.qv[i])) AS DOUBLE)
+              |        / (sqrt(CAST(list_sum(list_transform(qa.qv, x -> x*x)) AS DOUBLE))
+              |           * sqrt(CAST(list_sum(list_transform(qb.qv, x -> x*x)) AS DOUBLE))))
+              |      * 1e6) AS BIGINT) AS sim
+              |  FROM cand c1
+              |  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
+              |  JOIN q qa ON qa.vec_id = c1.neighbor_id
+              |  JOIN q qb ON qb.vec_id = c2.neighbor_id),
+              |sel AS (
+              |  SELECT 1 AS pick, query_id, neighbor_id, [neighbor_id] AS chosen, 7 * rel AS mmr
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              |                    ORDER BY rel DESC, neighbor_id ASC) AS rn FROM cand)
+              |  WHERE rn = 1
+              |  UNION ALL
+              |  SELECT z.pick + 1, z.query_id, z.nxt, list_append(z.chosen, z.nxt), z.nsc
+              |  FROM (
+              |    SELECT s.pick, s.query_id, s.chosen,
+              |      (SELECT c.neighbor_id FROM cand c
+              |       WHERE c.query_id = s.query_id AND NOT list_contains(s.chosen, c.neighbor_id)
+              |       ORDER BY 7 * c.rel - 3 * (SELECT max(p.sim) FROM pair p
+              |                  WHERE p.query_id = s.query_id AND p.a_id = c.neighbor_id
+              |                    AND list_contains(s.chosen, p.b_id)) DESC, c.neighbor_id ASC
+              |       LIMIT 1) AS nxt,
+              |      (SELECT 7 * c.rel - 3 * (SELECT max(p.sim) FROM pair p
+              |                  WHERE p.query_id = s.query_id AND p.a_id = c.neighbor_id
+              |                    AND list_contains(s.chosen, p.b_id)) FROM cand c
+              |       WHERE c.query_id = s.query_id AND NOT list_contains(s.chosen, c.neighbor_id)
+              |       ORDER BY 7 * c.rel - 3 * (SELECT max(p.sim) FROM pair p
+              |                  WHERE p.query_id = s.query_id AND p.a_id = c.neighbor_id
+              |                    AND list_contains(s.chosen, p.b_id)) DESC, c.neighbor_id ASC
+              |       LIMIT 1) AS nsc
+              |    FROM sel s WHERE s.pick < 5
+              |  ) z
+              |  WHERE z.nxt IS NOT NULL)
+              |SELECT query_id, CAST(pick AS BIGINT) AS pick, neighbor_id, mmr AS mmr_micro
+              |FROM sel ORDER BY query_id, pick""".stripMargin)),
+
   )
 
   /** ANN recall audit, gated as a corpus-level mean: one row

@@ -1660,6 +1660,97 @@ object TextQueries {
              |    + coalesce(sum(CASE WHEN tk = 'spark' THEN s END), 0.0) AS score
              |  FROM sc GROUP BY 1)
              |SELECT doc_id, round(score, 4) AS bm25 FROM p
-             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): every document scored
+    // by the log-likelihood ratio of a target vs raw hashed-bigram
+    // distribution — the data-selection pass that picks pretraining
+    // documents resembling a target domain (here the lang='en' slice
+    // stands in for the target corpus). Bigrams hash to B=256 buckets
+    // (md5-prefix arithmetic, the t18 parity technique); bucket
+    // log-ratios under add-1 smoothing are quantized to integer
+    // micro-nats BEFORE the per-doc sum, so the oracle compare is
+    // integer-exact end-to-end (no order-dependent float summation —
+    // stricter than t26's rounded doubles; cross-engine ln() ulp noise
+    // would need to land within ~1e-10 of a floor boundary to show).
+    // Scale shape: hashing exists precisely so the feature table is
+    // B rows broadcast everywhere; both count aggs are map-side-partial
+    // groupBys collapsing to <=B rows; the per-doc agg shuffles one row
+    // per (doc, bucket). The trailing global rank is the resampling
+    // step — at 100 TB replace that one window with a DDSketch quantile
+    // threshold (t21) and a stateless per-row filter; the weights
+    // themselves never leave per-doc locality.
+    Q("t27_dsir_weights",
+      (s, d) => {
+        val B = 256
+        def bucket(pair: org.apache.spark.sql.Column) =
+          (conv(substring(md5(pair), 1, 8), 16, 10).cast("long") % B).as("b")
+        val docs = Tables.documents(s, d)
+        // one tokenize pass feeds the raw counts AND the per-doc join;
+        // the target slice re-tokenizes only its (small) subset
+        val pairs = Dedup.adjacentPairs(docs)
+          .select(col("doc_id"), bucket(col("pair")))
+          .localCheckpoint(true)
+        val raw = pairs.groupBy("b").agg(count(lit(1)).as("c_r"))
+        val tgt = Dedup.adjacentPairs(docs.filter(col("lang") === "en"))
+          .select(bucket(col("pair")))
+          .groupBy("b").agg(count(lit(1)).as("c_t"))
+        val totals = raw.agg(coalesce(sum("c_r"), lit(0L)).as("rr"))
+          .crossJoin(tgt.agg(coalesce(sum("c_t"), lit(0L)).as("tt")))
+        val lr = s.range(B).toDF("b")
+          .join(raw, Seq("b"), "left").join(tgt, Seq("b"), "left")
+          .na.fill(0L, Seq("c_r", "c_t"))
+          .crossJoin(broadcast(totals))
+          .select(col("b"),
+            floor((log(col("c_t") + 1) - log(col("tt") + B)
+                 - log(col("c_r") + 1) + log(col("rr") + B)) * 1e6)
+              .cast("long").as("lr_micro"))
+        val all = Window.partitionBy()
+        val byW = Window.orderBy(col("w_micro").desc, col("doc_id"))
+        pairs.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(lr), "b")
+          .groupBy("doc_id")
+          .agg(sum("cnt").cast("long").as("n_bigrams"),
+               sum(col("cnt") * col("lr_micro")).cast("long").as("w_micro"))
+          .withColumn("rk", row_number().over(byW).cast("long"))
+          .withColumn("n_t", count(lit(1)).over(all))
+          .withColumn("keep", expr("cast(rk <= (n_t + 3) div 4 as long)"))
+          .drop("n_t")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents),
+             |dp AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
+             |  FROM toks),
+             |db AS (
+             |  SELECT doc_id, lang,
+             |    CAST(concat('0x', substring(md5(pair), 1, 8)) AS BIGINT) % 256 AS b
+             |  FROM dp),
+             |raw AS (SELECT b, count(*) AS c_r FROM db GROUP BY 1),
+             |tgt AS (SELECT b, count(*) AS c_t FROM db WHERE lang = 'en' GROUP BY 1),
+             |tot AS (SELECT coalesce((SELECT sum(c_r) FROM raw), 0) AS rr,
+             |               coalesce((SELECT sum(c_t) FROM tgt), 0) AS tt),
+             |lr AS (
+             |  SELECT g.range AS b,
+             |    CAST(floor((ln(coalesce(c_t, 0) + 1) - ln(tt + 256)
+             |              - ln(coalesce(c_r, 0) + 1) + ln(rr + 256)) * 1e6) AS BIGINT) AS lr_micro
+             |  FROM range(256) g
+             |  LEFT JOIN raw ON raw.b = g.range
+             |  LEFT JOIN tgt ON tgt.b = g.range
+             |  CROSS JOIN tot),
+             |dc AS (SELECT doc_id, b, count(*) AS cnt FROM db GROUP BY 1, 2),
+             |w AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+             |             sum(cnt * lr_micro)::BIGINT AS w_micro
+             |      FROM dc JOIN lr USING (b) GROUP BY 1),
+             |r AS (SELECT *,
+             |        (row_number() OVER (ORDER BY w_micro DESC, doc_id))::BIGINT AS rk,
+             |        count(*) OVER () AS n
+             |      FROM w)
+             |SELECT doc_id, n_bigrams, w_micro, rk,
+             |  CAST(rk <= (n + 3) // 4 AS BIGINT) AS keep
+             |FROM r ORDER BY doc_id""".stripMargin))
   )
 }

@@ -180,11 +180,13 @@ class PlanSpec extends SparkSpec {
     // e06/e09/e12 (recallFloor: ONE global-agg row × ONE global-agg row —
     // the gate's n_queries × total_hits summary join, never data-sized),
     // t24 (ONE-row HLL estimate × ONE-row exact count),
-    // t26 (ONE-row broadcast of the global N/avgdl scalar)
+    // t26 (ONE-row broadcast of the global N/avgdl scalar),
+    // t27 (ONE-row rr/tt totals × the 256-row bucket feature table —
+    // the DSIR log-ratio constants, never data-sized)
     val exempt = Set("a06_containment_join", "n05_placement_pareto",
       "n08_forecast_trainset", "t21_hist_quantiles",
       "e06_ivf_knn", "e09_ivfpq_knn", "e12_ivf_append",
-      "t24_hll_distinct", "t26_bm25")
+      "t24_hll_distinct", "t26_bm25", "t27_dsir_weights")
     SparkEntry.catalog.filterNot(q => exempt(q.name)).foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
