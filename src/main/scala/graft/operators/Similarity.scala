@@ -116,12 +116,22 @@ object Similarity {
     * queries, nothing global. At 100 TB swap the candidate generator for
     * `probeIvf`: the rerank consumes any (query_id, neighbor_id) frame.
     */
-  def mmrRerank(corpus: DataFrame, queryPred: Column, n: Int, k: Int): DataFrame = {
+  def mmrRerank(corpus: DataFrame, queryPred: Column, n: Int, k: Int): DataFrame =
+    mmrRerankCandidates(
+      quantizedKnn(corpus, queryPred, n)
+        .select(col("query_id"), col("neighbor_id"),
+          floor(col("cos") * 1e6).cast("long").as("rel")),
+      corpus, k)
+
+  /** The rerank stage alone, decoupled from candidate generation: `cands`
+    * is any (query_id, neighbor_id, rel) frame — quantizedKnn's exact
+    * top-n, probeIvf's approximate candidates, or a hybrid — and `corpus`
+    * supplies the vectors for within-candidate similarities. e16 gates the
+    * IVF-fed composition bit-exactly via the e14 full-probe property.
+    */
+  def mmrRerankCandidates(cands: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cands = quantizedKnn(corpus, queryPred, n)
-      .select(col("query_id"), col("neighbor_id"),
-        floor(col("cos") * 1e6).cast("long").as("rel"))
     val withVec = cands
       .join(quantized(corpus).withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("rel"), col("qv"))

@@ -22,6 +22,63 @@ object SimilarityQueries {
       |    / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS DOUBLE))
       |       * sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS DOUBLE)))""".stripMargin
 
+  /** The MMR greedy-selection replay both e15 (brute candidates) and
+    * e16 (IVF full-probe candidates — identical by the e14 property)
+    * are gated against: candidates, pairwise sims and the recursive
+    * argmax selection all recomputed live from the raw embeddings.
+    */
+  private lazy val mmrGreedyOracle: String = s"""WITH RECURSIVE
+              |q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+              |scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosDuck AS cos
+              |  FROM q a JOIN q b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+              |cand AS (
+              |  SELECT query_id, neighbor_id, CAST(floor(cos * 1e6) AS BIGINT) AS rel
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              |                    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored)
+              |  WHERE rn <= 20),
+              |pair AS (
+              |  -- NOT materialized: correlated refs into a MATERIALIZED CTE
+              |  -- from a recursive arm silently decorrelate to NULL in DuckDB
+              |  SELECT c1.query_id, c1.neighbor_id AS a_id, c2.neighbor_id AS b_id,
+              |    CAST(floor((CAST(list_sum(list_transform(generate_series(1, 64),
+              |                       i -> qa.qv[i] * qb.qv[i])) AS DOUBLE)
+              |        / (sqrt(CAST(list_sum(list_transform(qa.qv, x -> x*x)) AS DOUBLE))
+              |           * sqrt(CAST(list_sum(list_transform(qb.qv, x -> x*x)) AS DOUBLE))))
+              |      * 1e6) AS BIGINT) AS sim
+              |  FROM cand c1
+              |  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
+              |  JOIN q qa ON qa.vec_id = c1.neighbor_id
+              |  JOIN q qb ON qb.vec_id = c2.neighbor_id),
+              |sel AS (
+              |  SELECT 1 AS pick, query_id, neighbor_id, [neighbor_id] AS chosen, 7 * rel AS mmr
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              |                    ORDER BY rel DESC, neighbor_id ASC) AS rn FROM cand)
+              |  WHERE rn = 1
+              |  UNION ALL
+              |  SELECT z.pick + 1, z.query_id, z.nxt, list_append(z.chosen, z.nxt), z.nsc
+              |  FROM (
+              |    SELECT s.pick, s.query_id, s.chosen,
+              |      (SELECT c.neighbor_id FROM cand c
+              |       WHERE c.query_id = s.query_id AND NOT list_contains(s.chosen, c.neighbor_id)
+              |       ORDER BY 7 * c.rel - 3 * (SELECT max(p.sim) FROM pair p
+              |                  WHERE p.query_id = s.query_id AND p.a_id = c.neighbor_id
+              |                    AND list_contains(s.chosen, p.b_id)) DESC, c.neighbor_id ASC
+              |       LIMIT 1) AS nxt,
+              |      (SELECT 7 * c.rel - 3 * (SELECT max(p.sim) FROM pair p
+              |                  WHERE p.query_id = s.query_id AND p.a_id = c.neighbor_id
+              |                    AND list_contains(s.chosen, p.b_id)) FROM cand c
+              |       WHERE c.query_id = s.query_id AND NOT list_contains(s.chosen, c.neighbor_id)
+              |       ORDER BY 7 * c.rel - 3 * (SELECT max(p.sim) FROM pair p
+              |                  WHERE p.query_id = s.query_id AND p.a_id = c.neighbor_id
+              |                    AND list_contains(s.chosen, p.b_id)) DESC, c.neighbor_id ASC
+              |       LIMIT 1) AS nsc
+              |    FROM sel s WHERE s.pick < 5
+              |  ) z
+              |  WHERE z.nxt IS NOT NULL)
+              |SELECT query_id, CAST(pick AS BIGINT) AS pick, neighbor_id, mmr AS mmr_micro
+              |FROM sel ORDER BY query_id, pick""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Threshold similarity self-join: 50 query vectors vs the corpus.
@@ -484,57 +541,34 @@ object SimilarityQueries {
     Q("e15_mmr_rerank",
       (s, d) => Similarity
         .mmrRerank(Tables.embeddings(s, d), col("vec_id") < 50, n = 20, k = 5),
-      Some(s"""WITH RECURSIVE
-              |q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
-              |scored AS (
-              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosDuck AS cos
-              |  FROM q a JOIN q b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
-              |cand AS (
-              |  SELECT query_id, neighbor_id, CAST(floor(cos * 1e6) AS BIGINT) AS rel
-              |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-              |                    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored)
-              |  WHERE rn <= 20),
-              |pair AS (
-              |  -- NOT materialized: correlated refs into a MATERIALIZED CTE
-              |  -- from a recursive arm silently decorrelate to NULL in DuckDB
-              |  SELECT c1.query_id, c1.neighbor_id AS a_id, c2.neighbor_id AS b_id,
-              |    CAST(floor((CAST(list_sum(list_transform(generate_series(1, 64),
-              |                       i -> qa.qv[i] * qb.qv[i])) AS DOUBLE)
-              |        / (sqrt(CAST(list_sum(list_transform(qa.qv, x -> x*x)) AS DOUBLE))
-              |           * sqrt(CAST(list_sum(list_transform(qb.qv, x -> x*x)) AS DOUBLE))))
-              |      * 1e6) AS BIGINT) AS sim
-              |  FROM cand c1
-              |  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
-              |  JOIN q qa ON qa.vec_id = c1.neighbor_id
-              |  JOIN q qb ON qb.vec_id = c2.neighbor_id),
-              |sel AS (
-              |  SELECT 1 AS pick, query_id, neighbor_id, [neighbor_id] AS chosen, 7 * rel AS mmr
-              |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-              |                    ORDER BY rel DESC, neighbor_id ASC) AS rn FROM cand)
-              |  WHERE rn = 1
-              |  UNION ALL
-              |  SELECT z.pick + 1, z.query_id, z.nxt, list_append(z.chosen, z.nxt), z.nsc
-              |  FROM (
-              |    SELECT s.pick, s.query_id, s.chosen,
-              |      (SELECT c.neighbor_id FROM cand c
-              |       WHERE c.query_id = s.query_id AND NOT list_contains(s.chosen, c.neighbor_id)
-              |       ORDER BY 7 * c.rel - 3 * (SELECT max(p.sim) FROM pair p
-              |                  WHERE p.query_id = s.query_id AND p.a_id = c.neighbor_id
-              |                    AND list_contains(s.chosen, p.b_id)) DESC, c.neighbor_id ASC
-              |       LIMIT 1) AS nxt,
-              |      (SELECT 7 * c.rel - 3 * (SELECT max(p.sim) FROM pair p
-              |                  WHERE p.query_id = s.query_id AND p.a_id = c.neighbor_id
-              |                    AND list_contains(s.chosen, p.b_id)) FROM cand c
-              |       WHERE c.query_id = s.query_id AND NOT list_contains(s.chosen, c.neighbor_id)
-              |       ORDER BY 7 * c.rel - 3 * (SELECT max(p.sim) FROM pair p
-              |                  WHERE p.query_id = s.query_id AND p.a_id = c.neighbor_id
-              |                    AND list_contains(s.chosen, p.b_id)) DESC, c.neighbor_id ASC
-              |       LIMIT 1) AS nsc
-              |    FROM sel s WHERE s.pick < 5
-              |  ) z
-              |  WHERE z.nxt IS NOT NULL)
-              |SELECT query_id, CAST(pick AS BIGINT) AS pick, neighbor_id, mmr AS mmr_micro
-              |FROM sel ORDER BY query_id, pick""".stripMargin)),
+      Some(mmrGreedyOracle)),
+
+    // IVF -> MMR composition gate: the same diversified rerank fed by the
+    // IVF index machinery (at-rest build on the even half + append of the
+    // odd half + full probe) instead of the brute scan. At nprobe=nlist
+    // the probe is EXACT under the identical metric and tie-break (the
+    // e14 property), so its top-20 equals e15's brute candidates and the
+    // SAME recursive-CTE oracle gates the whole composition bit-exactly —
+    // index build, append, probe, candidate handoff and greedy selection.
+    // bench=false: both halves are benched individually (e14/e06 probe
+    // paths, e15 rerank); this entry exists to gate the composition.
+    Q("e16_ivf_mmr",
+      (s, d) => {
+        val emQ = Tables.embeddings(s, d)
+          .select(col("vec_id"), quantize(col("embedding")).as("embedding"))
+        val path = graft.sources.TmpDirs.scratch(
+          s"/tmp/graft_ivf_mmr/p${ProcessHandle.current().pid()}")
+        val index = Similarity.buildIvfIndex(
+          emQ.filter(col("vec_id") % 2 === 0), nlist = 16, atRestPath = Some(path))
+        val appended = Similarity.appendToIvf(index, emQ.filter(col("vec_id") % 2 === 1))
+        val cands = Similarity
+          .probeIvf(appended, emQ.filter(col("vec_id") < 50), k = 20, nprobe = 16)
+          .select(col("query_id"), col("neighbor_id"),
+            floor(col("cos") * 1e6).cast("long").as("rel"))
+        Similarity.mmrRerankCandidates(cands, Tables.embeddings(s, d), k = 5)
+      },
+      Some(mmrGreedyOracle),
+      bench = false),
 
   )
 
