@@ -30,16 +30,20 @@ class PlanSpec extends SparkSpec {
     // filter into the join condition in arbitrary conjunct order; the
     // CASE WHEN guard must survive optimization so non-overlapping
     // pairs never pay the IoU arithmetic
-    val p = plan("q06_iou_join")
-    assert(p.contains("iou("), s"q06 plan lost the iou expression:\n$p")
-    // anchor per-line (a formatted plan renders each condition on one
-    // line): EVERY iou( occurrence must sit inside a CASE WHEN on ITS
-    // line — a global first-index compare would pass vacuously if an
-    // unrelated CASE WHEN preceded an unguarded iou()
-    p.linesIterator.filter(_.contains("iou(")).foreach { line =>
-      val guard = line.indexOf("CASE WHEN")
-      assert(guard >= 0 && guard < line.indexOf("iou("),
-        s"iou() evaluates outside/before a CASE WHEN guard on:\n$line")
+    // a08 shares the pair space and gained the same guard in round 10
+    // (sf10 46.8 -> 10.6 s); both join sites must keep it
+    for (q <- Seq("q06_iou_join", "a08_gcn_layer")) {
+      val p = plan(q)
+      assert(p.contains("iou("), s"$q plan lost the iou expression:\n$p")
+      // anchor per-line (a formatted plan renders each condition on one
+      // line): EVERY iou( occurrence must sit inside a CASE WHEN on ITS
+      // line — a global first-index compare would pass vacuously if an
+      // unrelated CASE WHEN preceded an unguarded iou()
+      p.linesIterator.filter(_.contains("iou(")).foreach { line =>
+        val guard = line.indexOf("CASE WHEN")
+        assert(guard >= 0 && guard < line.indexOf("iou("),
+          s"$q: iou() evaluates outside/before a CASE WHEN guard on:\n$line")
+      }
     }
   }
 
