@@ -515,11 +515,19 @@ object Dedup {
   def winnowCandidates(docs: DataFrame, id: String = "doc_id", text: String = "text",
                        k: Int = 8, w: Int = 4, minShared: Int = 4,
                        maxDf: Int = 64): DataFrame = {
-    // (no checkpoint: the distinct()'s exchange is reused by the df
-    // aggregate and both self-join sides — measured at sf1, an explicit
-    // localCheckpoint only added its materialization cost)
+    // The posting table feeds THREE consumers (df aggregate + both
+    // self-join sides); without materialization the planner re-executes
+    // the whole scan+kernel+explode+distinct per consumer — measured at
+    // sf10: 4 parquet scans, ZERO ReusedExchange, 210 s for a pipeline
+    // whose parts sum to ~40 s. One checkpoint pays the posting
+    // materialization once and every consumer reads shuffle-local rows
+    // (the r9 "exchange is reused" note held at sf1 only; r10 made the
+    // checkpoint unconditional: sf0.1/sf1 parity (1.1/5.7 s), sf10
+    // steady 143->122 s and cold 624->187 s — the steady remainder is
+    // the real 259M-row capped pair join, see SCALING.md).
     val e = winnowFingerprints(docs, id, text, k, w)
       .select(col(id), explode(col("fps")).as("fp")).distinct()
+      .localCheckpoint(true)
     val ok = e.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("fp")
