@@ -876,7 +876,15 @@ object RelationalQueries {
             col("event_id"), floor(col("value") * 1000).cast("long").as("v_milli"))
         val daily = ev.groupBy("user_id", "day")
           .agg(expr("max_by(v_milli, event_id)").as("v_milli"))
-        val grid = ev.groupBy("user_id")
+          // daily feeds the grid AND the join; without materialization
+          // the events scan+agg re-executes per consumer (the d08
+          // lesson — measured: sf10 16.1 s unchecked vs 5.2 s, sf0.1
+          // parity at 0.70 s)
+          .localCheckpoint(true)
+        // derive the per-user day span from the ALREADY-AGGREGATED daily
+        // frame (users x days rows), not a second 60M-row events scan —
+        // min/max over days-present is identical either way
+        val grid = daily.groupBy("user_id")
           .agg(min("day").as("d0"), max("day").as("d1"))
           .select(col("user_id"),
             explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
