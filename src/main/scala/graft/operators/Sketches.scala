@@ -179,10 +179,13 @@ object Sketches {
   /** HLL register table (bucket, reg) over a long key column: bucket =
     * low 8 bits of xxhash64(key), rank = trailing-zero count + 1 of the
     * remaining 56-bit window (identically geometric to the paper's
-    * leading-zero rank on uniform hash bits, but integer-exact: the
-    * lowest set bit `w & -w` is a power of two whose log2 is exact in
-    * doubles, where floor(log2(w)) for the MSB rank rounds wrong near
-    * 2^56). The register table is the sketch state: 256 rows, merged
+    * leading-zero rank on uniform hash bits, but integer-exact: rho =
+    * popcount((w & -w) - 1) + 1 is pure integer arithmetic in both
+    * engines — no float log anywhere; floor(log2(w)) for the MSB rank
+    * rounds wrong near 2^56, and even log2 of an exact power of two is
+    * one ulp off for some exponents under libm's log-division, so the
+    * truncating int cast could go off-by-one either way).
+    * The register table is the sketch state: 256 rows, merged
     * across partitions/corpora by element-wise max — the map-side
     * combine ships bytes per partition at any corpus size.
     */
@@ -202,7 +205,8 @@ object Sketches {
         :+ shiftrightunsigned(col("h"), 8).as("w"): _*)
       .select(keep :+ col("bucket")
         :+ when(col("w") === 0L, lit(57))
-          .otherwise((log2(col("w").bitwiseAND(-col("w"))) + 1).cast("int")).as("rho"): _*)
+          .otherwise((bit_count(col("w").bitwiseAND(-col("w")) - 1) + 1)
+            .cast("int")).as("rho"): _*)
   }
 
   /** Harmonic-mean estimate from a register table, with the small-range

@@ -433,9 +433,10 @@ object StreamingQueries {
 
     // t24's STREAMING twin: HyperLogLog registers as windowed streaming
     // aggregation state (the register-max monoid — order-invariant and
-    // idempotent, so the result is micro-batch-split independent). State
-    // is BOUNDED at <= 256 register rows per open window regardless of
-    // user volume — the cardinality-sketch complement of n21's KMV
+    // idempotent, so the result is micro-batch-split independent).
+    // Append mode + watermark sentinel (see streamHllEstimate): closed
+    // windows are emitted and their state EVICTED, so state is BOUNDED
+    // at <= 256 register rows per OPEN window regardless of user volume — the cardinality-sketch complement of n21's KMV
     // (which ships k exact hashes). The per-window estimator finish
     // runs batch-side on the sink's register table (256 rows/window —
     // a production job reads the register store the same way). Oracle:
@@ -462,7 +463,7 @@ object StreamingQueries {
               |       FROM uw JOIN hsh ON hsh.v = uw.user_id),
               |r AS (SELECT w, bucket,
               |        max(CASE WHEN win56 = 0 THEN 57
-              |                 ELSE CAST(log2(win56 & (-win56)) AS INT) + 1 END) AS reg
+              |                 ELSE CAST(bit_count(CAST(win56 & (-win56) AS BIGINT) - 1) + 1 AS INT) END) AS reg
               |      FROM bw GROUP BY 1, 2),
               |ag AS (SELECT w, count(*) AS n_present,
               |         sum((2::HUGEINT ^ (57 - reg))::HUGEINT) AS s_present
@@ -497,16 +498,39 @@ object StreamingQueries {
     * aggregation state, estimator finish batch-side over the sink's
     * register table. Shared by the gate fn (which joins the exact
     * per-window distincts) and the benchFn (sketch path only).
+    *
+    * APPEND mode + a sentinel advancing the final watermark (the n17
+    * pattern), so the 1 h watermark actually bounds state: a 12 h
+    * window's 256 registers are EMITTED AND EVICTED once the watermark
+    * passes its end — state is 256 rows per OPEN window, not per window
+    * ever seen (in complete mode the watermark is inert and the store
+    * keeps every window for the stream's lifetime). The sentinel sits
+    * 14 h past the corpus max (>= last real window end + the 1 h
+    * delay), so every real window closes under AvailableNow; the
+    * sentinel's own still-open window is never emitted.
     */
   private def streamHllEstimate(s: SparkSession, d: String): DataFrame = {
-    val src = eventsStream(s, d)
-    val proj = graft.operators.Sketches.hllProject(
-        src.select(Tables.tsFromNanos(col("ts")).as("ts"), col("user_id")),
-        "user_id", col("ts"))
-      .withWatermark("ts", "1 hour")
-    val regs = proj.groupBy(window(col("ts"), "12 hours"), col("bucket"))
-      .agg(max(col("rho")).as("reg"))
-    runToTable(s, regs, "complete")
+    val base = Tables.events(s, d)
+      .select(expr("ts div 1000").as("ts_us"), col("user_id"))
+    val sentinel = base.agg(max("ts_us").as("m"))
+      .select((col("m") + 14L * 3600L * 1000000L).as("ts_us"),
+        lit(-1L).as("user_id"))
+    withStaged(s, base.unionByName(sentinel), "n24") { src =>
+      val ev = s.readStream.schema(hllStageSchema).parquet(src)
+        .select(timestamp_micros(col("ts_us")).as("ts"), col("user_id"))
+      val proj = graft.operators.Sketches.hllProject(ev, "user_id", col("ts"))
+        .withWatermark("ts", "1 hour")
+      val regs = proj.groupBy(window(col("ts"), "12 hours"), col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+      hllFinish(runToTable(s, regs, "append"))
+    }
+  }
+
+  /** Batch-side estimator finish over a (window, bucket, reg) register
+    * table (one output row per window).
+    */
+  private def hllFinish(registers: DataFrame): DataFrame =
+    registers
       .groupBy(col("window"))
       .agg(count(lit(1)).as("n_present"),
         sum(expr("cast(power(2, 57 - reg) as decimal(38,0))")).as("s_present"))
@@ -520,7 +544,9 @@ object StreamingQueries {
         round(when(col("est_raw") <= 640.0 && col("n_zero") > 0,
             lit(256.0) * log(lit(256.0) / col("n_zero")))
           .otherwise(col("est_raw")), 2).as("hll_estimate"))
-  }
+
+  private val hllStageSchema = StructType(Seq(
+    StructField("ts_us", LongType), StructField("user_id", LongType)))
 
   private val sessionSchema = StructType(Seq(
     StructField("user_id", LongType), StructField("ts_us", LongType),

@@ -120,11 +120,15 @@ object TextQueries {
     * from an existing CTE `keys(v)` of HUGEINT key values: Spark hashes
     * a LongType column as its 8-byte little-endian word, which is
     * exactly the n=8 single-word path above with the word value equal
-    * to the key itself (mod 2^64) and an empty byte tail.
+    * to the key itself (mod 2^64) and an empty byte tail. The first
+    * reduction normalizes v to [0, 2^64) with ((v % M) + M) % M —
+    * DuckDB's % of a negative HUGEINT is negative, where Spark's
+    * two's-complement long reinterpretation is always the nonnegative
+    * residue, so a plain `v % M` would diverge on negative keys.
     */
   private[queries] val xxh64LongDuck: String =
     s"""s0 AS (SELECT v, (42::HUGEINT + $xxP5 + 8) % $M64 AS h0 FROM keys),
-       |k1 AS (SELECT *, ${mmD(s"v % $M64", xxP2)} AS t1 FROM s0),
+       |k1 AS (SELECT *, ${mmD(s"((v % $M64) + $M64) % $M64", xxP2)} AS t1 FROM s0),
        |k2 AS (SELECT *, ${mmD(rotlD("t1", 31), xxP1)} AS t2 FROM k1),
        |k3 AS (SELECT v, (${mmD(rotlD("xor(h0, t2)", 27), xxP1)} + $xxP4) % $M64 AS h3 FROM k2),
        |a1 AS (SELECT v, ${mmD("xor(h3, h3 // 8589934592)", xxP2)} AS x FROM k3),
@@ -1532,13 +1536,15 @@ object TextQueries {
     // groupBy(bucket).max is a 256-row map-side-combined aggregate
     // (bytes per partition over the wire), where t18's KMV must ship
     // its k minima per partition. Determinism: the rank uses the
-    // TRAILING-zero count of the 56-bit window (lowest set bit via
-    // w & -w, an exact power of two whose log2 is exact in doubles)
-    // instead of the paper's leading-zero count — identically
-    // geometric on uniform hash bits, but integer-exact in both
-    // engines, where floor(log2(w)) for leading zeros rounds wrong at
-    // w near 2^56 (above 2^53, doubles can round w UP to the next
-    // power of two). The estimator numerator sum(2^-reg) is kept
+    // TRAILING-zero count of the 56-bit window, computed in PURE
+    // integer arithmetic (popcount((w & -w) - 1) + 1 — no float log
+    // anywhere) instead of the paper's leading-zero count —
+    // identically geometric on uniform hash bits, but bit-exact in
+    // both engines: floor(log2(w)) for leading zeros rounds wrong at
+    // w near 2^56, and even log2 of an exact power of two is one ulp
+    // off for some exponents under libm's log-division, which a
+    // truncating int cast can flip off-by-one either way.
+    // The estimator numerator sum(2^-reg) is kept
     // exact by scaling to integers (2^(57-reg), summed as
     // decimal(38)/HUGEINT); the oracle recomputes xxhash64 of each
     // key in HUGEINT SQL (the validated n=8 word path) and the whole
@@ -1558,7 +1564,7 @@ object TextQueries {
               |b AS (SELECT hu % 256 AS bucket, hu // 256 AS w FROM hsh),
               |r AS (SELECT bucket,
               |        max(CASE WHEN w = 0 THEN 57
-              |                 ELSE CAST(log2(w & (-w)) AS INT) + 1 END) AS reg
+              |                 ELSE CAST(bit_count(CAST(w & (-w) AS BIGINT) - 1) + 1 AS INT) END) AS reg
               |      FROM b GROUP BY 1),
               |ag AS (SELECT count(*) AS n_present,
               |         sum((2::HUGEINT ^ (57 - reg))::HUGEINT) AS s_present FROM r),
