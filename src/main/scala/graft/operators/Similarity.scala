@@ -212,10 +212,185 @@ object Similarity {
 
   /** nlist for a corpus of n vectors: ~√n (the classic IVF sizing — cells
     * of ~√n vectors balance centroid-scan and cell-scan cost), clamped to
-    * [4, 4096].
+    * [4, 4096]. The 4096 ceiling is a FIT-feasibility clamp (the bounded
+    * driver-side Lloyd sample can't support more centroids than it has
+    * rows), NOT the cell-size bound: past ~16.7M vectors cells would grow
+    * past √n, so `enforceMaxCell` recursively splits any cell above
+    * `defaultMaxCell` — cell SIZE is capped even where cell COUNT is
+    * clamped, keeping per-cell work (IVF probe scans, SemDeDup's Σ|cell|²
+    * pair search) bounded at any corpus size.
     */
   def autoNlist(n: Long): Int =
     math.max(4L, math.min(4096L, math.round(math.sqrt(n.toDouble)))).toInt
+
+  /** Default cell-size cap for IVF / SemDeDup cells — the paper band
+    * (SemDeDup runs ~10⁴-10⁵-vector clusters over LAION). Never binds at
+    * the test SFs (≤200k vectors → √n cells of ~√n each), so small-scale
+    * results are byte-identical to the uncapped path; at 10⁹⁺ vectors it
+    * is the difference between Σ|cell|² staying ≤ n·maxCell (linear) and
+    * degrading to n²/4096.
+    */
+  val defaultMaxCell: Int = 1 << 16
+
+  /** SplitMix64 finalizer — the salt for degenerate (indivisible) cells.
+    * Any deterministic mix of vec_id works here: the salt path never
+    * feeds a cross-engine oracle (the default cap can't bind at oracle
+    * SFs), it only has to be partitioning-independent.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** How each oversized cell splits in one `enforceMaxCell` round:
+    * either real sub-centroids (Lloyd on a bounded per-cell sample) or a
+    * hash salt (degenerate cells Lloyd cannot separate — e.g. one value
+    * repeated 10⁶ times). `childIds(0)` reuses the parent's slot so the
+    * centers array only grows, never renumbers.
+    */
+  private final case class CellSplit(salt: Boolean, childIds: Array[Int],
+                                     childCenters: Array[Array[Double]])
+
+  /** Enforce a maximum cell size on a MATERIALIZED assignment table
+    * (columns `vec_id, cell, v` and optionally `cdist`): cells above
+    * `maxCell` are recursively split — sub-centroids fit by the same
+    * deterministic driver-side Lloyd as the top-level build, on a bounded
+    * per-cell sample (≤ `subSample` rows per oversized cell, xxhash64-
+    * ordered so the fit is partitioning-independent), members reassigned
+    * to their nearest sub-centroid in one typed pass over the oversized
+    * cells only. Rounds repeat until every cell fits or `maxRounds` is
+    * exhausted; the last two rounds (and any cell whose sample Lloyd
+    * cannot separate — fewer than 2 distinct sampled vectors) fall back
+    * to a SplitMix64 hash salt with the parent centroid replicated, which
+    * always makes progress. Branch factor per round is capped at 64 so
+    * one huge cell grows the centers array geometrically across rounds
+    * rather than in one jump.
+    *
+    * 100 TB shape: the common case (no oversized cell) costs ONE
+    * 1-row-per-cell aggregate over the materialized assignment — no extra
+    * corpus pass, no shuffle of in-cap rows. Each split round touches
+    * only the oversized cells' rows (filter → window-sample → typed
+    * reassign, localCheckpoint'd so the next round's size check doesn't
+    * re-execute). Final leaf count is ~n/maxCell — that is flat IVF's
+    * inherent metadata floor (FAISS answers it with a coarse quantizer
+    * over the centroids; at 10¹¹ vectors raise `maxCell`, or put an
+    * ANN index over the centers — out of scope here).
+    *
+    * Recall note (probe side): a salt-split replicates the parent
+    * centroid, so a probe ranks the replicas adjacently and scans the
+    * first `nprobe` of them — within-cell recall trades exactly like
+    * e04's hot-bucket guard. Lloyd splits refine geometry, so for them
+    * nearest-centroid probing is strictly sharper, not lossy.
+    *
+    * Returns (refined assignment, grown centers). When nothing splits the
+    * input frame is returned `eq`-identical so callers can skip their
+    * re-layout.
+    */
+  private[operators] def enforceMaxCell(assigned: DataFrame,
+                                        centers: Array[Array[Double]],
+                                        maxCell: Int,
+                                        subSample: Int = 2048,
+                                        maxRounds: Int = 6): (DataFrame, Array[Array[Double]]) = {
+    if (maxCell <= 0) return (assigned, centers)
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val hasDist = assigned.columns.contains("cdist")
+    val cols = if (hasDist) Seq("vec_id", "cell", "cdist", "v") else Seq("vec_id", "cell", "v")
+    var cur = assigned.select(cols.map(col): _*)
+    val cents = scala.collection.mutable.ArrayBuffer(centers: _*)
+    var round = 0
+    var clean = false
+    while (round < maxRounds && !clean) {
+      // 1 row per oversized cell — bounded by the leaf count (index
+      // metadata scale, same order as the centers array itself)
+      val oversized = cur.groupBy("cell").agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxCell)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      if (oversized.isEmpty) clean = true
+      else {
+        val overIds = oversized.map(_._1)
+        val inOver = col("cell").isin(overIds.map(Integer.valueOf): _*)
+        // bounded deterministic per-cell sample for the sub-fits; the
+        // sort key (cell, xxhash64, vec_id) fixes Lloyd's input order
+        // independent of partitioning
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        val sampled = cur.filter(inOver)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= subSample)
+          .select(col("cell"), xxhash64(col("vec_id")).as("h"), col("vec_id"),
+            col("v").cast("array<double>"))
+          .as[(Int, Long, Long, Array[Double])]
+          .collect().sortBy { case (c, h, id, _) => (c, h, id) }
+          .groupBy(_._1).view.mapValues(_.map(_._4)).toMap
+        val saltRound = round >= maxRounds - 2
+        val splits: Map[Int, CellSplit] = oversized.map { case (c, s) =>
+          val pts = sampled(c)
+          val distinct2 = pts.exists(p => !java.util.Arrays.equals(p, pts.head))
+          if (saltRound || !distinct2) {
+            // indivisible (or out of Lloyd rounds): replicate the parent
+            // centroid and salt members — 2× headroom over the exact
+            // quotient absorbs hash imbalance
+            val b = math.min(64L, math.max(2L, 2L * ((s + maxCell - 1) / maxCell))).toInt
+            val ids = Array(c) ++ Array.fill(b - 1)(0)
+            var i = 1
+            while (i < b) { cents += cents(c).clone(); ids(i) = cents.length - 1; i += 1 }
+            c -> CellSplit(salt = true, ids, Array.fill(b)(cents(c)))
+          } else {
+            val b = math.min(64L, math.max(2L, (s + maxCell - 1) / maxCell)).toInt
+            val sub = lloyd(pts, b, iters = 10)
+            cents(c) = sub(0)
+            val ids = Array(c) ++ sub.drop(1).map { sc0 => cents += sc0; cents.length - 1 }
+            c -> CellSplit(salt = false, ids, sub)
+          }
+        }.toMap
+        val bcS = spark.sparkContext.broadcast(splits)
+        val refined =
+          if (hasDist)
+            cur.select(col("vec_id").cast("long"), col("cell"), col("cdist"),
+                col("v").cast("array<double>"))
+              .as[(Long, Int, Double, Array[Double])]
+              .map { case (id, cell, cd, v) =>
+                bcS.value.get(cell) match {
+                  case None => (id, cell, cd, v)
+                  case Some(sp) if sp.salt =>
+                    (id, sp.childIds(java.lang.Math.floorMod(mix64(id), sp.childIds.length.toLong).toInt), cd, v)
+                  case Some(sp) =>
+                    var best = 0; var bd = Double.MaxValue; var i = 0
+                    while (i < sp.childCenters.length) {
+                      val d = dist2(v, sp.childCenters(i))
+                      if (d < bd) { bd = d; best = i }; i += 1
+                    }
+                    (id, sp.childIds(best), bd, v)
+                }
+              }.toDF("vec_id", "cell", "cdist", "v")
+          else
+            cur.select(col("vec_id").cast("long"), col("cell"),
+                col("v").cast("array<double>"))
+              .as[(Long, Int, Array[Double])]
+              .map { case (id, cell, v) =>
+                bcS.value.get(cell) match {
+                  case None => (id, cell, v)
+                  case Some(sp) if sp.salt =>
+                    (id, sp.childIds(java.lang.Math.floorMod(mix64(id), sp.childIds.length.toLong).toInt), v)
+                  case Some(sp) =>
+                    var best = 0; var bd = Double.MaxValue; var i = 0
+                    while (i < sp.childCenters.length) {
+                      val d = dist2(v, sp.childCenters(i))
+                      if (d < bd) { bd = d; best = i }; i += 1
+                    }
+                    (id, sp.childIds(best), v)
+                }
+              }.toDF("vec_id", "cell", "v")
+        // materialize per round: the next round's size check and sample
+        // both consume it (the multi-consumer re-execution class)
+        cur = refined.localCheckpoint(true)
+        round += 1
+      }
+    }
+    if (round == 0) (assigned, centers) else (cur, cents.toArray)
+  }
 
   private def dist2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -237,7 +412,8 @@ object Similarity {
     */
   def buildIvfIndex(vectors: DataFrame, nlist: Int = 0, seed: Long = 42,
                     trainSample: Int = 10000,
-                    atRestPath: Option[String] = None): IvfIndex = {
+                    atRestPath: Option[String] = None,
+                    maxCell: Int = defaultMaxCell): IvfIndex = {
     val spark = vectors.sparkSession
     import spark.implicits._
 
@@ -274,10 +450,29 @@ object Similarity {
         // wants to read. The shuffle is one pass over (id, cell, vec).
         assignedRaw.repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(p)
-        IvfIndex(centers, spark.read.parquet(p), Some(p))
+        val onDisk = spark.read.parquet(p)
+        // cell-size cap AFTER the materialization: the no-split common
+        // case costs one per-cell count over the written files, nothing
+        // else; a split rewrites the refined layout to a sibling dir
+        val (refined, cents2) = enforceMaxCell(onDisk, centers, maxCell)
+        if (refined eq onDisk) IvfIndex(centers, onDisk, Some(p))
+        else {
+          val p2 = p + "-split"
+          refined.repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(p2)
+          IvfIndex(cents2, spark.read.parquet(p2), Some(p2))
+        }
       case None =>
-        IvfIndex(centers,
-          assignedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val persisted =
+          assignedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (refined, cents2) = enforceMaxCell(persisted, centers, maxCell)
+        if (refined eq persisted) IvfIndex(centers, persisted)
+        else {
+          // refined is already localCheckpoint-materialized round by round
+          persisted.unpersist()
+          IvfIndex(cents2,
+            refined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }
     }
   }
 
@@ -523,6 +718,10 @@ object Similarity {
     * corpus is touched by exactly one shuffle (on `cell`). Recall is the
     * standard SemDeDup trade: near-dups that k-means separates are
     * missed; dial `nlist` down (bigger cells) to trade cost for recall.
+    * `maxCell` (see `enforceMaxCell`) recursively splits any cell above
+    * the cap, so the candidate volume stays ≤ n·maxCell — linear —
+    * even where autoNlist's fit-feasibility clamp would let cells grow
+    * with the corpus.
     *
     * Keep rule: within each near-dup component the member FARTHEST from
     * its cluster centroid survives (the paper's low-centroid-similarity
@@ -536,7 +735,8 @@ object Similarity {
     * Returns (vec_id, cell, group_id, keep).
     */
   def semDedup(vectors: DataFrame, threshold: Double, nlist: Int = 0,
-               seed: Long = 42, trainSample: Int = 10000): DataFrame = {
+               seed: Long = 42, trainSample: Int = 10000,
+               maxCell: Int = defaultMaxCell): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val feats = vectors.select(col("vec_id").cast("long"),
@@ -547,7 +747,7 @@ object Similarity {
     val centers = lloyd(train, k, iters = 10)
     val bc = spark.sparkContext.broadcast(centers)
     // one pass: nearest cell + distance to own centroid (the keep key)
-    val assigned = feats.as[(Long, Array[Double])]
+    val assigned0 = feats.as[(Long, Array[Double])]
       .map { case (id, v) =>
         val cs = bc.value
         var best = 0; var bd = Double.MaxValue
@@ -563,6 +763,16 @@ object Similarity {
       // Σ|cell|² candidate scan, the operator's dominant work
       .repartition(col("cell"))
       .transform(graft.ops.Checkpoints.partitioned) // feeds both join sides + the keep ranking
+    // cell-size cap: Σ|cell|² ≤ n·maxCell keeps the candidate scan
+    // linear at any corpus size (the autoNlist 4096 clamp alone lets it
+    // degrade to n²/4096 past ~16.7M vectors). No-split common case is
+    // one per-cell count over the checkpoint; a split updates cdist to
+    // the LEAF centroid (the paper's keep key is distance to the
+    // member's own cluster centroid, which after refinement is the leaf)
+    val (refined, _) = enforceMaxCell(assigned0, centers, maxCell)
+    val assigned =
+      if (refined eq assigned0) assigned0
+      else refined.repartition(col("cell")).transform(graft.ops.Checkpoints.partitioned)
     graft.plans.GraftExtensions.register(spark)
     val pairs = assigned.select(col("vec_id").as("doc_a"), col("cell"), col("v").as("va"))
       .join(assigned.select(col("vec_id").as("doc_b"), col("cell"), col("v").as("vb")), "cell")

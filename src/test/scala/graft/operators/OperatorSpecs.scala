@@ -269,6 +269,81 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == out7.sortBy(_._1).toSeq)
   }
 
+  test("enforceMaxCell splits a planted oversized cell; default cap is a byte-identical no-op") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // one dense blob of 520 vectors (tiny jitter around a prototype — one
+    // k-means cell swallows all of them) + 80 spread vectors
+    val proto = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val blob = (0L until 520L).map(i =>
+      (i, proto.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)))
+    val spread = (1000L until 1080L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = (blob ++ spread).toDF("vec_id", "embedding")
+
+    val capped = Similarity.buildIvfIndex(df, nlist = 4, maxCell = 128)
+    val sizes = capped.assigned.groupBy("cell").count()
+      .collect().map(r => r.getLong(1))
+    assert(sizes.forall(_ <= 128), s"oversized cell survived: ${sizes.mkString(",")}")
+    assert(sizes.sum == 600)
+    assert(capped.centers.length > 4, "split must grow the centers array")
+    // every member still sits in a real cell of the grown centroid set
+    val cellIds = capped.assigned.select("cell").distinct().collect().map(_.getInt(0))
+    assert(cellIds.forall(c => c >= 0 && c < capped.centers.length))
+
+    // the default cap must not bind at test scale: byte-identical assignment
+    val uncapped = Similarity.buildIvfIndex(df, nlist = 4, maxCell = 0)
+    val default = Similarity.buildIvfIndex(df, nlist = 4)
+    def snap(ix: Similarity.IvfIndex) = ix.assigned.select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(snap(default) == snap(uncapped))
+    assert(default.centers.length == 4)
+
+    // partitioning-invariance survives the split path
+    val capped5 = Similarity.buildIvfIndex(df.repartition(5), nlist = 4, maxCell = 128)
+    assert(snap(capped5) == snap(capped))
+  }
+
+  test("enforceMaxCell salt-splits a cell Lloyd cannot separate (identical vectors)") {
+    import spark.implicits._
+    val one = Array.fill(16)(0.5f)
+    val df = (0L until 300L).map(i => (i, one.clone())).toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(df, nlist = 2, maxCell = 64)
+    val sizes = idx.assigned.groupBy("cell").count().collect().map(r => r.getLong(1))
+    assert(sizes.sum == 300)
+    assert(sizes.forall(_ <= 64), s"salt split left an oversized cell: ${sizes.mkString(",")}")
+    // replicated-parent centroids: every new center equals the original
+    assert(idx.centers.forall(_.sameElements(idx.centers.head)))
+  }
+
+  test("semDedup under a forced cell split still collapses planted dup groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val proto = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    // 300-member dense blob (oversized at maxCell=64) with an exact dup
+    // pair planted INSIDE it, plus spread singletons
+    val blob = (0L until 298L).map { i =>
+      (i, proto.map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }
+    val planted = Seq((500L, proto.clone()), (501L, proto.clone()))
+    val spread = (1000L until 1040L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = (blob ++ planted ++ spread).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, threshold = 0.999, nlist = 4, maxCell = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 340)
+    // candidate volume is capped: every refined cell fits under maxCell
+    val cellSizes = out.groupBy(_._2).view.mapValues(_.length)
+    assert(cellSizes.values.forall(_ <= 64),
+      s"refined cell over cap: ${cellSizes.toMap}")
+    // identical vectors share a leaf cell, so the planted pair is found
+    val pair = out.filter(r => r._1 == 500L || r._1 == 501L)
+    assert(pair.forall(_._3 == 500L), s"planted pair split across groups: ${pair.toSeq}")
+    assert(pair.count(_._4) == 1)
+    // partitioning-invariant under the split path too
+    val out9 = Similarity.semDedup(df.repartition(9), threshold = 0.999, nlist = 4, maxCell = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.sortBy(_._1).toSeq == out9.sortBy(_._1).toSeq)
+  }
+
   test("randomProjection matches a driver-side recompute and ignores partitioning") {
     import spark.implicits._
     val out = Similarity.randomProjection(vectors, outDims = 8)
