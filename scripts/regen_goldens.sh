@@ -12,11 +12,13 @@
 # work live against them, so only the fit constants need refreshing.
 # Regeneration cross-checks (the frozen fits come from the same kernels the
 # queries run, so check one fit per family against something independent
-# before freezing): KMeans centroids — the spark.ml fits (e05/n07) vs the
-# hand-rolled Similarity.lloydCenters (e10) are independent Lloyd
-# implementations over the same data family, and each frozen fit must make
-# its OWN live gate (assignment counts / pair structure recomputed by
-# DuckDB) pass, which a drifted or mis-fit constant set does not; TaskSim
+# before freezing): refit_check.py below RE-DERIVES the e10 cell centroids
+# and the e08 PQ codebooks in pure Python (its own XXH64, its own Lloyd
+# loop, raw parquet) and fails this script if the FrozenModels literals
+# diverge — a fit bug can no longer freeze itself in. The other families:
+# spark.ml fits (e05/n07) are an independent Lloyd vs the hand-rolled
+# Similarity.lloydCenters, and each frozen fit must make its OWN live gate
+# (assignment counts / pair structure recomputed by DuckDB) pass; TaskSim
 # ledger points (n05) — bit-exact-vs-reference TaskSimSpec must be green;
 # MLP weights (n09/n10) — DuckDB's independent forward pass must reproduce
 # the confusion counts cell-for-cell (it did at freeze time, r10).
@@ -40,9 +42,11 @@
 # is golden_skyscraper_log.csv — a HAND-DERIVED ReplaySpec fixture, not a
 # generated snapshot.
 #
-# After any regen, this verifies the full catalog against the live gates:
+# After any regen, this re-fits the frozen constants independently and
+# verifies the full catalog against the live gates:
 set -e
 cd "$(dirname "$0")/.."
+python3 scripts/refit_check.py /root/testdata/sf0.01
 OUT=/tmp/golden_regen
 SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 python3 scripts/check.py /root/testdata/sf0.01 $OUT

@@ -38,11 +38,19 @@ class PlanSpec extends SparkSpec {
       // anchor per-line (a formatted plan renders each condition on one
       // line): EVERY iou( occurrence must sit inside a CASE WHEN on ITS
       // line — a global first-index compare would pass vacuously if an
-      // unrelated CASE WHEN preceded an unguarded iou()
+      // unrelated CASE WHEN preceded an unguarded iou(). Per OCCURRENCE,
+      // not per line: the k-th iou( on a line needs >= k "CASE WHEN"s
+      // before it, else `CASE WHEN g THEN iou(..) END AND iou(..) > x`
+      // (one guarded, one bare) would slip through a first-index check
+      def starts(line: String, token: String): Seq[Int] =
+        Iterator.iterate(line.indexOf(token))(i => line.indexOf(token, i + 1))
+          .takeWhile(_ >= 0).toSeq
       p.linesIterator.filter(_.contains("iou(")).foreach { line =>
-        val guard = line.indexOf("CASE WHEN")
-        assert(guard >= 0 && guard < line.indexOf("iou("),
-          s"$q: iou() evaluates outside/before a CASE WHEN guard on:\n$line")
+        val guards = starts(line, "CASE WHEN")
+        starts(line, "iou(").zipWithIndex.foreach { case (pos, k) =>
+          assert(guards.count(_ < pos) >= k + 1,
+            s"$q: the ${k + 1}-th iou() on this line has no matching CASE WHEN guard before it:\n$line")
+        }
       }
     }
   }
