@@ -43,6 +43,20 @@ class VetlPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("wall-clock live mode paces 2 s chunks under Trigger.ProcessingTime (14 s real time)") {
+    // the reference's paced loop (simulate.py SWITCHER_TIME_INTERVAL=2,
+    // 30 fps chunks) driven by the real clock: a rate source at
+    // 30 fps/stream, micro-batches every 2 s, windows on the chunk grid.
+    // 14 s: append-mode emission trails the clock by ~2 micro-batches +
+    // the 2 s watermark delay, so a shorter run closes no interior window
+    val r = graft.LiveDemo.run(spark, seconds = 14, nStreams = 2)
+    assert(r.offGridWindows == 0, s"windows off the 2 s chunk grid: $r")
+    assert(r.interiorWindows >= 2 && r.fullInteriorWindows == r.interiorWindows,
+      s"interior chunks missing the full 60-frame/2-track payload: $r")
+    assert(r.medianBatchGapMs >= 1500 && r.medianBatchGapMs <= 3000,
+      s"micro-batches not paced at the 2 s trigger: $r")
+  }
+
   test("two-job composition: quality stream feeds the switcher through a file bridge") {
     // production shape: job 1 (frames -> tracks -> 2s quality windows)
     // lands chunks on storage; job 2 (switcher FMGWS) consumes them —
