@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleProbes <probe> <sfDir> [args...]
   *   semdedup <sfDir> <maxCell>  — semDedup cell stats + wall at the cap
   *                                 (maxCell 0 = uncapped)
+  *   forecast_floor <sfDir>      — Bayes L1 floor of the n10 forecast
+  *                                 task: an oracle predictor that KNOWS
+  *                                 the generative state (scene baseq +
+  *                                 scene position) still faces 4
+  *                                 binomial draws in the future window;
+  *                                 its per-group median error is the
+  *                                 floor no model can beat
   */
 object ScaleProbes {
   def main(args: Array[String]): Unit = {
@@ -43,6 +50,119 @@ object ScaleProbes {
         println(f"""[probe] {"probe":"semdedup","sf":"$sfDir","maxCell":$maxCell,""" +
           f""""n":$n,"cells":${stats.getLong(0)},"max_cell":${stats.getLong(1)},""" +
           f""""pair_volume":${stats.getLong(2)},"dropped":$dups,"wall_sec":$wall%.2f}""")
+      case "forecast_floor" :: sfDir :: Nil =>
+        import org.apache.spark.sql.expressions.Window
+        // rebuild the n08-n10 synthetic generative state WITH its latent
+        // variables exposed: baseq (the scene's base level — what an
+        // 8-chunk history reveals almost exactly) and pos (position in
+        // the 32-chunk scene — how many future chunks cross into the
+        // next, unpredictable scene)
+        val nStreams = math.max(Tables.eventCount(spark, sfDir) / 2500L, 1L)
+        val w = Window.partitionBy("stream_id").orderBy("event_id")
+        val wScene = Window.partitionBy(col("stream_id"), expr("chunk_id div 32"))
+          .orderBy("chunk_id")
+        val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
+        val state = Tables.events(spark, sfDir)
+          .select((col("user_id") % nStreams).as("stream_id"), col("event_id"),
+            (round(col("value")) % 100).cast("long").as("rq"))
+          .withColumn("chunk_id", row_number().over(w).cast("long") - 1)
+          .withColumn("baseq", first("rq").over(wScene))
+          .withColumn("s0", (col("baseq") * 9 + col("rq")) / 1000.0)
+          .withColumn("category",
+            when(col("s0") < 0.35, 0).when(col("s0") < 0.65, 1).otherwise(2))
+          .select(col("stream_id"), col("chunk_id"), col("baseq"),
+            (col("chunk_id") % 32).as("pos"),
+            count(lit(1)).over(wFut).as("n_future"),
+            (sum(when(col("category") === 0, 1).otherwise(0)).over(wFut) / 4.0).as("a0"),
+            (sum(when(col("category") === 1, 1).otherwise(0)).over(wFut) / 4.0).as("a1"),
+            (sum(when(col("category") === 2, 1).otherwise(0)).over(wFut) / 4.0).as("a2"))
+          // same sample set as forecastRaw: full 8-chunk history + full
+          // 4-chunk future
+          .filter(col("n_future") === 4 && col("chunk_id") >= 8)
+          .localCheckpoint(true)
+        // two floors:
+        // - oracle: per (baseq, pos) — the COMPLETE generative state;
+        //   samples within a group differ only by the future rq draws,
+        //   so the L1-optimal constant is the per-component median
+        // - history-feature: per (baseq, min(pos, 8)) — what an 8-chunk
+        //   history can actually reveal (pos is only identifiable while
+        //   the previous scene boundary is inside the window, pos < 8;
+        //   beyond that all positions look alike), i.e. the bound for
+        //   ANY model on the n09/n10 features
+        def floorBy(keys: Seq[org.apache.spark.sql.Column], label: String): Unit = {
+          val keyed = state.withColumn("k0", keys.head).withColumn("k1", keys(1))
+          val med = keyed.groupBy("k0", "k1")
+            .agg(expr("median(a0)").as("m0"), expr("median(a1)").as("m1"),
+              expr("median(a2)").as("m2"), avg("a0").as("u0"), avg("a1").as("u1"),
+              avg("a2").as("u2"), count(lit(1)).as("gn"))
+          val res = keyed.join(med, Seq("k0", "k1"))
+            .agg(count(lit(1)).as("n"), avg(
+              (abs(col("a0") - col("m0")) + abs(col("a1") - col("m1"))
+                + abs(col("a2") - col("m2"))) / 3.0).as("floor_mae"),
+              avg((abs(col("a0") - col("u0")) + abs(col("a1") - col("u1"))
+                + abs(col("a2") - col("u2"))) / 3.0).as("mean_mae"),
+              min("gn").as("min_group"))
+            .collect().head
+          println(f"""[probe] {"probe":"forecast_floor","kind":"$label","sf":"$sfDir",""" +
+            f""""n_samples":${res.getLong(0)},"floor_mae":${res.getDouble(1)}%.4f,""" +
+            f""""mean_predictor_mae":${res.getDouble(2)}%.4f,""" +
+            f""""min_group_n":${res.getLong(3)}}""")
+        }
+        floorBy(Seq(col("baseq"), col("pos")), "oracle_state")
+        floorBy(Seq(col("baseq"), least(col("pos"), lit(8L))), "history_features")
+      case "forecast_mae" :: sfDir :: layersSpec :: maxIter :: soft :: Nil =>
+        // architecture/protocol sweep for the n10 MAE-vs-paper gap:
+        // layersSpec like "8-24-12-3", soft = "soft" replicates one
+        // training row per future chunk's category (targets the
+        // per-chunk categorical p, whose mean matches E[a_c]) instead
+        // of the hard dominant label
+        import org.apache.spark.ml.functions.vector_to_array
+        val layers = layersSpec.split("-").map(_.toInt)
+        val data = graft.queries.OfflineQueries
+          .forecastFeatures(graft.queries.OfflineQueries.forecastRaw(spark, sfDir))
+          .localCheckpoint(true)
+        val train =
+          if (soft == "soft")
+            data.withColumn("reps",
+                array(struct(lit(0.0).as("label"), (col("a0") * 4).as("w")),
+                  struct(lit(1.0).as("label"), (col("a1") * 4).as("w")),
+                  struct(lit(2.0).as("label"), (col("a2") * 4).as("w"))))
+              .select(col("stream_id"), col("chunk_id"), col("features"),
+                explode(col("reps")).as("r"))
+              .select(col("stream_id"), col("chunk_id"), col("features"),
+                col("r.label").as("label"), col("r.w").as("w"))
+              .filter(col("w") > 0)
+              .withColumn("n", sequence(lit(1), col("w").cast("int")))
+              .withColumn("n", explode(col("n"))) // one row per future chunk
+              .drop("w", "n")
+          else
+            data.withColumn("label",
+              when(col("a0") >= col("a1") && col("a0") >= col("a2"), 0.0)
+                .when(col("a1") >= col("a2"), 1.0).otherwise(2.0))
+        val t0 = System.nanoTime()
+        val model = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+          .setLayers(layers).setSeed(42).setMaxIter(maxIter.toInt)
+          .fit(train.repartition(1).sortWithinPartitions("stream_id", "chunk_id"))
+        val fitSec = (System.nanoTime() - t0) / 1e9
+        // two decision rules over the same softmax output: raw p (the
+        // mean-style estimate) and the L1-Bayes rule round(4p)/4 — the
+        // median of Binomial(4, p)/4, i.e. the optimal constant for a
+        // 4-draw frequency target under absolute error
+        def q(c: org.apache.spark.sql.Column) = floor(c * 4 + 0.5) / 4.0
+        val r = model.transform(data)
+          .withColumn("p", vector_to_array(col("probability")))
+          .select(
+            abs(element_at(col("p"), 1) - col("a0")).as("e0"),
+            abs(element_at(col("p"), 2) - col("a1")).as("e1"),
+            abs(element_at(col("p"), 3) - col("a2")).as("e2"),
+            abs(q(element_at(col("p"), 1)) - col("a0")).as("q0"),
+            abs(q(element_at(col("p"), 2)) - col("a1")).as("q1"),
+            abs(q(element_at(col("p"), 3)) - col("a2")).as("q2"))
+          .agg(avg((col("e0") + col("e1") + col("e2")) / 3.0),
+            avg((col("q0") + col("q1") + col("q2")) / 3.0)).collect().head
+        println(f"""[probe] {"probe":"forecast_mae","sf":"$sfDir","layers":"$layersSpec",""" +
+          f""""maxIter":$maxIter,"soft":"$soft","mae":${r.getDouble(0)}%.4f,""" +
+          f""""mae_l1rule":${r.getDouble(1)}%.4f,"fit_sec":$fitSec%.1f}""")
       case other =>
         System.err.println(s"unknown probe args: $other")
         sys.exit(2)

@@ -63,7 +63,7 @@ object OfflineQueries {
     * targets). Values per column are identical to the pre-refactor
     * per-query builds, so the seeded fits are unchanged.
     */
-  private[queries] def forecastRaw(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[graft] def forecastRaw(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val wHist = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(-8, -1)
     val wFut = Window.partitionBy("stream_id").orderBy("chunk_id").rowsBetween(1, 4)
     val cat = when(col("s0") < 0.35, 0).when(col("s0") < 0.65, 1).otherwise(2)
@@ -91,7 +91,7 @@ object OfflineQueries {
     * collapses to the majority class (round-3 verdict). Centered
     * unit-variance features keep the scale corpus-size-invariant.
     */
-  private[queries] def forecastFeatures(raw: DataFrame): DataFrame = {
+  private[graft] def forecastFeatures(raw: DataFrame): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val r = raw.agg(sum("hist_sum_q"), sum("hist_sq_q"), count(lit(1))).head()
     val n8 = r.getLong(2).toDouble * 8.0
@@ -171,7 +171,7 @@ object OfflineQueries {
     * the full corpus) stays distributed; the sample matrix an MLP
     * trains on is small by design.
     */
-  private[queries] def fitForecast(data: DataFrame)
+  private[graft] def fitForecast(data: DataFrame)
       : org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel =
     new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
       .setLayers(Array(8, 24, 12, 3)).setSeed(42).setMaxIter(200)

@@ -1626,23 +1626,40 @@ object TextQueries {
     Q("t26_bm25",
       (s, d) => {
         val terms = Seq("hash", "join", "spark")
-        val occ = Tables.documents(s, d)
+        // ONE token explode, ONE doc-keyed shuffle: dl and the per-term
+        // tfs come out of the same map-side-combined aggregate. The r10
+        // shape computed dl/g/tf/df as separate consumers of the explode
+        // and re-ran the scan+tokenize up to 4x (the d08/q46
+        // multi-consumer class — exchange reuse is not reliable), which
+        // was the whole 4.1x sf0.1->sf1 step: the explode became
+        // scan-bound and then ran four times.
+        val tfCols = terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("tk") === t, 1L).otherwise(0L)).as(s"tf$i")
+        }
+        val perDoc = Tables.documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
-        val dl = occ.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val g = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
-        val tf = occ.filter(col("tk").isin(terms: _*))
-          .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("tk").agg(count(lit(1)).cast("double").as("df"))
-        val sc = tf.join(broadcast(df), "tk").join(dl, "doc_id").crossJoin(broadcast(g))
-          .withColumn("s",
-            log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-              * (col("tf") * 2.2)
-              / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
-        val termCols = terms.map(t =>
-          coalesce(sum(when(col("tk") === t, col("s"))), lit(0.0)))
-        sc.groupBy("doc_id")
-          .agg(termCols.head.as("s0"), termCols(1).as("s1"), termCols(2).as("s2"))
-          .select(col("doc_id"), (col("s0") + col("s1") + col("s2")).as("score"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("dl"), tfCols: _*)
+          // doc-stats table (4 longs/doc — the corpus summary, not the
+          // token stream); checkpointed because it feeds the scalar agg
+          // AND the scoring pass
+          .localCheckpoint(true)
+        // n_docs/avgdl over ALL docs + per-term dfs in one 1-row broadcast
+        val dfCols = terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0L, 1.0).otherwise(0.0)).as(s"df$i"))
+        val g = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg("dl").as("avgdl") +: dfCols: _*)
+        def termScore(i: Int) =
+          when(col(s"tf$i") > 0L,
+            log(lit(1.0) + (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+              * (col(s"tf$i") * 2.2)
+              / (col(s"tf$i") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+            .otherwise(lit(0.0))
+        perDoc
+          .filter(terms.indices.map(i => col(s"tf$i") > 0L).reduce(_ || _))
+          .crossJoin(broadcast(g))
+          .select(col("doc_id"),
+            (termScore(0) + termScore(1) + termScore(2)).as("score"))
           .orderBy(col("score").desc, col("doc_id")).limit(20)
           .select(col("doc_id"), round(col("score"), 4).as("bm25"))
       },
