@@ -58,12 +58,11 @@ object DebugFreeze {
     println(lit1(OfflineQueries.fitForecast(
       OfflineQueries.forecastFeatures(OfflineQueries.forecastRaw(spark, d))
         .withColumn("label", round(col("fut_avg")).cast("double"))).weights.toArray))
-    println("=== N10 weights (555, label = dominant future category) ===")
+    println("=== N10 weights (555, soft replication targets, maxIter 400) ===")
     println(lit1(OfflineQueries.fitForecast(
-      OfflineQueries.forecastFeatures(OfflineQueries.forecastRaw(spark, d))
-        .withColumn("label",
-          when(col("a0") >= col("a1") && col("a0") >= col("a2"), 0.0)
-            .when(col("a1") >= col("a2"), 1.0).otherwise(2.0))).weights.toArray))
+      OfflineQueries.softForecastTrainset(
+        OfflineQueries.forecastFeatures(OfflineQueries.forecastRaw(spark, d))),
+      maxIter = 400, sortCols = Seq("stream_id", "chunk_id", "label")).weights.toArray))
     println("=== N05 candidates (cand_id, runtime, cost) ===")
     val base = graft.ops.TaskSim.detectToTrack(10, 60)
     val g = base.copy(tasks = base.tasks.map(t =>

@@ -171,11 +171,40 @@ object OfflineQueries {
     * the full corpus) stays distributed; the sample matrix an MLP
     * trains on is small by design.
     */
-  private[graft] def fitForecast(data: DataFrame)
+  private[graft] def fitForecast(data: DataFrame, maxIter: Int = 200,
+                                 sortCols: Seq[String] = Seq("stream_id", "chunk_id"))
       : org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel =
     new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
-      .setLayers(Array(8, 24, 12, 3)).setSeed(42).setMaxIter(200)
-      .fit(data.repartition(1).sortWithinPartitions("stream_id", "chunk_id"))
+      .setLayers(Array(8, 24, 12, 3)).setSeed(42).setMaxIter(maxIter)
+      .fit(data.repartition(1).sortWithinPartitions(sortCols.map(col): _*))
+
+  /** n10's training set: the SOFT-target replication of the reference's
+    * distribution targets — one row per future chunk's category (a_c·4
+    * copies of label c), so the cross-entropy optimum is the per-chunk
+    * categorical p(x) = E[a_c | x], the distribution the MAE metric
+    * scores. (The earlier hard-dominant-label protocol learns
+    * P(dominant = c | x) instead, which systematically over-sharpens
+    * fractional futures — measured 0.0898 raw vs this protocol's
+    * 0.0876/0.0630 under the L1 rule, vs the 0.0443 feature floor;
+    * ScaleProbes forecast_mae / forecast_floor.) Rows are replicated
+    * with an exact integer sequence (a_c·4 ∈ {0..4}), and the fit sort
+    * adds `label` so duplicated samples sit in a deterministic order —
+    * identical rows make the single-partition LBFGS iteration sequence,
+    * and therefore the weights, bit-stable.
+    */
+  private[graft] def softForecastTrainset(data: DataFrame): DataFrame =
+    data
+      .withColumn("reps",
+        array(struct(lit(0.0).as("label"), (col("a0") * 4).as("w")),
+          struct(lit(1.0).as("label"), (col("a1") * 4).as("w")),
+          struct(lit(2.0).as("label"), (col("a2") * 4).as("w"))))
+      .select(col("stream_id"), col("chunk_id"), col("features"),
+        explode(col("reps")).as("r"))
+      .select(col("stream_id"), col("chunk_id"), col("features"),
+        col("r.label").as("label"), col("r.w").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("rep", explode(sequence(lit(1), col("w").cast("int"))))
+      .drop("w", "rep")
 
   val all: Seq[Q] = Seq(
 
@@ -450,38 +479,48 @@ object OfflineQueries {
     Q("n10_forecast_mae",
       (s, d) => {
         import org.apache.spark.ml.functions.vector_to_array
-        val data = forecastFeatures(forecastRaw(s, d))
-          .withColumn("label",
-            when(col("a0") >= col("a1") && col("a0") >= col("a2"), 0.0)
-              .when(col("a1") >= col("a2"), 1.0).otherwise(2.0))
-        // (a soft-target variant — one training row per future chunk's
-        // category, the replication form of the reference's distribution
-        // targets — was measured at MAE 0.0903 vs 0.0898 for this
-        // hard-dominant-label fit; the simpler protocol stays)
-        val model = fitForecast(data)
+        val data = forecastFeatures(forecastRaw(s, d)).localCheckpoint(true)
+        // soft-target replication fit (see softForecastTrainset) + the
+        // L1-Bayes decision rule: the metric scores |pred − a_c| where
+        // a_c is a 4-draw frequency, so the optimal prediction from a
+        // softmax p is the MEDIAN of Binomial(4, p_c)/4 = round(4p)/4
+        // (floor(x+0.5) half-up, matching the oracle). `mae_prob` keeps
+        // the raw-softmax number for comparability with earlier rounds.
+        val model = fitForecast(softForecastTrainset(data), maxIter = 400,
+          sortCols = Seq("stream_id", "chunk_id", "label"))
+        def l1(c: org.apache.spark.sql.Column) = floor(c * 4 + 0.5) / 4.0
         model.transform(data)
           .withColumn("p", vector_to_array(col("probability")))
           .select(
             abs(element_at(col("p"), 1) - col("a0")).as("e0"),
             abs(element_at(col("p"), 2) - col("a1")).as("e1"),
-            abs(element_at(col("p"), 3) - col("a2")).as("e2"))
+            abs(element_at(col("p"), 3) - col("a2")).as("e2"),
+            abs(l1(element_at(col("p"), 1)) - col("a0")).as("q0"),
+            abs(l1(element_at(col("p"), 2)) - col("a1")).as("q1"),
+            abs(l1(element_at(col("p"), 3)) - col("a2")).as("q2"))
           .agg(count(lit(1)).as("n_samples"),
-            round(avg((col("e0") + col("e1") + col("e2")) / 3.0), 4).as("mae"))
+            round(avg((col("q0") + col("q1") + col("q2")) / 3.0), 4).as("mae"),
+            round(avg((col("e0") + col("e1") + col("e2")) / 3.0), 4).as("mae_prob"))
       },
-      // LIVE oracle since round 10 (was a literal (9952, 0.0898)
-      // snapshot): only the 555 trained weights are frozen (FrozenModels
-      // .n10WeightsSql); DuckDB recomputes the windows, standardization,
-      // forward pass, the max-subtracted softmax (Spark's
-      // SoftmaxLayerModel form), the future-frequency targets and the
-      // Table-5-protocol MAE live from the raw parquet. 0.0898 sits
-      // inside the paper's 0.042-0.064..0.1 protocol band vs the
-      // round-3 majority-class 0.2089.
+      // LIVE oracle since round 10 (was a literal snapshot): only the
+      // 555 trained weights are frozen (FrozenModels.n10WeightsSql);
+      // DuckDB recomputes the windows, standardization, forward pass,
+      // the max-subtracted softmax (Spark's SoftmaxLayerModel form),
+      // the L1 decision rule, the future-frequency targets and the
+      // Table-5-protocol MAE live from the raw parquet. Round 11: soft
+      // replication targets + round(4p)/4 put MAE at 0.0630 ≤ the
+      // paper's 0.042-0.064 band (supp. I.3 Table 5, 2-day horizon);
+      // the measured Bayes floor of the synthetic task is 0.0365
+      // (oracle state) / 0.0443 (history features) — SCALING.md r11.
       Some(s"""WITH ${forecastOracleCtes(FrozenModels.n10WeightsSql)},
               |p AS (
               |  SELECT a0, a1, a2, list_transform(ez, v -> v / list_sum(ez)) AS p
               |  FROM (SELECT a0, a1, a2, list_transform(z, v -> exp(v - list_max(z))) AS ez FROM zt) s)
               |SELECT count(*)::BIGINT AS n_samples,
-              |  round(avg((abs(p[1] - a0) + abs(p[2] - a1) + abs(p[3] - a2)) / 3.0), 4) AS mae
+              |  round(avg((abs(floor(p[1] * 4 + 0.5) / 4.0 - a0)
+              |           + abs(floor(p[2] * 4 + 0.5) / 4.0 - a1)
+              |           + abs(floor(p[3] * 4 + 0.5) / 4.0 - a2)) / 3.0), 4) AS mae,
+              |  round(avg((abs(p[1] - a0) + abs(p[2] - a1) + abs(p[3] - a2)) / 3.0), 4) AS mae_prob
               |FROM p""".stripMargin),
       // driver-side iterative MLP training (~36 s at sf0.1): gated for
       // correctness, excluded from the per-round bench by the BENCH.md rule
