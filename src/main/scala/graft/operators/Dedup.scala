@@ -740,6 +740,17 @@ object Dedup {
         g => struct(xxhash64(g).as("h1"), xxhash64(lit("d16b"), g).as("h2")))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col.h1").as("h1"), col("col.h2").as("h2"))
+      // occ feeds BOTH the dup-gram aggregate and the hit join (the
+      // d08/q46 multi-consumer class: the scan+tokenize+gram hashing ran
+      // twice), and both consumers key on (h1, h2) — pre-partition once
+      // and checkpoint WITH the partitioning kept (the semDedup/e10
+      // pattern), so the aggregate and both join sides run exchange-free
+      // off one materialization. At sf10 this was also the spread
+      // mechanism: two independent full shuffles of the ~60M-row gram
+      // stream doubled the shuffle volume whose cleanup/page-cache
+      // contention produced the 19-100 s pass spread.
+      .repartition(col("h1"), col("h2"))
+      .transform(graft.ops.Checkpoints.partitioned)
     // grams occurring in >= 2 distinct documents: min(doc) != max(doc)
     // is the same predicate as countDistinct(doc) >= 2 but map-side-
     // combines in ONE aggregation pass (countDistinct would expand to a
