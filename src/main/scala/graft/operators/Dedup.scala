@@ -112,7 +112,11 @@ object Dedup {
       .localCheckpoint(true)
 
     // band table carries only (id, band, bsig) — the self-join shuffles
-    // ~100 bytes/doc/band, never the shingle arrays
+    // ~100 bytes/doc/band, never the shingle arrays. NOT statically
+    // partitioned on the band key: pre-prune, hot boilerplate buckets
+    // are unbounded, and a static layout removes the exchanges AQE
+    // would skew-split (the d12 lesson); the projection off the
+    // checkpointed withSh is trivial to recompute per consumer.
     val bands = withSh.select(
       col(id),
       explode(array((0 until numBands).map { b =>
@@ -527,7 +531,16 @@ object Dedup {
     // the real 259M-row capped pair join, see SCALING.md).
     val e = winnowFingerprints(docs, id, text, k, w)
       .select(col(id), explode(col("fps")).as("fp")).distinct()
-      .localCheckpoint(true)
+      // pre-partitioned on fp and checkpointed WITH the partitioning
+      // kept: the df aggregate, the prune join and the capped self-join
+      // all consume the one fp-keyed layout exchange-free. Unlike d12's
+      // raw gram table, the winnow fp table's per-key multiplicity is
+      // moderate and the heavy stage (the 259M-row pair join) is
+      // df-capped, so the static layout cannot concentrate unbounded
+      // work — same-day A/B at sf10: 157.0 s with a plain checkpoint
+      // vs 101.6 s with this layout (1.55x).
+      .repartition(col("fp"))
+      .transform(graft.ops.Checkpoints.partitioned)
     val ok = e.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("fp")
@@ -568,8 +581,14 @@ object Dedup {
     // raw pairs -> 1.12M distinct candidates, 21 s); 5-grams are 90%
     // df=1 -> 1460 candidates, sub-second. Size n to the corpus's
     // vocabulary entropy, not to a fixed convention.
+    // materialize-once WITHOUT a static gram layout: a raw posting
+    // table has unbounded-hot keys (boilerplate grams), and pinning
+    // them to single partitions removes the exchanges AQE would
+    // skew-split — the d12 lesson (34 -> 89 s at sf10 with a static
+    // layout). The df-capped stages below are cheap either way; the
+    // exchanges stay AQE-managed.
     val sh = gramTable(docs, id, text, n)
-      .localCheckpoint(true) // materialize-once without a session-lifetime cache entry
+      .localCheckpoint(true)
     // posting lists capped at maxDf: df=1 grams cannot form a pair, and
     // df>maxDf grams are skew (near-stopword n-grams) — dropped for
     // candidate generation only
@@ -613,6 +632,12 @@ object Dedup {
   def ngramContainment(docs: DataFrame, id: String = "doc_id",
                        text: String = "text", n: Int = 5, maxDf: Int = 20,
                        minMilli: Long = 500): DataFrame = {
+    // NOT pre-partitioned on gram (unlike ngramJaccardDups): d12's
+    // verify stage re-joins the FULL posting table on (doc_b, gram), and
+    // a static gram layout pins the hot boilerplate grams of a high-dup
+    // corpus to single partitions that AQE can no longer re-split at
+    // join time — measured at sf10 (100% dup density): 89.5 s with the
+    // static layout vs 34-42 s leaving the exchanges to AQE
     val sh = gramTable(docs, id, text, n).localCheckpoint(true)
     val rare = sh.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)

@@ -341,6 +341,11 @@ object TextQueries {
           .groupBy(col("p_brand"), col("p_name"))
           .agg(count(lit(1)).as("cnt"))
           .withColumn("len", length(col("p_name")))
+          // both self-join sides off one materialization: saves the
+          // part scan+groupBy re-execution (plain checkpoint — the
+          // brand-keyed join exchanges stay AQE-managed so a hot brand
+          // can still be skew-split)
+          .localCheckpoint(true)
         val a = g.alias("a")
         val b = g.alias("b")
         a.join(b, col("a.p_brand") === col("b.p_brand") &&
@@ -1369,6 +1374,11 @@ object TextQueries {
           .select(col("source"),
             md5(concat_ws(" ", slice(tokens(col("text")), 1, 8))).as("fp"))
           .distinct()
+          // both self-join sides read one fp-keyed materialization —
+          // without it the scan+tokenize+md5+distinct runs twice (the
+          // multi-consumer class) and the join shuffles twice
+          .repartition(col("fp"))
+          .transform(graft.ops.Checkpoints.partitioned)
         val a = fps.alias("a"); val b = fps.alias("b")
         a.join(b, col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
           .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -1400,6 +1410,10 @@ object TextQueries {
           .groupBy("p_name")
           .agg(min("p_partkey").as("name_id"), count(lit(1)).as("n_parts"))
           .withColumn("blk", regexp_extract(col("p_name"), "[a-z]+$", 0))
+          // three consumers (both self-join sides + the member join) —
+          // materialize the name table once instead of re-running the
+          // part scan + groupBy per consumer
+          .localCheckpoint(true)
         val a = names.alias("a"); val b = names.alias("b")
         val pairs = a.join(b, col("a.blk") === col("b.blk") &&
             col("a.name_id") < col("b.name_id"))
@@ -1715,10 +1729,17 @@ object TextQueries {
         val pairs = Dedup.adjacentPairs(docs)
           .select(col("doc_id"), bucket(col("pair")))
           .localCheckpoint(true)
+        // both 256-row bucket tables feed TWO consumers (their total agg
+        // + the lr join) — checkpointed so the raw re-aggregate over the
+        // pair stream and the en-slice re-tokenize run ONCE each (the
+        // multi-consumer class; 256 rows of materialization buys back a
+        // corpus-scale pass at any SF)
         val raw = pairs.groupBy("b").agg(count(lit(1)).as("c_r"))
+          .localCheckpoint(true)
         val tgt = Dedup.adjacentPairs(docs.filter(col("lang") === "en"))
           .select(bucket(col("pair")))
           .groupBy("b").agg(count(lit(1)).as("c_t"))
+          .localCheckpoint(true)
         val totals = raw.agg(coalesce(sum("c_r"), lit(0L)).as("rr"))
           .crossJoin(tgt.agg(coalesce(sum("c_t"), lit(0L)).as("tt")))
         val lr = s.range(B).toDF("b")
