@@ -1715,48 +1715,15 @@ object TextQueries {
     // B rows broadcast everywhere; both count aggs are map-side-partial
     // groupBys collapsing to <=B rows; the per-doc agg shuffles one row
     // per (doc, bucket). The trailing global rank is the resampling
-    // step — at 100 TB replace that one window with a DDSketch quantile
-    // threshold (t21) and a stateless per-row filter; the weights
-    // themselves never leave per-doc locality.
+    // step — the gate keeps that exact single-partition window as its
+    // measurement device; the BENCHED production arm replaces it with a
+    // histogram-quantile threshold + stateless filter (see benchFn),
+    // so the weights never leave per-doc locality at any scale.
     Q("t27_dsir_weights",
       (s, d) => {
-        val B = 256
-        def bucket(pair: org.apache.spark.sql.Column) =
-          (conv(substring(md5(pair), 1, 8), 16, 10).cast("long") % B).as("b")
-        val docs = Tables.documents(s, d)
-        // one tokenize pass feeds the raw counts AND the per-doc join;
-        // the target slice re-tokenizes only its (small) subset
-        val pairs = Dedup.adjacentPairs(docs)
-          .select(col("doc_id"), bucket(col("pair")))
-          .localCheckpoint(true)
-        // both 256-row bucket tables feed TWO consumers (their total agg
-        // + the lr join) — checkpointed so the raw re-aggregate over the
-        // pair stream and the en-slice re-tokenize run ONCE each (the
-        // multi-consumer class; 256 rows of materialization buys back a
-        // corpus-scale pass at any SF)
-        val raw = pairs.groupBy("b").agg(count(lit(1)).as("c_r"))
-          .localCheckpoint(true)
-        val tgt = Dedup.adjacentPairs(docs.filter(col("lang") === "en"))
-          .select(bucket(col("pair")))
-          .groupBy("b").agg(count(lit(1)).as("c_t"))
-          .localCheckpoint(true)
-        val totals = raw.agg(coalesce(sum("c_r"), lit(0L)).as("rr"))
-          .crossJoin(tgt.agg(coalesce(sum("c_t"), lit(0L)).as("tt")))
-        val lr = s.range(B).toDF("b")
-          .join(raw, Seq("b"), "left").join(tgt, Seq("b"), "left")
-          .na.fill(0L, Seq("c_r", "c_t"))
-          .crossJoin(broadcast(totals))
-          .select(col("b"),
-            floor((log(col("c_t") + 1) - log(col("tt") + B)
-                 - log(col("c_r") + 1) + log(col("rr") + B)) * 1e6)
-              .cast("long").as("lr_micro"))
         val all = Window.partitionBy()
         val byW = Window.orderBy(col("w_micro").desc, col("doc_id"))
-        pairs.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
-          .join(broadcast(lr), "b")
-          .groupBy("doc_id")
-          .agg(sum("cnt").cast("long").as("n_bigrams"),
-               sum(col("cnt") * col("lr_micro")).cast("long").as("w_micro"))
+        dsirWMicro(s, d)
           .withColumn("rk", row_number().over(byW).cast("long"))
           .withColumn("n_t", count(lit(1)).over(all))
           .withColumn("keep", expr("cast(rk <= (n_t + 3) div 4 as long)"))
@@ -1795,6 +1762,78 @@ object TextQueries {
              |      FROM w)
              |SELECT doc_id, n_bigrams, w_micro, rk,
              |  CAST(rk <= (n + 3) // 4 AS BIGINT) AS keep
-             |FROM r ORDER BY doc_id""".stripMargin))
+             |FROM r ORDER BY doc_id""".stripMargin),
+      // production arm (BENCHED, e06/t24 convention): the global
+      // resampling rank — the gate's one single-partition stage —
+      // replaced by a mergeable histogram quantile: bucket w_micro at
+      // 10-milli-nat width (bounded bucket count: weights span a few
+      // nats), map-side-combine the bucket counts, resolve the top-25%
+      // threshold bucket driver-side (sketch-sized collect), and keep
+      // docs by a stateless w >= threshold filter. Keep decisions move
+      // by at most one bucket vs the exact rank — the standard sketch
+      // trade; the gate keeps the exact arm as its measurement device.
+      benchFn = Some((s, d) => {
+        val w = dsirWMicro(s, d).localCheckpoint(true)
+        // weights are signed; `div` truncates toward zero, so shift to
+        // non-negative first to get FLOOR buckets (else a negative
+        // weight inside the threshold bucket falls below the bucket's
+        // lower bound and is wrongly dropped)
+        val off = 1L << 50
+        val hist = w.groupBy(expr(s"(w_micro + ${off}L) div 10000").as("bk"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+        val total = hist.map(_._2).sum
+        val quota = (total + 3) / 4
+        var cum = 0L
+        var thrBk = Long.MinValue
+        hist.foreach { case (bk, n) =>
+          if (cum < quota) { cum += n; thrBk = bk }
+        }
+        w.withColumn("keep",
+          (col("w_micro") >= lit(thrBk * 10000L - off)).cast("long"))
+      }))
   )
+
+  /** t27's per-document DSIR weight table (doc_id, n_bigrams, w_micro) —
+    * shared by the exact-rank gate arm and the histogram-threshold
+    * production arm.
+    */
+  private def dsirWMicro(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val B = 256
+    def bucket(pair: org.apache.spark.sql.Column) =
+      (conv(substring(md5(pair), 1, 8), 16, 10).cast("long") % B).as("b")
+    val docs = Tables.documents(s, d)
+    // one tokenize pass feeds the raw counts AND the per-doc join;
+    // the target slice re-tokenizes only its (small) subset
+    val pairs = Dedup.adjacentPairs(docs)
+      .select(col("doc_id"), bucket(col("pair")))
+      .localCheckpoint(true)
+    // both 256-row bucket tables feed TWO consumers (their total agg
+    // + the lr join) — checkpointed so the raw re-aggregate over the
+    // pair stream and the en-slice re-tokenize run ONCE each (the
+    // multi-consumer class; 256 rows of materialization buys back a
+    // corpus-scale pass at any SF)
+    val raw = pairs.groupBy("b").agg(count(lit(1)).as("c_r"))
+      .localCheckpoint(true)
+    val tgt = Dedup.adjacentPairs(docs.filter(col("lang") === "en"))
+      .select(bucket(col("pair")))
+      .groupBy("b").agg(count(lit(1)).as("c_t"))
+      .localCheckpoint(true)
+    val totals = raw.agg(coalesce(sum("c_r"), lit(0L)).as("rr"))
+      .crossJoin(tgt.agg(coalesce(sum("c_t"), lit(0L)).as("tt")))
+    val lr = s.range(B).toDF("b")
+      .join(raw, Seq("b"), "left").join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("c_r", "c_t"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((log(col("c_t") + 1) - log(col("tt") + B)
+             - log(col("c_r") + 1) + log(col("rr") + B)) * 1e6)
+          .cast("long").as("lr_micro"))
+    pairs.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_bigrams"),
+           sum(col("cnt") * col("lr_micro")).cast("long").as("w_micro"))
+  }
 }

@@ -69,5 +69,19 @@ class DsirSpec extends SparkSpec {
     }
     // the target-dominant doc outranks the target-absent doc
     assert(expW(1L) > expW(3L))
+
+    // production arm (benchFn): histogram-threshold keep agrees with the
+    // exact-rank keep on this well-separated corpus (decisions can move
+    // by at most one 10-milli-nat bucket; these weights are nats apart),
+    // and the weight columns are identical
+    val bench = q.benchFn.get(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(bench.keySet == out.keySet)
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      val (n, w, keep) = bench(id)
+      assert(n == expN(id) && w == expW(id), s"doc $id bench weight drifted")
+      assert(keep == out(id)._4, s"doc $id: histogram keep disagrees with exact rank")
+    }
   }
 }
