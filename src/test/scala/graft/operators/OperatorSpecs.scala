@@ -303,6 +303,28 @@ class SimilaritySpec extends SparkSpec {
     assert(snap(capped5) == snap(capped))
   }
 
+  test("full probe of a SPLIT index still equals brute force (exactness survives the cap)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val proto = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val blob = (0L until 300L).map(i =>
+      (i, proto.map(x => x + (rnd.nextFloat() - 0.5f) * 0.3f)))
+    val spread = (1000L until 1060L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = (blob ++ spread).toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(df, nlist = 4, maxCell = 80)
+    assert(idx.centers.length > 4, "cap must have split the blob cell")
+    // probing EVERY cell of the refined index must reproduce brute-force
+    // top-k exactly: splitting re-buckets vectors but never loses one
+    val queries = df.filter(col("vec_id") < 5)
+    def snap(r: org.apache.spark.sql.DataFrame) = r
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val full = snap(Similarity.probeIvf(idx, queries, k = 5, nprobe = idx.centers.length))
+    val brute = snap(Similarity.bruteKnn(queries, df, k = 5))
+    assert(full == brute, "split index lost or duplicated a vector")
+  }
+
   test("enforceMaxCell salt-splits a cell Lloyd cannot separate (identical vectors)") {
     import spark.implicits._
     val one = Array.fill(16)(0.5f)
