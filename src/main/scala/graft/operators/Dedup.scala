@@ -801,4 +801,51 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
+
+  /** Span scrub — the REMOVAL step that completes Lee et al. 2022's
+    * span-level dedup: given the duplicated-span table ([[dupSpans]]
+    * output, token offsets), cut every covered token from each document
+    * and emit the cleaned corpus summary
+    * (doc_id, n_tokens, kept_tokens, removed_tokens, cleaned_hash)
+    * where cleaned_hash is md5 of the surviving tokens joined by single
+    * spaces — a content fingerprint of the cleaned text that the oracle
+    * recomputes independently, so the surgery itself (not just the
+    * counts) is cross-checked. Every document appears in the output,
+    * including span-free ones and ones shorter than the gram width.
+    *
+    * Scale: spans-per-doc is bounded by doc_len / spanWidth, so the
+    * collected span ARRAY is a per-row column, never a driver
+    * structure; the only shuffles are the span groupBy(doc_id) (tiny —
+    * span rows only) and one equi-join of the corpus on doc_id. The
+    * cut itself is a row-local higher-order-function pass over the
+    * token array (no explode, no window). At 100 TB both sides of the
+    * doc_id join come bucketed by doc_id from the same upstream layout.
+    */
+  def scrubSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val noSpans = array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    docs
+      .select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
+      .join(perDoc, Seq("doc_id"), "left")
+      // keep a token iff no span covers its position; transform's
+      // (element, index) lambda avoids sequence() (whose inferred
+      // negative step on empty docs would yield [0, -1], not [])
+      .withColumn("kept",
+        filter(
+          transform(col("tk"), (t, i) => struct(t.as("tok"), i.cast("long").as("pos"))),
+          s => !exists(coalesce(col("spans"), noSpans),
+            sp => s("pos") >= sp("span_start") && s("pos") <= sp("span_end"))))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        md5(concat_ws(" ", transform(col("kept"), s => s("tok")))).as("cleaned_hash"))
+  }
 }

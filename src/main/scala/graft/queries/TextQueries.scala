@@ -1628,6 +1628,53 @@ object TextQueries {
              |  max(pos) + 8 - min(pos) AS span_tokens
              |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin)),
 
+    // The removal step that completes Lee'22 span dedup: cut every
+    // duplicated span found by d16 out of its document and fingerprint
+    // the surviving token stream (md5 of kept tokens joined by ' '),
+    // so the oracle cross-checks the surgery itself, not just counts.
+    // documents feeds both dupSpans and the scrub join (the d08/q46
+    // multi-consumer class) but the shared upstream is only the parquet
+    // scan — each branch does its own row-local tokenize, and dupSpans
+    // checkpoints its gram stream internally, so nothing expensive
+    // re-executes.
+    Q("d17_span_scrub",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.scrubSpans(docs, Dedup.dupSpans(docs)).orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+             |occ AS (
+             |  SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+8], ' ') AS gram
+             |  FROM toks, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
+             |dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             |hits AS (SELECT doc_id, pos FROM occ WHERE gram IN (SELECT gram FROM dup)),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM (SELECT doc_id, pos,
+             |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             |        FROM hits) l),
+             |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+             |          FROM isl GROUP BY doc_id, island),
+             |tok_pos AS (
+             |  SELECT doc_id, i AS pos, tk[i+1] AS tok
+             |  FROM toks, unnest(range(0, len(tk))) AS r(i)),
+             |kept AS (
+             |  SELECT p.doc_id, p.pos, p.tok FROM tok_pos p
+             |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+             |                    WHERE sp.doc_id = p.doc_id AND p.pos BETWEEN sp.s AND sp.e)),
+             |ka AS (
+             |  SELECT doc_id, count(*)::BIGINT AS kept_tokens,
+             |         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_hash
+             |  FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id, len(tk)::BIGINT AS n_tokens,
+             |  coalesce(ka.kept_tokens, 0)::BIGINT AS kept_tokens,
+             |  (len(tk) - coalesce(ka.kept_tokens, 0))::BIGINT AS removed_tokens,
+             |  coalesce(ka.cleaned_hash, md5('')) AS cleaned_hash
+             |FROM toks t LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // BM25 top-k retrieval (Robertson-Sparck Jones; Lucene's idf form
     // ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75) for a fixed query
     // over the document corpus. The per-doc score is a FIXED-ORDER sum
@@ -1791,7 +1838,93 @@ object TextQueries {
         }
         w.withColumn("keep",
           (col("w_micro") >= lit(thrBk * 10000L - off)).cast("long"))
-      }))
+      })),
+
+    // CCNet-style LM-perplexity quality bucketing (Wenzek et al. 2019):
+    // a per-language add-one-smoothed bigram LM is trained on a trusted
+    // reference slice (here the src0 docs — CCNet's Wikipedia), every
+    // document is scored by its mean token surprisal under its own
+    // language's LM, and each language's corpus splits into
+    // head/middle/tail perplexity tertiles (bucket 1 = most fluent) —
+    // the quality gate LLaMA-style pipelines apply before training.
+    // Determinism: per-bigram surprisal ln((c_u+V)/(c_b+1)) >= 0 is
+    // quantized to integer micro-nats at the bigram-TYPE level (t27's
+    // convention), per-doc sums and the truncating avg are pure integer
+    // arithmetic, and the tertile order (avg_micro, doc_id) is total.
+    // Plan: ONE tokenize pass feeds both the training counts and the
+    // scoring stream (checkpointed at the fan-out — the d08/q46
+    // multi-consumer class); training aggregates are map-side-combined
+    // on (lang, w1[, w2]); scoring is two equi-joins against
+    // vocabulary-sized LM tables (broadcastable until the bigram-type
+    // table outgrows the threshold, then a plain hash join on uniform
+    // keys). The per-lang tertile is the one global-sort stage: at
+    // 100 TB it becomes a t21 DDSketch two-quantile threshold + a
+    // stateless filter, the same replacement t27's benched arm makes.
+    Q("t28_ccnet_bucket",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"),
+            tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .localCheckpoint(true)
+        val pairs = toks
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(transform(slice(col("tk"), lit(1), size(col("tk")) - 1),
+              (t, i) => struct(t.as("w1"),
+                element_at(col("tk"), i + 2).as("w2")))).as("bg"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val big = pairs.filter(col("source") === "src0")
+          .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c_b"))
+          .localCheckpoint(true)
+        val uni = big.groupBy("lang", "w1").agg(sum("c_b").as("c_u"))
+        val voc = big.select("lang", "w2").distinct()
+          .groupBy("lang").agg(count(lit(1)).as("v"))
+        val scored = pairs
+          .join(big, Seq("lang", "w1", "w2"), "left")
+          .join(uni, Seq("lang", "w1"), "left")
+          .join(voc, Seq("lang"))
+          .withColumn("sur_micro", floor(
+            log((coalesce(col("c_u"), lit(0L)) + col("v"))
+              .cast("double") / (coalesce(col("c_b"), lit(0L)) + lit(1L)))
+              * lit(1e6)).cast("long"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            sum("sur_micro").cast("long").as("sur_sum"))
+          .withColumn("avg_micro", expr("sur_sum div n_pairs"))
+        scored
+          .withColumn("bucket", ntile(3).over(
+            Window.partitionBy("lang").orderBy("avg_micro", "doc_id"))
+            .cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, lang,
+             |         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             |  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2),
+             |pr AS (
+             |  SELECT doc_id, source, lang, tk[i+1] AS w1, tk[i+2] AS w2
+             |  FROM toks, unnest(range(0, len(tk) - 1)) AS r(i)),
+             |big AS (SELECT lang, w1, w2, count(*) AS c_b FROM pr
+             |        WHERE source = 'src0' GROUP BY 1, 2, 3),
+             |uni AS (SELECT lang, w1, sum(c_b) AS c_u FROM big GROUP BY 1, 2),
+             |voc AS (SELECT lang, count(DISTINCT w2) AS v FROM big GROUP BY 1),
+             |sc AS (
+             |  SELECT p.doc_id, p.lang,
+             |    CAST(floor(ln((coalesce(u.c_u, 0) + vv.v)::DOUBLE
+             |                  / (coalesce(b.c_b, 0) + 1)) * 1e6) AS BIGINT) AS sur
+             |  FROM pr p
+             |  LEFT JOIN big b ON p.lang = b.lang AND p.w1 = b.w1 AND p.w2 = b.w2
+             |  LEFT JOIN uni u ON p.lang = u.lang AND p.w1 = u.w1
+             |  JOIN voc vv ON p.lang = vv.lang),
+             |agg AS (
+             |  SELECT doc_id, lang, count(*)::BIGINT AS n_pairs,
+             |         sum(sur)::BIGINT AS sur_sum,
+             |         (sum(sur) // count(*))::BIGINT AS avg_micro
+             |  FROM sc GROUP BY 1, 2)
+             |SELECT doc_id, lang, n_pairs, sur_sum, avg_micro,
+             |  (ntile(3) OVER (PARTITION BY lang ORDER BY avg_micro, doc_id))::BIGINT AS bucket
+             |FROM agg ORDER BY doc_id""".stripMargin))
   )
 
   /** t27's per-document DSIR weight table (doc_id, n_bigrams, w_micro) —

@@ -72,6 +72,49 @@ class DupSpansHllSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  // ---- scrubSpans -------------------------------------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def scrub(rows: (Long, String)*): Seq[(Long, Long, Long, Long, String)] = {
+    val d = docs(rows: _*)
+    Dedup.scrubSpans(d, Dedup.dupSpans(d))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+  }
+
+  test("scrubSpans: cuts the shared run, keeps the rest, hashes the survivors") {
+    val shared = (1 to 8).map(i => s"tok$i").mkString(" ")
+    val out = scrub(
+      1L -> s"$shared alpha beta gamma",
+      2L -> s"delta epsilon $shared")
+    // doc 1 keeps [alpha beta gamma], doc 2 keeps [delta epsilon]
+    assert(out == Seq(
+      (1L, 11L, 3L, 8L, md5hex("alpha beta gamma")),
+      (2L, 10L, 2L, 8L, md5hex("delta epsilon"))))
+  }
+
+  test("scrubSpans: a fully-duplicated doc empties to the md5 of the empty string") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val out = scrub(1L -> shared, 2L -> s"$shared trailing words here")
+    assert(out.head == ((1L, 12L, 0L, 12L, md5hex(""))))
+    assert(out(1) == ((2L, 15L, 3L, 12L, md5hex("trailing words here"))))
+  }
+
+  test("scrubSpans: span-free and token-free docs pass through untouched") {
+    val out = scrub(
+      1L -> "completely unique words that nothing else shares anywhere",
+      2L -> "!!! ???") // no [a-z0-9]+ tokens at all
+    assert(out == Seq(
+      (1L, 8L, 8L, 0L,
+        md5hex("completely unique words that nothing else shares anywhere")),
+      (2L, 0L, 0L, 0L, md5hex(""))))
+  }
+
   // ---- HLL --------------------------------------------------------------
 
   private def keys(n: Int, offset: Long = 0L) = {
