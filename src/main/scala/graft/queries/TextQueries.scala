@@ -1861,43 +1861,11 @@ object TextQueries {
     // 100 TB it becomes a t21 DDSketch two-quantile threshold + a
     // stateless filter, the same replacement t27's benched arm makes.
     Q("t28_ccnet_bucket",
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), col("lang"),
-            tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 2)
-          .localCheckpoint(true)
-        val pairs = toks
-          .select(col("doc_id"), col("source"), col("lang"),
-            explode(transform(slice(col("tk"), lit(1), size(col("tk")) - 1),
-              (t, i) => struct(t.as("w1"),
-                element_at(col("tk"), i + 2).as("w2")))).as("bg"))
-          .select(col("doc_id"), col("source"), col("lang"),
-            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        val big = pairs.filter(col("source") === "src0")
-          .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c_b"))
-          .localCheckpoint(true)
-        val uni = big.groupBy("lang", "w1").agg(sum("c_b").as("c_u"))
-        val voc = big.select("lang", "w2").distinct()
-          .groupBy("lang").agg(count(lit(1)).as("v"))
-        val scored = pairs
-          .join(big, Seq("lang", "w1", "w2"), "left")
-          .join(uni, Seq("lang", "w1"), "left")
-          .join(voc, Seq("lang"))
-          .withColumn("sur_micro", floor(
-            log((coalesce(col("c_u"), lit(0L)) + col("v"))
-              .cast("double") / (coalesce(col("c_b"), lit(0L)) + lit(1L)))
-              * lit(1e6)).cast("long"))
-          .groupBy("doc_id", "lang")
-          .agg(count(lit(1)).cast("long").as("n_pairs"),
-            sum("sur_micro").cast("long").as("sur_sum"))
-          .withColumn("avg_micro", expr("sur_sum div n_pairs"))
-        scored
-          .withColumn("bucket", ntile(3).over(
-            Window.partitionBy("lang").orderBy("avg_micro", "doc_id"))
-            .cast("long"))
-          .orderBy("doc_id")
-      },
+      (s, d) => ccnetAvgMicro(s, d)
+        .withColumn("bucket", ntile(3).over(
+          Window.partitionBy("lang").orderBy("avg_micro", "doc_id"))
+          .cast("long"))
+        .orderBy("doc_id"),
       Some("""WITH toks AS (
              |  SELECT doc_id, source, lang,
              |         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
@@ -1924,8 +1892,91 @@ object TextQueries {
              |  FROM sc GROUP BY 1, 2)
              |SELECT doc_id, lang, n_pairs, sur_sum, avg_micro,
              |  (ntile(3) OVER (PARTITION BY lang ORDER BY avg_micro, doc_id))::BIGINT AS bucket
-             |FROM agg ORDER BY doc_id""".stripMargin))
+             |FROM agg ORDER BY doc_id""".stripMargin),
+      // production arm (BENCHED, t27 convention): the per-lang tertile
+      // sort — the gate's one global-sort stage — replaced by a
+      // mergeable 10-milli-nat histogram per lang (surprisal spans a
+      // few nats, so bucket counts are bounded), two cumulative-count
+      // thresholds resolved driver-side from the sketch-sized collect,
+      // and a stateless two-comparison bucket assignment. Docs inside
+      // a threshold bucket can land one tertile off the exact rank —
+      // the standard sketch trade; CcnetArmsSpec pins agreement
+      // everywhere else. avg_micro >= 0 by construction (Laplace
+      // surprisal of a ratio >= 1), so no sign shift is needed before
+      // the truncating div (t27's negative-weight trap doesn't apply).
+      benchFn = Some((s, d) => {
+        val scored = ccnetAvgMicro(s, d).localCheckpoint(true)
+        val hist = scored
+          .groupBy(col("lang"), expr("avg_micro div 10000").as("bk"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val thr = hist.groupBy(_._1).toSeq.map { case (lang, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val total = sorted.map(_._3).sum
+          def cut(q: Long): Long = {
+            var cum = 0L; var bk = sorted.head._2
+            val it = sorted.iterator
+            var done = false
+            while (it.hasNext && !done) {
+              val (_, b, n) = it.next(); if (!done) { cum += n; bk = b }
+              if (cum >= q) done = true
+            }
+            bk
+          }
+          (lang, cut((total + 2) / 3), cut((2 * total + 2) / 3))
+        }
+        val thrDf = { import s.implicits._; thr.toDF("lang", "bk1", "bk2") }
+        scored.join(broadcast(thrDf), Seq("lang"))
+          .withColumn("bucket",
+            when(expr("avg_micro div 10000") <= col("bk1"), 1L)
+              .when(expr("avg_micro div 10000") <= col("bk2"), 2L)
+              .otherwise(3L))
+          .drop("bk1", "bk2")
+      }))
   )
+
+  /** t28's per-document mean-surprisal table
+    * (doc_id, lang, n_pairs, sur_sum, avg_micro) — shared by the gate
+    * (exact per-lang ntile tertiles) and the benched histogram arm.
+    * One checkpointed tokenize pass feeds both the src0 training
+    * counts and the scoring stream; the bigram explode re-runs per
+    * consumer off the materialized token arrays (cheaper than
+    * checkpointing the exploded occurrence stream); LM joins stay
+    * AQE-managed — hot function-word bigrams are the d12 skew lesson.
+    */
+  private def ccnetAvgMicro(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .localCheckpoint(true)
+    val pairs = toks
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(transform(slice(col("tk"), lit(1), size(col("tk")) - 1),
+          (t, i) => struct(t.as("w1"),
+            element_at(col("tk"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = pairs.filter(col("source") === "src0")
+      .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c_b"))
+      .localCheckpoint(true)
+    val uni = big.groupBy("lang", "w1").agg(sum("c_b").as("c_u"))
+    val voc = big.select("lang", "w2").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("v"))
+    pairs
+      .join(big, Seq("lang", "w1", "w2"), "left")
+      .join(uni, Seq("lang", "w1"), "left")
+      .join(voc, Seq("lang"))
+      .withColumn("sur_micro", floor(
+        log((coalesce(col("c_u"), lit(0L)) + col("v"))
+          .cast("double") / (coalesce(col("c_b"), lit(0L)) + lit(1L)))
+          * lit(1e6)).cast("long"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum("sur_micro").cast("long").as("sur_sum"))
+      .withColumn("avg_micro", expr("sur_sum div n_pairs"))
+  }
 
   /** t27's per-document DSIR weight table (doc_id, n_bigrams, w_micro) —
     * shared by the exact-rank gate arm and the histogram-threshold

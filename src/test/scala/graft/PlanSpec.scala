@@ -182,6 +182,37 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"d16 re-reads the corpus ($scans scans > 2):\n$p")
   }
 
+  test("span scrub keeps its shuffle budget (d17)") {
+    // d17 = d16's span table + the removal join. The dup-gram aggregate
+    // and hit join run EXCHANGE-FREE off the (h1,h2)-checkpointed gram
+    // layout, the island windows / span groupBys share one doc_id
+    // exchange, and the scrub join's span side is collected per doc and
+    // broadcast at this SF. Budget: 2 hash exchanges (doc_id for the
+    // islands; headroom for the scrub join going shuffle at scale) and
+    // ONE corpus scan (the gram stream is materialized).
+    val p = plan("d17_span_scrub")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"d17 gained hash exchanges ($hashEx > 2):\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"d17 re-reads the corpus ($scans scans > 1):\n$p")
+  }
+
+  test("CCNet bucketing keeps its shuffle budget and broadcast LM joins (t28)") {
+    // ONE checkpointed tokenize; the LM tables (bigram/unigram/vocab
+    // aggregates) each cost one hash exchange and then BROADCAST into
+    // the scoring joins at this SF; the per-doc aggregate and the
+    // per-lang tertile window add one each. Budget: 5 hash exchanges,
+    // 3 broadcast joins, no corpus re-scan. A regression that shuffles
+    // the 25M-row (sf10) bigram stream per LM join would show here.
+    val p = plan("t28_ccnet_bucket")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 5, s"t28 gained hash exchanges ($hashEx > 5):\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"t28 LM joins not broadcast ($bhj < 3):\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"t28 re-reads the corpus ($scans scans > 1):\n$p")
+  }
+
   test("no catalog query degenerates into an unkeyed cartesian product") {
     // intentional broadcast-nested-loop joins over provably tiny sides:
     // a06 (3-row prefix dim), n05 (<=64 Pareto candidates, group-less
