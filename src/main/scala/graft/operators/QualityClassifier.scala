@@ -88,46 +88,60 @@ object QualityClassifier {
         (col("lang") === "en").cast("long").as("y"))
       .as[(Long, String, Long)]
       .mapPartitions { it =>
-        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val fb = new FeatBuilder
         it.map { case (docId, text, y) =>
-          val m = wordRe.matcher(text.toLowerCase)
-          val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (m.find()) toks += m.group()
-          val cnt = scala.collection.mutable.LongMap.empty[Long]
-          var i = 0
-          while (i < toks.length - 1) {
-            md.reset()
-            val dig = md.digest((toks(i) + " " + toks(i + 1)).getBytes("UTF-8"))
-            // unsigned big-endian int of the first 4 md5 bytes == the
-            // first 8 hex chars parsed base-16 (the t27/t18 convention,
-            // spelled in integer arithmetic — the hex-format/parse
-            // round-trip was measurably the feature build's hot spot)
-            val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
-              ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
-            val b = (v % B).toInt
-            cnt(b.toLong) = cnt.getOrElse(b.toLong, 0L) + 1L
-            i += 1
-          }
-          val sorted = cnt.toArray.sortBy(_._1)
-          val bs = new Array[Int](sorted.length + 1)
-          val xs = new Array[Long](sorted.length + 1)
-          if (sorted.nonEmpty) {
-            val ssq = sorted.iterator.map(c => c._2 * c._2).sum
-            val norm = math.sqrt(ssq.toDouble)
-            i = 0
-            while (i < sorted.length) {
-              bs(i) = sorted(i)._1.toInt
-              xs(i) = math.floor(sorted(i)._2 * 1e6 / norm).toLong
-              i += 1
-            }
-          }
-          bs(sorted.length) = B
-          xs(sorted.length) = 1000000L
+          val (bs, xs) = fb(text)
           DocFeat(docId, y, bs, xs)
         }
       }
       .rdd.repartition(parts)
+  }
+
+  /** Per-partition featurizer (one Pattern + MessageDigest per task):
+    * text → sorted parallel (bucket, x-micro) arrays with the bias
+    * feature appended. Shared by the batch feature build and the
+    * streaming scorer so both sides quantize identically.
+    */
+  private[graft] final class FeatBuilder extends Serializable {
+    private val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+    private val md = java.security.MessageDigest.getInstance("MD5")
+
+    def apply(text: String): (Array[Int], Array[Long]) = {
+      val m = wordRe.matcher(text.toLowerCase)
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) toks += m.group()
+      val cnt = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < toks.length - 1) {
+        md.reset()
+        val dig = md.digest((toks(i) + " " + toks(i + 1)).getBytes("UTF-8"))
+        // unsigned big-endian int of the first 4 md5 bytes == the
+        // first 8 hex chars parsed base-16 (the t27/t18 convention,
+        // spelled in integer arithmetic — the hex-format/parse
+        // round-trip was measurably the feature build's hot spot)
+        val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        val b = (v % B).toInt
+        cnt(b.toLong) = cnt.getOrElse(b.toLong, 0L) + 1L
+        i += 1
+      }
+      val sorted = cnt.toArray.sortBy(_._1)
+      val bs = new Array[Int](sorted.length + 1)
+      val xs = new Array[Long](sorted.length + 1)
+      if (sorted.nonEmpty) {
+        val ssq = sorted.iterator.map(c => c._2 * c._2).sum
+        val norm = math.sqrt(ssq.toDouble)
+        i = 0
+        while (i < sorted.length) {
+          bs(i) = sorted(i)._1.toInt
+          xs(i) = math.floor(sorted(i)._2 * 1e6 / norm).toLong
+          i += 1
+        }
+      }
+      bs(sorted.length) = B
+      xs(sorted.length) = 1000000L
+      (bs, xs)
+    }
   }
 
   /** K full-batch GD steps; returns the B+1 weights. Each step ships
@@ -174,6 +188,46 @@ object QualityClassifier {
       }
     }
     w
+  }
+
+  /** Build + persist the feature matrix and train — the offline half of
+    * the train-offline/score-online pattern (n25 trains here, then
+    * scores a document STREAM with the returned weights).
+    */
+  def trainOn(docs: DataFrame, nDocs: Long): Array[Long] = {
+    val data = featureRdd(docs, nDocs).persist(StorageLevel.MEMORY_AND_DISK)
+    data.count()
+    train(data, nDocs)
+  }
+
+  /** Stateless scorer for a document stream (works on a batch frame
+    * too): featurize row-locally with the SAME FeatBuilder the trainer
+    * used, dot with the broadcast weights, emit
+    * (doc_id, ts, logit_micro, keep). Model scoring is the
+    * embarrassingly-streamable half of the pipeline — zero state, one
+    * 8 KB broadcast, so the scorer runs at ingest rate at any scale;
+    * only training needs the multi-pass batch substrate.
+    */
+  def scoreStream(docs: DataFrame, w: Array[Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(w)
+    docs
+      .select(col("doc_id").cast("long"), col("text"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val fb = new FeatBuilder
+        val wv = bw.value
+        it.map { case (id, text, ts) =>
+          val (bs, xs) = fb(text)
+          var z = 0L
+          var i = 0
+          while (i < bs.length) { z += wv(bs(i)) * xs(i); i += 1 }
+          (id, ts, tdiv(BigInt(z), BigInt(1000000)).toLong,
+            if (z > 0) 1L else 0L)
+        }
+      }
+      .toDF("doc_id", "ts", "logit_micro", "keep")
   }
 
   /** Train on the corpus and score every document:

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.operators.QualityClassifier
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -492,7 +493,62 @@ object StreamingQueries {
               .as("window_start"),
             col("n_zero"), col("hll_estimate"))
           .orderBy("window_start")))
+  ) ++ Seq(
+
+    // t29's STREAMING leg — the train-offline/score-online shape every
+    // production quality gate deploys as: the logistic regression is
+    // trained batch-side (the same 64-step integer GD the t29 gate
+    // replays), then the document STREAM is scored statelessly (one
+    // row-local featurize + dot per doc against an 8 KB weight
+    // broadcast — zero operator state, so the scorer runs at ingest
+    // rate at any scale) and rolled into watermarked 10-minute
+    // event-time windows of integer monoid totals (docs / keeps /
+    // logit-micro sum — bounded state per open window). Flush follows
+    // the n24 sentinel pattern: one far-future row advances the
+    // watermark past every real window; in append mode the sentinel's
+    // own window never closes, so it never emits. Window starts stay
+    // integer epoch seconds end-to-end (no timestamp formatting to
+    // diverge on). The oracle replays training via the shared t29 CTE
+    // and rolls zz into the same doc_id-derived windows.
+    Q("n25_stream_quality_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = QualityClassifier.trainOn(docs, Tables.docCount(s, d))
+        // +3600 keeps every synthesized event time strictly above the
+        // initial watermark (the n14 convention); sentinel at +4h
+        val base = docs.select(col("doc_id"), col("text"),
+          (col("doc_id") % 3600 + 3600).as("ts_s"))
+        val sentinel = s.range(1).select(lit(-1L).as("doc_id"),
+          lit("").as("text"), lit(4L * 3600L).as("ts_s"))
+        withStaged(s, base.unionByName(sentinel), "n25") { src =>
+          val stream = s.readStream.schema(qgStageSchema).parquet(src)
+            .select(col("doc_id"), col("text"),
+              timestamp_seconds(col("ts_s")).as("ts"))
+          val scored = QualityClassifier.scoreStream(stream, w)
+            .withWatermark("ts", "30 minutes")
+          val win = scored
+            .groupBy(window(col("ts"), "10 minutes"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum("keep").as("n_keep"),
+              sum("logit_micro").as("logit_sum"))
+          runToTable(s, win, "append")
+            .select(unix_timestamp(col("window.start")).as("win_start"),
+              col("n_docs"), col("n_keep"), col("logit_sum"))
+            .orderBy("win_start")
+        }
+      },
+      Some(s"""${TextQueries.qualityTrainCte}
+              |SELECT ((doc_id % 3600 + 3600) // 600 * 600)::BIGINT AS win_start,
+              |  count(*)::BIGINT AS n_docs,
+              |  sum(CASE WHEN z > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+              |  sum(CASE WHEN z >= 0 THEN z // 1000000
+              |      ELSE -((-z) // 1000000) END)::BIGINT AS logit_sum
+              |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  private val qgStageSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("ts_s", LongType)))
 
   /** n24's streaming leg: HLL registers as watermarked windowed
     * aggregation state, estimator finish batch-side over the sink's

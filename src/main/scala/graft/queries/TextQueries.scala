@@ -143,6 +143,67 @@ object TextQueries {
     "o" -> "w", "o" -> "r", "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u",
     "a" -> "r", "p" -> "ar", "j" -> "o", "jo" -> "in")
 
+
+  /** Shared t29/n25 oracle core: the ENTIRE 64-step integer GD training
+    * loop (hashed-bigram features, L2 micro quantization, micro
+    * residuals, truncated updates) replayed as a recursive CTE, ending
+    * with `zz(doc_id, y, z)` — every document's final-weight logit in
+    * pico units. t29 formats per-doc rows from it; n25 rolls it up into
+    * the streaming gate's event-time windows. zz is consumed only AFTER
+    * the recursion, so naming it as a CTE is safe (the
+    * MATERIALIZED-decorrelation trap applies to CTEs the recursive arm
+    * reads).
+    */
+  private[queries] val qualityTrainCte =
+    """WITH RECURSIVE
+             |toks AS (
+             |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+             |         regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+             |  FROM documents),
+             |dp AS (
+             |  SELECT doc_id, y,
+             |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
+             |  FROM toks),
+             |db AS (
+             |  SELECT doc_id, y,
+             |    CAST(concat('0x', substring(md5(pair), 1, 8)) AS BIGINT) % 1024 AS b
+             |  FROM dp),
+             |cnts AS (SELECT doc_id, y, b, count(*)::BIGINT AS cnt FROM db GROUP BY 1, 2, 3),
+             |nrm AS (SELECT doc_id, sum(cnt * cnt)::BIGINT AS ssq FROM cnts GROUP BY 1),
+             |feat0 AS (
+             |  SELECT c.doc_id, c.y, c.b,
+             |         CAST(floor(c.cnt * 1000000.0 / sqrt(n.ssq)) AS BIGINT) AS x
+             |  FROM cnts c JOIN nrm n USING (doc_id)
+             |  UNION ALL
+             |  SELECT doc_id, y, 1024::BIGINT AS b, 1000000::BIGINT AS x FROM toks),
+             |feat AS (  -- dummy doc keeps every bucket present in the
+             |           -- gradient groupBy; x = 0 so it never moves one
+             |  SELECT * FROM feat0
+             |  UNION ALL
+             |  SELECT -1::BIGINT, 0::BIGINT, g.range::BIGINT, 0::BIGINT FROM range(1025) g),
+             |w(step, b, wm) AS (
+             |  SELECT 0, g.range::BIGINT, 0::BIGINT FROM range(1025) g
+             |  UNION ALL
+             |  SELECT step + 1, b,
+             |    CAST(wm + (CASE WHEN g >= 0 THEN (8 * g) // (nn * 1000000)
+             |               ELSE -((8 * -g) // (nn * 1000000)) END) AS BIGINT)
+             |  FROM (
+             |    SELECT t.step, t.b, max(t.wm) AS wm, max(t.nn) AS nn,
+             |           sum(t.x * t.r)::HUGEINT AS g
+             |    FROM (
+             |      SELECT wr.step, wr.b, wr.wm, f.doc_id, f.x,
+             |        (SELECT count(*) FROM documents)::BIGINT AS nn,
+             |        CAST(floor((f.y - 1.0 / (1.0 + exp(-(sum(wr.wm * f.x)
+             |               OVER (PARTITION BY f.doc_id)) / 1e12))) * 1000000) AS BIGINT) AS r
+             |      FROM w wr JOIN feat f USING (b)
+             |      WHERE wr.step < 64) t
+             |    GROUP BY t.step, t.b) gg),
+             |zz AS (
+             |  SELECT f.doc_id, f.y, sum(wr.wm * f.x)::BIGINT AS z
+             |  FROM w wr JOIN feat0 f USING (b)
+             |  WHERE wr.step = 64
+             |  GROUP BY 1, 2)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Language-ID n-gram heuristic: stopword-alternation hit counting.
@@ -1954,58 +2015,12 @@ object TextQueries {
       (s, d) => QualityClassifier
         .classify(Tables.documents(s, d), Tables.docCount(s, d))
         .orderBy("doc_id"),
-      Some("""WITH RECURSIVE
-             |toks AS (
-             |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
-             |         regexp_extract_all(lower(text), '[a-z0-9]+') AS l
-             |  FROM documents),
-             |dp AS (
-             |  SELECT doc_id, y,
-             |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
-             |  FROM toks),
-             |db AS (
-             |  SELECT doc_id, y,
-             |    CAST(concat('0x', substring(md5(pair), 1, 8)) AS BIGINT) % 1024 AS b
-             |  FROM dp),
-             |cnts AS (SELECT doc_id, y, b, count(*)::BIGINT AS cnt FROM db GROUP BY 1, 2, 3),
-             |nrm AS (SELECT doc_id, sum(cnt * cnt)::BIGINT AS ssq FROM cnts GROUP BY 1),
-             |feat0 AS (
-             |  SELECT c.doc_id, c.y, c.b,
-             |         CAST(floor(c.cnt * 1000000.0 / sqrt(n.ssq)) AS BIGINT) AS x
-             |  FROM cnts c JOIN nrm n USING (doc_id)
-             |  UNION ALL
-             |  SELECT doc_id, y, 1024::BIGINT AS b, 1000000::BIGINT AS x FROM toks),
-             |feat AS (  -- dummy doc keeps every bucket present in the
-             |           -- gradient groupBy; x = 0 so it never moves one
-             |  SELECT * FROM feat0
-             |  UNION ALL
-             |  SELECT -1::BIGINT, 0::BIGINT, g.range::BIGINT, 0::BIGINT FROM range(1025) g),
-             |w(step, b, wm) AS (
-             |  SELECT 0, g.range::BIGINT, 0::BIGINT FROM range(1025) g
-             |  UNION ALL
-             |  SELECT step + 1, b,
-             |    CAST(wm + (CASE WHEN g >= 0 THEN (8 * g) // (nn * 1000000)
-             |               ELSE -((8 * -g) // (nn * 1000000)) END) AS BIGINT)
-             |  FROM (
-             |    SELECT t.step, t.b, max(t.wm) AS wm, max(t.nn) AS nn,
-             |           sum(t.x * t.r)::HUGEINT AS g
-             |    FROM (
-             |      SELECT wr.step, wr.b, wr.wm, f.doc_id, f.x,
-             |        (SELECT count(*) FROM documents)::BIGINT AS nn,
-             |        CAST(floor((f.y - 1.0 / (1.0 + exp(-(sum(wr.wm * f.x)
-             |               OVER (PARTITION BY f.doc_id)) / 1e12))) * 1000000) AS BIGINT) AS r
-             |      FROM w wr JOIN feat f USING (b)
-             |      WHERE wr.step < 64) t
-             |    GROUP BY t.step, t.b) gg)
+      Some(s"""$qualityTrainCte
              |SELECT doc_id, y AS label,
              |  CAST(CASE WHEN z >= 0 THEN z // 1000000
              |       ELSE -((-z) // 1000000) END AS BIGINT) AS logit_micro,
              |  CAST(z > 0 AS BIGINT) AS keep
-             |FROM (
-             |  SELECT f.doc_id, f.y, sum(wr.wm * f.x)::BIGINT AS z
-             |  FROM w wr JOIN feat0 f USING (b)
-             |  WHERE wr.step = 64
-             |  GROUP BY 1, 2) zz
+             |FROM zz
              |ORDER BY doc_id""".stripMargin))
   )
 

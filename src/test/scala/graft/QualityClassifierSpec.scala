@@ -111,4 +111,23 @@ class QualityClassifierSpec extends SparkSpec {
     assert(byId(20L)._3 === byId(21L)._3)
     assert(out.size === 20)
   }
+
+  test("n25 streaming gate equals the batch t29 rollup (sf0.001)") {
+    val batch = graft.queries.TextQueries.all
+      .find(_.name == "t29_quality_classifier").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // the oracle's window arithmetic, replayed from the batch output
+    val expect = batch
+      .groupBy { case (id, _, _) => (id % 3600 + 3600) / 600 * 600 }
+      .map { case (ws, rows) =>
+        (ws, rows.size.toLong, rows.map(_._3).sum, rows.map(_._2).sum)
+      }.toSeq.sortBy(_._1)
+    val stream = graft.queries.StreamingQueries.all
+      .find(_.name == "n25_stream_quality_gate").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(stream === expect)
+  }
 }
