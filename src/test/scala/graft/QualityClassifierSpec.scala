@@ -112,6 +112,31 @@ class QualityClassifierSpec extends SparkSpec {
     assert(out.size === 20)
   }
 
+  test("t30 composite equals the two-stage plain-Scala replay (sf0.001)") {
+    // stage 1 via the t28 gate (its own oracle pins it), stage 2 via
+    // this spec's plain-Scala integer GD reference over the filtered
+    // corpus — composition checked against composition
+    val buck = graft.queries.TextQueries.all.find(_.name == "t28_ccnet_bucket").get
+      .fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val keptIds = buck.filter(_._2 <= 2L).keySet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(d => keptIds(d._1)).toSeq
+    val expect = reference(docs)
+      .map { case (id, y, lg, kp) => (id, y, buck(id), lg, kp) }
+    val out = graft.queries.TextQueries.all.find(_.name == "t30_curation_pipeline").get
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(out === expect)
+    // training on the filtered corpus must actually change the model
+    // (different N and feature mass ⇒ different weights/logits)
+    val raw = run(sfDir).map(r => r._1 -> r._3).toMap
+    assert(out.exists(o => raw(o._1) != o._4))
+  }
+
   test("n25 streaming gate equals the batch t29 rollup (sf0.001)") {
     val batch = graft.queries.TextQueries.all
       .find(_.name == "t29_quality_classifier").get
