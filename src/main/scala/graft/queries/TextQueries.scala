@@ -252,6 +252,49 @@ object TextQueries {
         Window.partitionBy("lang").orderBy("avg_micro", "doc_id"))
         .cast("long"))
 
+  /** The PRODUCTION tertile arm (benched by t28 and t30): the per-lang
+    * global sort replaced by a mergeable 10-milli-nat histogram per
+    * lang (surprisal spans a few nats, so bucket counts are bounded),
+    * two cumulative-count thresholds resolved driver-side from the
+    * sketch-sized collect, and a stateless two-comparison bucket
+    * assignment. Docs inside a threshold bucket can land one tertile
+    * off the exact rank — the standard sketch trade; CcnetArmsSpec
+    * pins agreement everywhere else. avg_micro >= 0 by construction
+    * (Laplace surprisal of a ratio >= 1), so no sign shift is needed
+    * before the truncating div (t27's negative-weight trap doesn't
+    * apply).
+    */
+  private[queries] def ccnetBucketsHist(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val scored = ccnetAvgMicro(s, d).localCheckpoint(true)
+    val hist = scored
+      .groupBy(col("lang"), expr("avg_micro div 10000").as("bk"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val thr = hist.groupBy(_._1).toSeq.map { case (lang, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      def cut(q: Long): Long = {
+        var cum = 0L; var bk = sorted.head._2
+        val it = sorted.iterator
+        var done = false
+        while (it.hasNext && !done) {
+          val (_, b, n) = it.next(); if (!done) { cum += n; bk = b }
+          if (cum >= q) done = true
+        }
+        bk
+      }
+      (lang, cut((total + 2) / 3), cut((2 * total + 2) / 3))
+    }
+    val thrDf = { import s.implicits._; thr.toDF("lang", "bk1", "bk2") }
+    scored.join(broadcast(thrDf), Seq("lang"))
+      .withColumn("bucket",
+        when(expr("avg_micro div 10000") <= col("bk1"), 1L)
+          .when(expr("avg_micro div 10000") <= col("bk2"), 2L)
+          .otherwise(3L))
+      .drop("bk1", "bk2")
+  }
+
   val all: Seq[Q] = Seq(
 
     // Language-ID n-gram heuristic: stopword-alternation hit counting.
@@ -1986,35 +2029,7 @@ object TextQueries {
       // everywhere else. avg_micro >= 0 by construction (Laplace
       // surprisal of a ratio >= 1), so no sign shift is needed before
       // the truncating div (t27's negative-weight trap doesn't apply).
-      benchFn = Some((s, d) => {
-        val scored = ccnetAvgMicro(s, d).localCheckpoint(true)
-        val hist = scored
-          .groupBy(col("lang"), expr("avg_micro div 10000").as("bk"))
-          .agg(count(lit(1)).as("n"))
-          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        val thr = hist.groupBy(_._1).toSeq.map { case (lang, rows) =>
-          val sorted = rows.sortBy(_._2)
-          val total = sorted.map(_._3).sum
-          def cut(q: Long): Long = {
-            var cum = 0L; var bk = sorted.head._2
-            val it = sorted.iterator
-            var done = false
-            while (it.hasNext && !done) {
-              val (_, b, n) = it.next(); if (!done) { cum += n; bk = b }
-              if (cum >= q) done = true
-            }
-            bk
-          }
-          (lang, cut((total + 2) / 3), cut((2 * total + 2) / 3))
-        }
-        val thrDf = { import s.implicits._; thr.toDF("lang", "bk1", "bk2") }
-        scored.join(broadcast(thrDf), Seq("lang"))
-          .withColumn("bucket",
-            when(expr("avg_micro div 10000") <= col("bk1"), 1L)
-              .when(expr("avg_micro div 10000") <= col("bk2"), 2L)
-              .otherwise(3L))
-          .drop("bk1", "bk2")
-      })),
+      benchFn = Some((s, d) => ccnetBucketsHist(s, d))),
 
     // GPT-3-style quality classifier (Brown et al. 2020 §A): the
     // curated-vs-crawl logistic regression every LLM pipeline runs as
@@ -2087,7 +2102,24 @@ object TextQueries {
              |       ELSE -((-z) // 1000000) END AS BIGINT) AS logit_micro,
              |  CAST(z > 0 AS BIGINT) AS keep
              |FROM zz JOIN survivors s ON s.doc_id = zz.doc_id
-             |ORDER BY zz.doc_id""".stripMargin))
+             |ORDER BY zz.doc_id""".stripMargin),
+      // production arm (BENCHED): the same composite with the prefilter
+      // tertile resolved by t28's histogram-threshold arm instead of
+      // the exact per-lang sort — survivor sets can differ by docs
+      // inside a threshold bucket (the standard sketch trade), and the
+      // classifier then trains on that production survivor set; the
+      // gate keeps the exact arm as its measurement device.
+      benchFn = Some((s, d) => {
+        val kept = ccnetBucketsHist(s, d)
+          .filter(col("bucket") <= 2L)
+          .select(col("doc_id"), col("bucket"))
+          .localCheckpoint(true)
+        val docs = Tables.documents(s, d).join(kept.select("doc_id"), "doc_id")
+        QualityClassifier.classify(docs, kept.count())
+          .join(kept, "doc_id")
+          .select(col("doc_id"), col("label"), col("bucket"),
+            col("logit_micro"), col("keep"))
+      }))
   )
 
   /** t28's per-document mean-surprisal table
