@@ -1251,4 +1251,31 @@ object Similarity {
     }
     centers
   }
+
+  /** Bounded top-k (cos DESC, id ASC) as a MERGEABLE aggregation — the
+    * streaming retrieval state (n26): k (cos, neighbor_id) pairs per
+    * query regardless of candidate volume, product-encoded (no kryo).
+    * Merge is a sorted-merge-take-k of two bounded lists — associative,
+    * commutative, idempotent-under-distinct-candidates — so the result
+    * is independent of micro-batch splits and partition order; the
+    * tie-break (equal cos -> smaller id) matches probeIvf's window
+    * rank, and the cos doubles come from the identical cosine_sim
+    * arithmetic, so streaming == batch == oracle bit-for-bit.
+    */
+  final class TopCosAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def top(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sortBy(p => (-p._1, p._2)).take(k)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      top(b, Seq(a))
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      top(a, b)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
 }

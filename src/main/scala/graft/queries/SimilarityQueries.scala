@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val quantDuck =
+  private[queries] val quantDuck =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-  private val cosDuck =
+  private[queries] val cosDuck =
     """CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
       |    / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x*x)) AS DOUBLE))
       |       * sqrt(CAST(list_sum(list_transform(b.qv, x -> x*x)) AS DOUBLE)))""".stripMargin

@@ -544,8 +544,95 @@ object StreamingQueries {
               |  sum(CASE WHEN z > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
               |  sum(CASE WHEN z >= 0 THEN z // 1000000
               |      ELSE -((-z) // 1000000) END)::BIGINT AS logit_sum
-              |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming ANN retrieval — queries ARRIVE, the index is at rest
+    // (the online-serving half of the e06/e14 family): each streamed
+    // query fans out to its probe cells row-locally (centroids ride an
+    // 8 KB broadcast), candidates come from a stream-STATIC equi-join
+    // on `cell` against the cell-partitioned at-rest index (the static
+    // side never shuffles per batch; probed-cell pruning bounds the
+    // scan), scoring is the same codegen'd cosine_sim the batch probe
+    // uses, and the per-query top-k is a MERGEABLE bounded aggregation
+    // (Similarity.TopCosAgg — k pairs of state per query, independent
+    // of candidate volume or micro-batch splits). GATE arm probes
+    // nprobe = nlist, which is EXACT by the e14 property, so the
+    // oracle is DuckDB's independent exact kNN — no frozen centroids,
+    // no recall floor; the BENCHED arm is the production nprobe=4
+    // probe (the e06 convention). At corpus scale the per-query cost
+    // is the probed cells' rows; state stays k rows per in-flight
+    // query (window + watermark the query stream to retire finished
+    // queries — here the bounded query set uses complete mode, the
+    // n21 convention).
+    Q("n26_stream_ann",
+      (s, d) => streamAnn(s, d, nprobe = 0),
+      Some(s"""WITH q AS (SELECT vec_id, ${SimilarityQueries.quantDuck} AS qv FROM embeddings),
+              |scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${SimilarityQueries.cosDuck} AS cos
+              |  FROM q a JOIN q b ON a.vec_id < 100 AND a.vec_id <> b.vec_id),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      benchFn = Some((s, d) => streamAnn(s, d, nprobe = 4)))
   )
+
+  /** n26's streaming retrieval plan; nprobe = 0 means all cells (the
+    * gate's exact arm by the e14 property), otherwise the production
+    * nearest-nprobe probe.
+    */
+  private def streamAnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val emQ = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantize(col("embedding")).as("embedding"))
+    val path = graft.sources.TmpDirs.scratch(
+      s"/tmp/graft_stream_ann/p${ProcessHandle.current().pid()}")
+    val index = graft.operators.Similarity.buildIvfIndex(
+      emQ, nlist = 16, atRestPath = Some(path))
+    val queries = emQ.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("qv"))
+    withStaged(s, queries, "n26") { src =>
+      val bc = s.sparkContext.broadcast(index.centers)
+      val probes = s.readStream.schema(annStageSchema).parquet(src)
+        .as[(Long, Array[Double])]
+        .flatMap { case (id, qv) =>
+          val cs = bc.value
+          val cells =
+            if (nprobe <= 0 || nprobe >= cs.length) cs.indices.toSeq
+            else cs.indices.map { i =>
+              var dd = 0.0
+              var j = 0
+              while (j < qv.length) {
+                val t = qv(j) - cs(i)(j); dd += t * t; j += 1
+              }
+              (dd, i)
+            }.sorted.take(nprobe).map(_._2)
+          cells.map(c => (id, c, qv))
+        }
+        .toDF("query_id", "cell", "qv")
+      graft.plans.GraftExtensions.register(s)
+      val scored = probes.join(index.assigned, "cell")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          call_function("cosine_sim", col("qv"), col("v")).as("cos"))
+      val topk = udaf(new graft.operators.Similarity.TopCosAgg(5),
+        org.apache.spark.sql.Encoders.product[(Double, Long)])
+      val agg = scored.groupBy("query_id")
+        .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      runToTable(s, agg, "complete")
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as("neighbor_id"), round(col("col._1"), 6).as("cos"))
+        .orderBy("query_id", "rank")
+    }
+  }
+
+  private val annStageSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("qv", ArrayType(DoubleType))))
 
   private val qgStageSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
