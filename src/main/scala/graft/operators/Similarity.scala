@@ -1252,6 +1252,53 @@ object Similarity {
     centers
   }
 
+  /** Contrastive training-pair mining (the DPR/SimCSE dataset-construction
+    * step, Karpukhin et al. 2020 §4.2's hard negatives): for every anchor,
+    * the best POSITIVE (highest cosine ≥ threshold — a semantic match)
+    * and the best HARD NEGATIVE (highest cosine BELOW the threshold —
+    * the near-miss that teaches the margin). Anchors lacking either side
+    * produce no triple. All comparisons run on micro-quantized integer
+    * cosines (rel = floor(cos·1e6), the e15 convention), so the output
+    * is integer-exact end-to-end and ties break on smaller id.
+    *
+    * Scale shape: ONE pass over the (anchor × candidate) stream — both
+    * argmaxes are conditional struct-max aggregates in a single
+    * map-side-combined groupBy (shuffle = 2 structs per anchor per
+    * partition; no window sort, no second consumer of the pair stream).
+    * The brute candidate generation is the gate's bounded-contract
+    * broadcast arm (the e01 shape); at corpus scale feed the same
+    * aggregate from probeIvf's candidates instead — a hard negative is
+    * by definition a top-ranked non-match, which is exactly what the
+    * probed cells return.
+    */
+  def contrastivePairs(corpus: DataFrame, anchorPred: Column,
+                       relThreshold: Long): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val q = quantized(corpus)
+    val anchors = q.filter(anchorPred)
+      .select(col("vec_id").as("anchor_id"),
+        col("qv").cast("array<double>").as("av"))
+    val scored = q
+      .select(col("vec_id"), col("qv").cast("array<double>").as("v"))
+      .join(broadcast(anchors), col("anchor_id") =!= col("vec_id"))
+      .select(col("anchor_id"), col("vec_id"),
+        floor(call_function("cosine_sim", col("av"), col("v")) * 1e6)
+          .cast("long").as("rel"))
+    // argmax-with-tiebreak as struct max: (rel, -vec_id) orders by rel
+    // then by SMALLER id on ties (vec_id >= 0 by table contract)
+    scored.groupBy("anchor_id")
+      .agg(
+        max(when(col("rel") >= relThreshold,
+          struct(col("rel"), (-col("vec_id")).as("nid")))).as("p"),
+        max(when(col("rel") < relThreshold,
+          struct(col("rel"), (-col("vec_id")).as("nid")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor_id"),
+        (-col("p.nid")).as("pos_id"), col("p.rel").as("pos_rel"),
+        (-col("n.nid")).as("neg_id"), col("n.rel").as("neg_rel"))
+  }
+
   /** Bounded top-k (cos DESC, id ASC) as a MERGEABLE aggregation — the
     * streaming retrieval state (n26): k (cos, neighbor_id) pairs per
     * query regardless of candidate volume, product-encoded (no kryo).

@@ -570,6 +570,34 @@ object SimilarityQueries {
       Some(mmrGreedyOracle),
       bench = false),
 
+    // Contrastive training-pair mining (DPR Karpukhin'20 / SimCSE):
+    // per anchor, the best positive (cos ≥ 0.3 — the e10 semantic-match
+    // threshold) and the best HARD negative (highest cos below it).
+    // Integer micro-cosines end-to-end, one conditional-argmax
+    // aggregate over the pair stream (scale notes in
+    // Similarity.contrastivePairs' scaladoc — at corpus scale the same
+    // aggregate consumes probeIvf candidates instead of the brute arm).
+    Q("e17_contrastive_pairs",
+      (s, d) => Similarity
+        .contrastivePairs(Tables.embeddings(s, d), col("vec_id") < 50,
+          relThreshold = 300000L)
+        .orderBy("anchor_id"),
+      Some(s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+              |s AS (
+              |  SELECT a.vec_id AS anchor_id, b.vec_id AS vid,
+              |    CAST(floor(($cosDuck) * 1e6) AS BIGINT) AS rel
+              |  FROM q a JOIN q b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+              |p AS (SELECT anchor_id, vid AS pos_id, rel AS pos_rel FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+              |      ORDER BY rel DESC, vid ASC) AS rn
+              |    FROM s WHERE rel >= 300000) WHERE rn = 1),
+              |n AS (SELECT anchor_id, vid AS neg_id, rel AS neg_rel FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+              |      ORDER BY rel DESC, vid ASC) AS rn
+              |    FROM s WHERE rel < 300000) WHERE rn = 1)
+              |SELECT p.anchor_id, pos_id, pos_rel, neg_id, neg_rel
+              |FROM p JOIN n USING (anchor_id) ORDER BY anchor_id""".stripMargin)),
+
   )
 
   /** ANN recall audit, gated as a corpus-level mean: one row
