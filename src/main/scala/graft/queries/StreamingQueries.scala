@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.QualityClassifier
+import graft.operators.{Dedup, QualityClassifier}
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -515,9 +515,11 @@ object StreamingQueries {
         val docs = Tables.documents(s, d)
         val w = QualityClassifier.trainOn(docs, Tables.docCount(s, d))
         // +3600 keeps every synthesized event time strictly above the
-        // initial watermark (the n14 convention); sentinel at +4h
+        // initial watermark (the n14 convention); *7 spreads small-SF
+        // doc_ids across the hour so several windows actually close;
+        // sentinel at +4h
         val base = docs.select(col("doc_id"), col("text"),
-          (col("doc_id") % 3600 + 3600).as("ts_s"))
+          (col("doc_id") * 7 % 3600 + 3600).as("ts_s"))
         val sentinel = s.range(1).select(lit(-1L).as("doc_id"),
           lit("").as("text"), lit(4L * 3600L).as("ts_s"))
         withStaged(s, base.unionByName(sentinel), "n25") { src =>
@@ -539,7 +541,7 @@ object StreamingQueries {
       },
       Some(s"""WITH RECURSIVE
               |${TextQueries.qualityTrainCtes("documents")}
-              |SELECT ((doc_id % 3600 + 3600) // 600 * 600)::BIGINT AS win_start,
+              |SELECT ((doc_id * 7 % 3600 + 3600) // 600 * 600)::BIGINT AS win_start,
               |  count(*)::BIGINT AS n_docs,
               |  sum(CASE WHEN z > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
               |  sum(CASE WHEN z >= 0 THEN z // 1000000
@@ -576,7 +578,87 @@ object StreamingQueries {
               |  FROM scored)
               |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
               |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
-      benchFn = Some((s, d) => streamAnn(s, d, nprobe = 4)))
+      benchFn = Some((s, d) => streamAnn(s, d, nprobe = 4))),
+
+    // d11's STREAMING leg — decontamination at the ingest firehose: the
+    // benchmark 8-gram set (dim-sized by contract — an eval suite) is
+    // built batch-side, collected ONCE and broadcast; every arriving
+    // document is then flagged ROW-LOCALLY (tokenize, slide the 8-gram
+    // window, short-circuit on the first benchmark hit) — a stateless
+    // filter with zero shuffle before the windowed rollup, so the scan
+    // runs at ingest rate at any scale. Watermarked 10-minute windows
+    // of (n_docs, n_contaminated) per source — integer monoid state —
+    // flushed by the n24 sentinel; window starts stay integer epoch
+    // seconds end-to-end (the n25 convention). The oracle recomputes
+    // the gram sets, the containment and the window rollup from
+    // scratch.
+    Q("n27_stream_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bgrams = Dedup.gramTable(docs.filter(col("source") === "src0"), n = 8)
+          .select("gram").distinct()
+          .collect().map(_.getString(0)).toSet
+        val bc = s.sparkContext.broadcast(bgrams)
+        val base = docs.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("text"), col("source"),
+            (col("doc_id") * 7 % 3600 + 3600).as("ts_s"))
+        val sentinel = s.range(1).select(lit(-1L).as("doc_id"),
+          lit("").as("text"), lit("zz").as("source"), lit(4L * 3600L).as("ts_s"))
+        withStaged(s, base.unionByName(sentinel), "n27") { src =>
+          import s.implicits._
+          val scored = s.readStream.schema(deconStageSchema).parquet(src)
+            .as[(Long, String, String, Long)]
+            .mapPartitions { it =>
+              val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+              it.map { case (_, text, source, tsS) =>
+                val m = wordRe.matcher(text.toLowerCase)
+                val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+                while (m.find()) toks += m.group()
+                val g = bc.value
+                var hit = 0L
+                var i = 0
+                while (hit == 0L && i + 7 < toks.length) {
+                  val sb = new StringBuilder(toks(i))
+                  var j = i + 1
+                  while (j <= i + 7) { sb.append(' ').append(toks(j)); j += 1 }
+                  if (g.contains(sb.toString)) hit = 1L
+                  i += 1
+                }
+                (source, tsS, hit)
+              }
+            }
+            .toDF("source", "ts_s", "hit")
+            .select(col("source"), timestamp_seconds(col("ts_s")).as("ts"),
+              col("hit"))
+            .withWatermark("ts", "30 minutes")
+          val win = scored
+            .groupBy(window(col("ts"), "10 minutes"), col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum("hit").as("n_contaminated"))
+          runToTable(s, win, "append")
+            .select(unix_timestamp(col("window.start")).as("win_start"),
+              col("source"), col("n_docs"), col("n_contaminated"))
+            .orderBy("win_start", "source")
+        }
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |  FROM documents),
+             |g AS (
+             |  SELECT DISTINCT doc_id, source,
+             |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+             |    ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS gram
+             |  FROM words, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+             |cont AS (
+             |  SELECT DISTINCT doc_id FROM g
+             |  WHERE source <> 'src0'
+             |    AND gram IN (SELECT gram FROM g WHERE source = 'src0'))
+             |SELECT ((doc_id * 7 % 3600 + 3600) // 600 * 600)::BIGINT AS win_start,
+             |  source, count(*)::BIGINT AS n_docs,
+             |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+             |FROM documents WHERE source <> 'src0'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** n26's streaming retrieval plan; nprobe = 0 means all cells (the
@@ -633,6 +715,10 @@ object StreamingQueries {
   private val annStageSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("qv", ArrayType(DoubleType))))
+
+  private val deconStageSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("source", StringType), StructField("ts_s", LongType)))
 
   private val qgStageSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),

@@ -144,7 +144,7 @@ class QualityClassifierSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     // the oracle's window arithmetic, replayed from the batch output
     val expect = batch
-      .groupBy { case (id, _, _) => (id % 3600 + 3600) / 600 * 600 }
+      .groupBy { case (id, _, _) => (id * 7 % 3600 + 3600) / 600 * 600 }
       .map { case (ws, rows) =>
         (ws, rows.size.toLong, rows.map(_._3).sum, rows.map(_._2).sum)
       }.toSeq.sortBy(_._1)
