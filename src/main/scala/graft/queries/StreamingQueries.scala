@@ -552,9 +552,13 @@ object StreamingQueries {
     // (the online-serving half of the e06/e14 family): each streamed
     // query fans out to its probe cells row-locally (centroids ride an
     // 8 KB broadcast), candidates come from a stream-STATIC equi-join
-    // on `cell` against the cell-partitioned at-rest index (the static
-    // side never shuffles per batch; probed-cell pruning bounds the
-    // scan), scoring is the same codegen'd cosine_sim the batch probe
+    // on `cell` against the cell-partitioned at-rest index (here the
+    // probe side is micro-batch-tiny so the join never moves the
+    // corpus; at 10⁹ vectors the deployment form is foreachBatch →
+    // probeIvf, which collects the batch's probed cells and prunes
+    // the partitionBy(cell) layout to exactly those files — the
+    // continuous plan below demonstrates the state/agg semantics),
+    // scoring is the same codegen'd cosine_sim the batch probe
     // uses, and the per-query top-k is a MERGEABLE bounded aggregation
     // (Similarity.TopCosAgg — k pairs of state per query, independent
     // of candidate volume or micro-batch splits). GATE arm probes
