@@ -1026,6 +1026,56 @@ object RelationalQueries {
              |                     WHERE i.p_brand = o.p_brand)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // CDC changelog apply (the lakehouse MERGE-INTO / SCD-1 core — q43
+    // maintains an AGGREGATE incrementally; this maintains the ROW
+    // STATE): orders replay as a per-customer change stream ordered by
+    // (o_orderdate, o_orderkey) — status 'F' rows are DELETEs, the rest
+    // UPSERT the balance — applied onto the customer snapshot.
+    // Latest-wins compaction is ONE struct-max aggregate (max on the
+    // (date, orderkey, op, value) struct — map-side combined, one row
+    // per touched key on the shuffle, NO per-key sort window: the
+    // RocksDB-compaction shape, and exactly how a 100 TB MERGE batches:
+    // compact the delta to latest-per-key, then one keyed join against
+    // the bucketed snapshot). Balances are integer cents so the merged
+    // state hash-compares.
+    Q("q49_cdc_upsert",
+      (s, d) => {
+        val snap = Tables.customer(s, d)
+          .select(col("c_custkey").as("key"),
+            floor(col("c_acctbal") * 100).cast("long").as("snap_cents"))
+        val last = Tables.orders(s, d)
+          .select(col("o_custkey").as("key"),
+            struct(col("o_orderdate"), col("o_orderkey"),
+              when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+              floor(col("o_totalprice") * 100).cast("long").as("new_bal")).as("ch"))
+          .groupBy("key").agg(max(col("ch")).as("last"))
+        snap.join(last, Seq("key"), "left")
+          .filter(col("last").isNull || col("last.op") =!= "D")
+          .select(col("key"),
+            when(col("last.op") === "U", lit("updated"))
+              .otherwise(lit("snapshot")).as("src"),
+            when(col("last.op") === "U", col("last.new_bal"))
+              .otherwise(col("snap_cents")).as("bal_cents"))
+          .orderBy("key")
+      },
+      Some("""WITH log AS (
+             |  SELECT o_custkey AS key, o_orderdate, o_orderkey,
+             |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS new_bal
+             |  FROM orders),
+             |last AS (
+             |  SELECT key, op, new_bal FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY key
+             |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM log)
+             |  WHERE rn = 1)
+             |SELECT c.c_custkey AS key,
+             |  CASE WHEN l.op = 'U' THEN 'updated' ELSE 'snapshot' END AS src,
+             |  CASE WHEN l.op = 'U' THEN l.new_bal
+             |       ELSE CAST(floor(c.c_acctbal * 100) AS BIGINT) END AS bal_cents
+             |FROM customer c LEFT JOIN last l ON l.key = c.c_custkey
+             |WHERE l.op IS NULL OR l.op <> 'D'
+             |ORDER BY 1""".stripMargin)),
+
     // Windowed z-score ANOMALY detection — the monitoring/feature shape:
     // each reading scores against its own trailing 20-event window. The
     // moments come from exact integer sums (the n08 trick), so
