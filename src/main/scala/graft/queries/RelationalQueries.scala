@@ -64,6 +64,52 @@ object RelationalQueries {
     inter / union
   }
 
+  /** q49/n28 shared CDC pieces: the customer snapshot in integer cents,
+    * the change-struct projection of orders ((date, orderkey, op, value)
+    * — struct max = latest-wins), and the snapshot merge (delete filter
+    * + upsert coalesce). Shared so the streaming leg provably applies
+    * the identical semantics to the identical oracle.
+    */
+  private[queries] def cdcSnapshot(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey").as("key"),
+        floor(col("c_acctbal") * 100).cast("long").as("snap_cents"))
+
+  private[queries] def cdcChangeStruct(orders: DataFrame): DataFrame =
+    orders.select(col("o_custkey").as("key"),
+      struct(col("o_orderdate"), col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+        floor(col("o_totalprice") * 100).cast("long").as("new_bal")).as("ch"))
+
+  private[queries] def cdcMerge(snap: DataFrame, last: DataFrame): DataFrame =
+    snap.join(last, Seq("key"), "left")
+      .filter(col("last").isNull || col("last.op") =!= "D")
+      .select(col("key"),
+        when(col("last.op") === "U", lit("updated"))
+          .otherwise(lit("snapshot")).as("src"),
+        when(col("last.op") === "U", col("last.new_bal"))
+          .otherwise(col("snap_cents")).as("bal_cents"))
+      .orderBy("key")
+
+  private[queries] val cdcOracleSql: String =
+    """WITH log AS (
+      |  SELECT o_custkey AS key, o_orderdate, o_orderkey,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS new_bal
+      |  FROM orders),
+      |last AS (
+      |  SELECT key, op, new_bal FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY key
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM log)
+      |  WHERE rn = 1)
+      |SELECT c.c_custkey AS key,
+      |  CASE WHEN l.op = 'U' THEN 'updated' ELSE 'snapshot' END AS src,
+      |  CASE WHEN l.op = 'U' THEN l.new_bal
+      |       ELSE CAST(floor(c.c_acctbal * 100) AS BIGINT) END AS bal_cents
+      |FROM customer c LEFT JOIN last l ON l.key = c.c_custkey
+      |WHERE l.op IS NULL OR l.op <> 'D'
+      |ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // A1: grouped quality/cost sums (simulate.py totals) — TPC-H-Q1 shape.
@@ -1039,42 +1085,10 @@ object RelationalQueries {
     // the bucketed snapshot). Balances are integer cents so the merged
     // state hash-compares.
     Q("q49_cdc_upsert",
-      (s, d) => {
-        val snap = Tables.customer(s, d)
-          .select(col("c_custkey").as("key"),
-            floor(col("c_acctbal") * 100).cast("long").as("snap_cents"))
-        val last = Tables.orders(s, d)
-          .select(col("o_custkey").as("key"),
-            struct(col("o_orderdate"), col("o_orderkey"),
-              when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
-              floor(col("o_totalprice") * 100).cast("long").as("new_bal")).as("ch"))
-          .groupBy("key").agg(max(col("ch")).as("last"))
-        snap.join(last, Seq("key"), "left")
-          .filter(col("last").isNull || col("last.op") =!= "D")
-          .select(col("key"),
-            when(col("last.op") === "U", lit("updated"))
-              .otherwise(lit("snapshot")).as("src"),
-            when(col("last.op") === "U", col("last.new_bal"))
-              .otherwise(col("snap_cents")).as("bal_cents"))
-          .orderBy("key")
-      },
-      Some("""WITH log AS (
-             |  SELECT o_custkey AS key, o_orderdate, o_orderkey,
-             |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
-             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS new_bal
-             |  FROM orders),
-             |last AS (
-             |  SELECT key, op, new_bal FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY key
-             |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM log)
-             |  WHERE rn = 1)
-             |SELECT c.c_custkey AS key,
-             |  CASE WHEN l.op = 'U' THEN 'updated' ELSE 'snapshot' END AS src,
-             |  CASE WHEN l.op = 'U' THEN l.new_bal
-             |       ELSE CAST(floor(c.c_acctbal * 100) AS BIGINT) END AS bal_cents
-             |FROM customer c LEFT JOIN last l ON l.key = c.c_custkey
-             |WHERE l.op IS NULL OR l.op <> 'D'
-             |ORDER BY 1""".stripMargin)),
+      (s, d) => cdcMerge(cdcSnapshot(s, d),
+        cdcChangeStruct(Tables.orders(s, d))
+          .groupBy("key").agg(max(col("ch")).as("last"))),
+      Some(cdcOracleSql)),
 
     // Windowed z-score ANOMALY detection — the monitoring/feature shape:
     // each reading scores against its own trailing 20-event window. The

@@ -662,8 +662,41 @@ object StreamingQueries {
              |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
              |                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
              |FROM documents WHERE source <> 'src0'
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q49's STREAMING leg — the streaming materialized view: the CDC
+    // changelog ARRIVES (orders as a change stream) and the running
+    // latest-per-key state is the same (date, orderkey, op, value)
+    // struct-MAX q49 compacts with, now as streaming aggregation state:
+    // a mergeable max monoid, ONE struct per touched key regardless of
+    // change volume or micro-batch splits (at 100 TB this keyed state
+    // lives in RocksDB and the sink upserts a table; complete mode +
+    // the batch-side snapshot merge is the bounded-replay form). The
+    // merge onto the snapshot reuses q49's cdcMerge verbatim, and the
+    // oracle IS q49's oracle — streaming, batch, and the independent
+    // SQL replay must all three agree.
+    Q("n28_stream_cdc",
+      (s, d) => {
+        val log = Tables.orders(s, d).select("o_custkey", "o_orderdate",
+          "o_orderkey", "o_orderstatus", "o_totalprice")
+        withStaged(s, log, "n28") { src =>
+          val ch = RelationalQueries.cdcChangeStruct(
+            s.readStream.schema(cdcStageSchema).parquet(src))
+          val latest = ch.groupBy("key").agg(max(col("ch")).as("last"))
+          RelationalQueries.cdcMerge(
+            RelationalQueries.cdcSnapshot(s, d),
+            runToTable(s, latest, "complete"))
+        }
+      },
+      Some(RelationalQueries.cdcOracleSql))
   )
+
+  private val cdcStageSchema = StructType(Seq(
+    StructField("o_custkey", LongType),
+    StructField("o_orderdate", TimestampNTZType),
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
 
   /** n26's streaming retrieval plan; nprobe = 0 means all cells (the
     * gate's exact arm by the e14 property), otherwise the production
