@@ -50,6 +50,48 @@ object ScaleProbes {
         println(f"""[probe] {"probe":"semdedup","sf":"$sfDir","maxCell":$maxCell,""" +
           f""""n":$n,"cells":${stats.getLong(0)},"max_cell":${stats.getLong(1)},""" +
           f""""pair_volume":${stats.getLong(2)},"dropped":$dups,"wall_sec":$wall%.2f}""")
+      case "splitmem" :: nCells :: perCell :: maxCell :: Nil =>
+        // Driver-memory bound of the enforceMaxCell split path: plant
+        // nCells oversized cells of perCell vectors each (3 separable
+        // sub-blobs per cell so Lloyd splits cleanly) and split at
+        // maxCell. Reports what the split actually ships to the driver
+        // (the fitted sub-centroids == the growth of the centers array,
+        // which is driver-resident index metadata by definition) against
+        // what the r11 driver-side sub-fit WOULD have collected (the
+        // per-cell samples), plus the post-split pair volume vs its
+        // n*maxCell linear bound.
+        import spark.implicits._
+        val nc = nCells.toInt; val pc = perCell.toInt; val mc = maxCell.toInt
+        val dim = 16
+        val rnd = new scala.util.Random(97)
+        val rows = (0 until nc).flatMap { c =>
+          val proto = Array.tabulate(dim)(d => ((c * 7 + d * 3) % 101).toDouble * 10.0)
+          (0 until pc).map { j =>
+            val v = proto.clone(); v(0) += (j % 3) * 4.0
+            var d = 0
+            while (d < dim) { v(d) += (rnd.nextDouble() - 0.5) * 0.01; d += 1 }
+            (c.toLong * pc + j, c, v)
+          }
+        }
+        val assigned = rows.toDF("vec_id", "cell", "v").repartition(32)
+          .localCheckpoint(true)
+        val centers = Array.tabulate(nc)(c =>
+          Array.tabulate(dim)(d => ((c * 7 + d * 3) % 101).toDouble * 10.0))
+        val t0 = System.nanoTime()
+        val (refined, grown) = graft.operators.Similarity
+          .enforceMaxCell(assigned, centers, maxCell = mc)
+        val stats = refined.groupBy("cell").agg(count(lit(1)).as("m"))
+          .agg(count(lit(1)).as("cells"), max("m").as("max_cell"),
+            sum(expr("m * m")).as("pair_volume")).collect().head
+        val wall = (System.nanoTime() - t0) / 1e9
+        val n = nc.toLong * pc
+        val centroidBytes = (grown.length - nc).toLong * dim * 8 // what round trips to the driver now
+        val sampleBytes = nc.toLong * math.min(pc, 2048) * dim * 8 // what the r11 path collected in round 1 alone
+        println(f"""[probe] {"probe":"splitmem","cells_planted":$nc,"per_cell":$pc,"maxCell":$mc,""" +
+          f""""n":$n,"cells_out":${stats.getLong(0)},"max_cell_out":${stats.getLong(1)},""" +
+          f""""pair_volume":${stats.getLong(2)},"pair_bound_n_maxCell":${n * mc},""" +
+          f""""driver_bytes_now":$centroidBytes,"driver_bytes_r11_path":$sampleBytes,""" +
+          f""""wall_sec":$wall%.2f}""")
       case "forecast_floor" :: sfDir :: Nil =>
         import org.apache.spark.sql.expressions.Window
         // rebuild the n08-n10 synthetic generative state WITH its latent

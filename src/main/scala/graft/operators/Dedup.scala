@@ -77,7 +77,7 @@ object Dedup {
         }
         it.flatMap { case (docId, t) =>
           val toks = {
-            val m = wordRe.matcher(t.toLowerCase)
+            val m = wordRe.matcher(t.toLowerCase(java.util.Locale.ROOT))
             val buf = scala.collection.mutable.ArrayBuffer.empty[String]
             while (m.find()) buf += m.group()
             buf
@@ -175,7 +175,7 @@ object Dedup {
         val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
         it.flatMap { case (docId, t) =>
           val toks = {
-            val m = wordRe.matcher(t.toLowerCase)
+            val m = wordRe.matcher(t.toLowerCase(java.util.Locale.ROOT))
             val buf = scala.collection.mutable.ArrayBuffer.empty[String]
             while (m.find()) buf += m.group()
             buf
@@ -209,7 +209,7 @@ object Dedup {
         val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
         it.flatMap { case (docId, t) =>
           val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-          val m = wordRe.matcher(t.toLowerCase)
+          val m = wordRe.matcher(t.toLowerCase(java.util.Locale.ROOT))
           while (m.find()) {
             val w = m.group()
             counts.update(w, counts.getOrElse(w, 0L) + 1L)
@@ -239,7 +239,7 @@ object Dedup {
         val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
         it.flatMap { case (docId, t) =>
           val toks = {
-            val m = wordRe.matcher(t.toLowerCase)
+            val m = wordRe.matcher(t.toLowerCase(java.util.Locale.ROOT))
             val buf = scala.collection.mutable.ArrayBuffer.empty[String]
             while (m.find()) buf += m.group()
             buf
@@ -407,7 +407,7 @@ object Dedup {
         val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
         it.map { case (docId, t) =>
           val sums = new Array[Int](64)
-          val m = wordRe.matcher(t.toLowerCase)
+          val m = wordRe.matcher(t.toLowerCase(java.util.Locale.ROOT))
           while (m.find()) {
             val h = XxHash64Function.hash(UTF8String.fromString(m.group()), StringType, 42L)
             var j = 0
@@ -454,7 +454,7 @@ object Dedup {
         it.map { case (docId, t) =>
           // normalized stream: tokens joined by single spaces
           val sb = new java.lang.StringBuilder
-          val m = wordRe.matcher(t.toLowerCase)
+          val m = wordRe.matcher(t.toLowerCase(java.util.Locale.ROOT))
           while (m.find()) {
             if (sb.length > 0) sb.append(' ')
             sb.append(m.group())

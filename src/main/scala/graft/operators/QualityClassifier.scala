@@ -107,7 +107,7 @@ object QualityClassifier {
     private val md = java.security.MessageDigest.getInstance("MD5")
 
     def apply(text: String): (Array[Int], Array[Long]) = {
-      val m = wordRe.matcher(text.toLowerCase)
+      val m = wordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
       val toks = scala.collection.mutable.ArrayBuffer.empty[String]
       while (m.find()) toks += m.group()
       val cnt = scala.collection.mutable.LongMap.empty[Long]
@@ -164,7 +164,14 @@ object QualityClassifier {
             var z = 0L
             var i = 0
             while (i < d.bs.length) { z += wv(d.bs(i)) * d.xs(i); i += 1 }
-            val p = 1.0 / (1.0 + math.exp(-z / 1e12))
+            // StrictMath (fdlibm) rather than the math.exp intrinsic: the
+            // sigmoid is the loop's ONE non-integer op, and the DuckDB
+            // replay recomputes it with libm — pinning the JVM side to the
+            // platform-stable fdlibm keeps the floor((y-p)*1e6) residual
+            // reproducible across JDKs/CPUs. (A 1-ulp exp difference only
+            // matters if (y-p)*1e6 lands exactly on an integer boundary —
+            // never observed at freeze time, but why carry the risk.)
+            val p = 1.0 / (1.0 + StrictMath.exp(-z / 1e12))
             val r = math.floor((d.y - p) * 1e6).toLong
             i = 0
             while (i < d.bs.length) { acc(d.bs(i)) += d.xs(i) * r; i += 1 }
@@ -197,7 +204,9 @@ object QualityClassifier {
   def trainOn(docs: DataFrame, nDocs: Long): Array[Long] = {
     val data = featureRdd(docs, nDocs).persist(StorageLevel.MEMORY_AND_DISK)
     data.count()
-    train(data, nDocs)
+    try train(data, nDocs)
+    finally data.unpersist(blocking = false) // weights captured; don't let
+    // the feature blocks outlive the call in a long-lived session
   }
 
   /** Stateless scorer for a document stream (works on a batch frame
@@ -240,7 +249,7 @@ object QualityClassifier {
     data.count()
     val w = train(data, nDocs)
     val bw = spark.sparkContext.broadcast(w)
-    data
+    val scored = data
       .map { d =>
         val wv = bw.value
         var z = 0L
@@ -250,5 +259,11 @@ object QualityClassifier {
           if (z > 0) 1L else 0L)
       }
       .toDF("doc_id", "label", "logit_micro", "keep")
+      // one eager pass materializes the (4-col, 1-row/doc) scores so the
+      // fat feature blocks can be dropped NOW instead of living for the
+      // session; the checkpoint blocks are context-cleaned on GC
+      .localCheckpoint(true)
+    data.unpersist(blocking = false)
+    scored
   }
 }

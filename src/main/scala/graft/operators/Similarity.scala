@@ -256,23 +256,38 @@ object Similarity {
   /** Enforce a maximum cell size on a MATERIALIZED assignment table
     * (columns `vec_id, cell, v` and optionally `cdist`): cells above
     * `maxCell` are recursively split — sub-centroids fit by the same
-    * deterministic driver-side Lloyd as the top-level build, on a bounded
-    * per-cell sample (≤ `subSample` rows per oversized cell, xxhash64-
-    * ordered so the fit is partitioning-independent), members reassigned
-    * to their nearest sub-centroid in one typed pass over the oversized
-    * cells only. Rounds repeat until every cell fits or `maxRounds` is
+    * deterministic fixed-iteration Lloyd as the top-level build, on a
+    * bounded per-cell sample (≤ `subSample` rows per oversized cell,
+    * xxhash64-ordered so the fit is partitioning-independent), members
+    * reassigned to their nearest sub-centroid in one typed pass over the
+    * oversized cells only. The per-cell fits run DISTRIBUTED
+    * (`groupByKey(cell).mapGroups`, each group re-sorted by the same
+    * (xxhash64, vec_id) key before fitting, so the arithmetic order — and
+    * hence the centers — is bit-identical to a driver-side fit): the
+    * driver only ever collects the FITTED SUB-CENTROIDS, ≤64·dim doubles
+    * per oversized cell, which is exactly the growth of the
+    * driver-resident `centers` array this call must return anyway. Driver
+    * memory on the split path is therefore bounded by the index-metadata
+    * floor (~n/maxCell centroids), never by `oversizedCells × subSample`
+    * samples — at 10⁹-10¹⁰ vectors a round-2 split touches ~10⁵ cells,
+    * whose samples would be a >100 GB driver collect but whose centroids
+    * are the same few GB the final index ships to every probe.
+    * Rounds repeat until every cell fits or `maxRounds` is
     * exhausted; the last two rounds (and any cell whose sample Lloyd
     * cannot separate — fewer than 2 distinct sampled vectors) fall back
     * to a SplitMix64 hash salt with the parent centroid replicated, which
-    * always makes progress. Branch factor per round is capped at 64 so
+    * always makes progress (salt rounds skip the sampling job entirely —
+    * the salt needs only the cell SIZE, already in hand from the size
+    * check). Branch factor per round is capped at 64 so
     * one huge cell grows the centers array geometrically across rounds
     * rather than in one jump.
     *
     * 100 TB shape: the common case (no oversized cell) costs ONE
     * 1-row-per-cell aggregate over the materialized assignment — no extra
     * corpus pass, no shuffle of in-cap rows. Each split round touches
-    * only the oversized cells' rows (filter → window-sample → typed
-    * reassign, localCheckpoint'd so the next round's size check doesn't
+    * only the oversized cells' rows (filter → window-sample → per-cell
+    * distributed fit → typed reassign, localCheckpoint'd so the next
+    * round's size check doesn't
     * re-execute). Final leaf count is ~n/maxCell — that is flat IVF's
     * inherent metadata floor (FAISS answers it with a coarse quantizer
     * over the centroids; at 10¹¹ vectors raise `maxCell`, or put an
@@ -288,7 +303,7 @@ object Similarity {
     * input frame is returned `eq`-identical so callers can skip their
     * re-layout.
     */
-  private[operators] def enforceMaxCell(assigned: DataFrame,
+  private[graft] def enforceMaxCell(assigned: DataFrame,
                                         centers: Array[Array[Double]],
                                         maxCell: Int,
                                         subSample: Int = 2048,
@@ -297,8 +312,15 @@ object Similarity {
     val spark = assigned.sparkSession
     import spark.implicits._
     val hasDist = assigned.columns.contains("cdist")
-    val cols = if (hasDist) Seq("vec_id", "cell", "cdist", "v") else Seq("vec_id", "cell", "v")
-    var cur = assigned.select(cols.map(col): _*)
+    // explicit int cast: the atRestPath branch feeds a parquet PARTITION
+    // column whose read-back type depends on
+    // spark.sql.sources.partitionColumnTypeInference.enabled — without the
+    // cast, inference off would hand this function a StringType cell and
+    // the size-check collect would ClassCastException
+    val cols =
+      if (hasDist) Seq(col("vec_id"), col("cell").cast("int").as("cell"), col("cdist"), col("v"))
+      else Seq(col("vec_id"), col("cell").cast("int").as("cell"), col("v"))
+    var cur = assigned.select(cols: _*)
     val cents = scala.collection.mutable.ArrayBuffer(centers: _*)
     var round = 0
     var clean = false
@@ -312,23 +334,44 @@ object Similarity {
       else {
         val overIds = oversized.map(_._1)
         val inOver = col("cell").isin(overIds.map(Integer.valueOf): _*)
-        // bounded deterministic per-cell sample for the sub-fits; the
-        // sort key (cell, xxhash64, vec_id) fixes Lloyd's input order
-        // independent of partitioning
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("cell").orderBy(xxhash64(col("vec_id")), col("vec_id"))
-        val sampled = cur.filter(inOver)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= subSample)
-          .select(col("cell"), xxhash64(col("vec_id")).as("h"), col("vec_id"),
-            col("v").cast("array<double>"))
-          .as[(Int, Long, Long, Array[Double])]
-          .collect().sortBy { case (c, h, id, _) => (c, h, id) }
-          .groupBy(_._1).view.mapValues(_.map(_._4)).toMap
         val saltRound = round >= maxRounds - 2
+        // Distributed per-cell sub-fits: the window bounds each cell's
+        // sample (≤ subSample rows, (xxhash64, vec_id)-ordered so the SET
+        // is partitioning-independent), mapGroups re-sorts each group by
+        // the same key so the Lloyd input ORDER is too, and only the
+        // fitted sub-centroids come back to the driver — Array.empty marks
+        // a cell the sample cannot separate (< 2 distinct vectors). Salt
+        // rounds never reach here: the salt needs only the cell size.
+        val fitted: Map[Int, Array[Array[Double]]] =
+          if (saltRound) Map.empty
+          else {
+            val sizes = spark.sparkContext.broadcast(oversized.toMap)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("cell").orderBy(xxhash64(col("vec_id")), col("vec_id"))
+            val mc = maxCell
+            val out = cur.filter(inOver)
+              .withColumn("rn", row_number().over(w)).filter(col("rn") <= subSample)
+              .select(col("cell"), xxhash64(col("vec_id")).as("h"), col("vec_id"),
+                col("v").cast("array<double>"))
+              .as[(Int, Long, Long, Array[Double])]
+              .groupByKey(_._1)
+              .mapGroups { (c, it) =>
+                val pts = it.toArray.sortBy { case (_, h, id, _) => (h, id) }.map(_._4)
+                val distinct2 = pts.exists(p => !java.util.Arrays.equals(p, pts.head))
+                if (!distinct2) (c, Array.empty[Array[Double]])
+                else {
+                  val s = sizes.value(c)
+                  val b = math.min(64L, math.max(2L, (s + mc - 1) / mc)).toInt
+                  (c, lloyd(pts, b, iters = 10))
+                }
+              }
+              .collect().map { case (c, sub) => c -> sub }.toMap
+            sizes.destroy()
+            out
+          }
         val splits: Map[Int, CellSplit] = oversized.map { case (c, s) =>
-          val pts = sampled(c)
-          val distinct2 = pts.exists(p => !java.util.Arrays.equals(p, pts.head))
-          if (saltRound || !distinct2) {
+          val sub0 = fitted.getOrElse(c, Array.empty[Array[Double]])
+          if (saltRound || sub0.isEmpty) {
             // indivisible (or out of Lloyd rounds): replicate the parent
             // centroid and salt members — 2× headroom over the exact
             // quotient absorbs hash imbalance
@@ -338,8 +381,7 @@ object Similarity {
             while (i < b) { cents += cents(c).clone(); ids(i) = cents.length - 1; i += 1 }
             c -> CellSplit(salt = true, ids, Array.fill(b)(cents(c)))
           } else {
-            val b = math.min(64L, math.max(2L, (s + maxCell - 1) / maxCell)).toInt
-            val sub = lloyd(pts, b, iters = 10)
+            val sub = sub0
             cents(c) = sub(0)
             val ids = Array(c) ++ sub.drop(1).map { sc0 => cents += sc0; cents.length - 1 }
             c -> CellSplit(salt = false, ids, sub)

@@ -105,7 +105,7 @@ object Sketches {
         it.foreach { case (grp, text) =>
           val st = partials.getOrElseUpdate(grp, new java.util.TreeSet[String]())
           val toks = {
-            val m = wordRe.matcher(text.toLowerCase)
+            val m = wordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
             val buf = scala.collection.mutable.ArrayBuffer.empty[String]
             while (m.find()) buf += m.group()
             buf

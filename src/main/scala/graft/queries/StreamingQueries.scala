@@ -615,7 +615,7 @@ object StreamingQueries {
             .mapPartitions { it =>
               val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
               it.map { case (_, text, source, tsS) =>
-                val m = wordRe.matcher(text.toLowerCase)
+                val m = wordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
                 val toks = scala.collection.mutable.ArrayBuffer.empty[String]
                 while (m.find()) toks += m.group()
                 val g = bc.value

@@ -955,7 +955,7 @@ object TextQueries {
             val re = java.util.regex.Pattern.compile("[a-z0-9]+")
             it.map { case (_, src, t) =>
               val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-              val m = re.matcher(t.toLowerCase)
+              val m = re.matcher(t.toLowerCase(java.util.Locale.ROOT))
               while (m.find()) toks += m.group()
               val counts = scala.collection.mutable.HashMap.empty[String, Int]
               toks.foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))

@@ -325,6 +325,66 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute, "split index lost or duplicated a vector")
   }
 
+  test("enforceMaxCell splits HUNDREDS of oversized cells in one round, sub-fits distributed") {
+    import spark.implicits._
+    // 200 planted cells of 39 vectors each (3 well-separated sub-blobs of
+    // 13) fed DIRECTLY to enforceMaxCell with maxCell=16: every cell is
+    // oversized at once — the regime the r11 driver-side sub-fit would
+    // have paid 200 × sample collects for, now 200 distributed Lloyd fits
+    // whose only driver traffic is the fitted sub-centroids
+    val rnd = new scala.util.Random(41)
+    val dim = 8
+    val rows = (0 until 200).flatMap { c =>
+      val proto = Array.tabulate(dim)(d => ((c * 7 + d * 3) % 40).toDouble * 10.0)
+      (0 until 39).map { j =>
+        val sub = j % 3 // 3 separable sub-blobs per cell
+        val v = proto.clone()
+        v(0) += sub * 4.0
+        var d = 0
+        while (d < dim) { v(d) += (rnd.nextDouble() - 0.5) * 0.01; d += 1 }
+        (c.toLong * 39 + j, c, v)
+      }
+    }
+    val assigned = rows.toDF("vec_id", "cell", "v")
+    val centers = Array.tabulate(200)(c =>
+      Array.tabulate(dim)(d => ((c * 7 + d * 3) % 40).toDouble * 10.0))
+    val (refined, grown) = Similarity.enforceMaxCell(assigned, centers, maxCell = 16)
+    val sizes = refined.groupBy("cell").count().collect().map(r => r.getLong(1))
+    assert(sizes.sum == 200L * 39, "split lost or duplicated vectors")
+    assert(sizes.forall(_ <= 16), s"oversized cell survived: max=${sizes.max}")
+    // all 200 cells Lloyd-split in round 1 (b = ceil(39/16) = 3 → ≥2 new
+    // centroids per parent); a minority may take a round-2 touch-up when
+    // the hash-ordered init seeds land inside one sub-blob, but the salt
+    // path (2× headroom → 5 extra per cell → ≥1200 total) must stay cold
+    assert(grown.length >= 200 + 2 * 200 && grown.length < 1100,
+      s"expected ~600-1000 Lloyd-split centers (no salt), got ${grown.length}")
+    // partitioning invariance holds across the mass-split path
+    val (refined11, grown11) =
+      Similarity.enforceMaxCell(assigned.repartition(11), centers, maxCell = 16)
+    assert(grown11.length == grown.length)
+    assert(grown.indices.forall(i => java.util.Arrays.equals(grown(i), grown11(i))),
+      "distributed sub-fit centers must be partitioning-independent")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(snap(refined) == snap(refined11))
+  }
+
+  test("enforceMaxCell reads a string-typed cell column (partition-column inference off)") {
+    import spark.implicits._
+    // the atRestPath branch hands enforceMaxCell a parquet PARTITION
+    // column; with partitionColumnTypeInference disabled that column is
+    // StringType — the explicit int cast must absorb it
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 80).map(i => (i.toLong, "0", Array.fill(4)(rnd.nextDouble())))
+    val assigned = rows.toDF("vec_id", "cell", "v")
+    assert(assigned.schema("cell").dataType == org.apache.spark.sql.types.StringType)
+    val centers = Array(Array.fill(4)(0.5))
+    val (refined, grown) = Similarity.enforceMaxCell(assigned, centers, maxCell = 32)
+    val sizes = refined.groupBy("cell").count().collect().map(r => r.getLong(1))
+    assert(sizes.sum == 80 && sizes.forall(_ <= 32))
+    assert(grown.length > 1)
+  }
+
   test("enforceMaxCell salt-splits a cell Lloyd cannot separate (identical vectors)") {
     import spark.implicits._
     val one = Array.fill(16)(0.5f)
