@@ -16,9 +16,11 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 
 con = duckdb.connect()
+import os
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     t = p.split("/")[-1].removesuffix(".parquet")
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p  # ScaleData writes dirs
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 

@@ -50,6 +50,30 @@ object ScaleProbes {
         println(f"""[probe] {"probe":"semdedup","sf":"$sfDir","maxCell":$maxCell,""" +
           f""""n":$n,"cells":${stats.getLong(0)},"max_cell":${stats.getLong(1)},""" +
           f""""pair_volume":${stats.getLong(2)},"dropped":$dups,"wall_sec":$wall%.2f}""")
+      case "lshab" :: sfDir :: Nil =>
+        // e04 auto-bits A/B: the occupancy law (autoLshBits) vs the
+        // historical fixed 8-bit signature, same corpus same session.
+        // Reports wall + the quantity the law controls (bucket occupancy).
+        import graft.functions.VectorFunctions.quantize
+        val emb = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), quantize(col("embedding")).as("embedding"))
+          .localCheckpoint(true)
+        val n = emb.count()
+        def run(label: String, dims: Seq[Int]): Unit = {
+          val t0 = System.nanoTime()
+          val out = graft.operators.Similarity.lshKnn(emb, k = 5, dims = dims)
+          val rows = out.count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val bits = if (dims.nonEmpty) dims.length
+                     else graft.operators.Similarity.autoLshBits(n, 64)
+          println(f"""[probe] {"probe":"lshab","sf":"$sfDir","arm":"$label",""" +
+            f""""n":$n,"bits":$bits,"occupancy":${n / (1L << bits)},""" +
+            f""""rows":$rows,"wall_sec":$wall%.2f}""")
+        }
+        run("fixed8", Seq(1, 9, 17, 25, 33, 41, 49, 57))
+        run("auto", Nil)
+        run("fixed8_again", Seq(1, 9, 17, 25, 33, 41, 49, 57))
+        run("auto_again", Nil)
       case "splitmem" :: nCells :: perCell :: maxCell :: Nil =>
         // Driver-memory bound of the enforceMaxCell split path: plant
         // nCells oversized cells of perCell vectors each (3 separable

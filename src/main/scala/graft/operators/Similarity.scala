@@ -942,9 +942,50 @@ object Similarity {
         }
       }
 
+  /** Evenly-spread LSH coordinate ladder for `inDims`-dimensional
+    * vectors: 8 stride-spaced coordinates, then their midpoints, then the
+    * quarter-points — any PREFIX of the ladder is itself an evenly-spread
+    * coordinate set, so growing the bit count REFINES buckets without
+    * reshuffling the leading bits (an 8-bit bucket is the prefix of the
+    * same vector's 16-bit bucket). The first 8 entries reproduce the
+    * historical fixed default (1,9,…,57 at 64 dims), which keeps every
+    * sub-524k-vector result byte-identical to rounds ≤ 11.
+    */
+  def lshDimLadder(inDims: Int): Seq[Int] = {
+    val stride = math.max(1, inDims / 8)
+    val offsets = Seq(0, stride / 2, stride / 4, (3 * stride) / 4)
+      .distinct.filter(_ < stride)
+    for (off <- offsets; j <- 0 until 8; d = j * stride + off + 1 if d <= inDims)
+      yield d
+  }
+
+  /** The autoNlist analog for LSH: enough sign bits that the EXPECTED
+    * bucket occupancy n/2^bits stays ≈ `targetBucket`, clamped to
+    * [8, min(24, ladder length)]. Fixed bits made the per-bucket exact
+    * scan occupancy-quadratic in n (measured 3.1× then 8.8× per decade at
+    * 2⁸ buckets — SCALING.md's one accelerating curve); under the law the
+    * expected per-bucket work is constant and the total linear. Pure
+    * integer arithmetic (smallest b with targetBucket·2^b ≥ n, via the
+    * bit length of ceil(n/target)−1) so DuckDB replays it exactly —
+    * no log2 ulp seam. The default target 64 is ~12× e04's k=5 (ample
+    * exact-rerank candidates for a single-table LSH) while keeping
+    * total work n·occupancy ≈ 64n; ≤ 16384 vectors → the 8-bit floor,
+    * byte-identical to the historical default (every oracle SF).
+    */
+  def autoLshBits(n: Long, inDims: Int, targetBucket: Int = 64): Int = {
+    val m = (math.max(n, 1L) + targetBucket - 1) / targetBucket // ceil(n/target)
+    val needed = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(8, math.min(math.min(24, lshDimLadder(inDims).length), needed))
+  }
+
   /** LSH-bucketed ANN: candidates share the sign-bit bucket; per-bucket
     * top-k via a typed groupByKey kernel (the scale path — buckets
-    * partition the corpus, so no all-pairs blow-up).
+    * partition the corpus, so no all-pairs blow-up). With `dims` empty
+    * (the default) the bit count is derived from the corpus size by
+    * `autoLshBits` over the `lshDimLadder` prefix — the engine turns the
+    * occupancy dial itself instead of documenting it as a deployment
+    * knob; the salt guard stays as the backstop for individual hot
+    * buckets the expected-occupancy law cannot see.
     *
     * Hot-bucket guard: a bucket larger than `maxBucket` is split by a
     * secondary hash of vec_id into ceil(n/maxBucket) sub-buckets, so one
@@ -955,17 +996,27 @@ object Similarity {
     * SimilaritySpec). Buckets at or under the cap keep salt 0 and are
     * byte-identical to the unguarded path.
     */
-  def lshKnn(vectors: DataFrame, k: Int, dims: Seq[Int] = Seq(1, 9, 17, 25, 33, 41, 49, 57),
-             maxBucket: Int = 4096): DataFrame = {
+  def lshKnn(vectors: DataFrame, k: Int, dims: Seq[Int] = Nil,
+             maxBucket: Int = 4096, targetBucket: Int = 64): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val useDims =
+      if (dims.nonEmpty) dims
+      else {
+        // one cheap count pass (parquet row-group metadata at rest) buys
+        // the occupancy law; the ladder prefix keeps small corpora
+        // byte-identical to the historical 8-bit default
+        val n = vectors.count()
+        val inDims = vectors.select(size(col("embedding"))).first().getInt(0)
+        lshDimLadder(inDims).take(autoLshBits(n, inDims, targetBucket))
+      }
     // checkpointed: it feeds both the size aggregation and the join probe
     // side — without it the scan + bucket hash run twice (same reason
     // simhashCandidates checkpoints its fingerprint table; localCheckpoint
     // over persist so the blocks don't accumulate in the session cache)
     val bucketed = vectors
       .select(col("vec_id").cast("long"),
-        signBucket(col("embedding"), dims).as("bucket"),
+        signBucket(col("embedding"), useDims).as("bucket"),
         col("embedding").cast("array<double>").as("v"))
       .localCheckpoint(true)
     // one row per non-empty bucket — joined back on the same key the

@@ -161,11 +161,20 @@ object SimilarityQueries {
     // over integer-quantized vectors the whole pipeline (sign-bit bucket
     // key, size aggregation, salt column, per-bucket exact ranking,
     // rank/tie-break) is a pure integer function DuckDB reproduces
-    // end-to-end. The oracle omits the hot-bucket salt because with 2^8
-    // buckets no bucket approaches maxBucket=4096 below ~sf100 (salt
-    // stays 0, byte-equal to the unguarded path by construction —
-    // Similarity.lshKnn doc). The float-cosine variant of the same kernel
-    // stays recall-asserted vs brute force in OperatorSpecs.
+    // end-to-end. Since round 12 the BIT COUNT is derived from the corpus
+    // size (Similarity.autoLshBits over the lshDimLadder prefix — the
+    // occupancy law that removes the fixed-2^8 density knee), and the
+    // oracle replays the law in the same integer arithmetic: bits =
+    // clamp(bitlength(ceil(n/64)-1), 8, 24), bucket = the first `bits`
+    // chars of the 24-dim ladder signature. ≤16384 vectors → 8 bits, the
+    // historical bucket, byte-identical to rounds ≤11 at the oracle SFs
+    // (sf0.01/sf0.1); the law engages at sf1 (20k → 9 bits) and sf10
+    // (200k → 12 bits) and the oracle replays it live there.
+    // The oracle omits the hot-bucket salt because under the law expected
+    // occupancy is ~64 << maxBucket=4096 (salt stays 0, byte-equal to
+    // the unguarded path by construction — Similarity.lshKnn doc). The
+    // float-cosine variant of the same kernel stays recall-asserted vs
+    // brute force in OperatorSpecs.
     Q("e04_lsh_knn",
       (s, d) => Similarity.lshKnn(
           Tables.embeddings(s, d)
@@ -174,12 +183,16 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos"))
         .orderBy("query_id", "rank"),
       Some {
-        val dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)
-        val bucketSql = dims
+        val bucketSql = Similarity.lshDimLadder(64).take(24)
           .map(i => s"(CASE WHEN qv[$i] >= 0 THEN '1' ELSE '0' END)")
           .mkString(" || ")
         s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
-           |bk AS (SELECT vec_id, qv, $bucketSql AS bucket FROM q),
+           |p AS (SELECT greatest(8, least(24,
+           |       length(bin(greatest(((count(*) + 63) // 64) - 1, 1))))) AS bits
+           |     FROM q),
+           |bk AS (SELECT vec_id, qv,
+           |         substr($bucketSql, 1, (SELECT bits FROM p)) AS bucket
+           |       FROM q),
            |scored AS (
            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosDuck AS cos
            |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),

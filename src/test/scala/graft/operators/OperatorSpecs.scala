@@ -590,6 +590,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("autoLshBits pins the bits-vs-n law; the ladder prefix is the historical default") {
+    // the first 8 ladder coordinates at 64 dims ARE the pre-r12 fixed
+    // default, so sub-524k corpora stay byte-identical across rounds
+    assert(Similarity.lshDimLadder(64).take(8) == Seq(1, 9, 17, 25, 33, 41, 49, 57))
+    // ladder coordinates are distinct, in range, and ≥24 deep at 64 dims
+    val ladder = Similarity.lshDimLadder(64)
+    assert(ladder.distinct.length == ladder.length && ladder.forall(d => d >= 1 && d <= 64))
+    assert(ladder.length >= 24)
+    // the law: smallest b with 64·2^b ≥ n, clamped to [8, 24] — exact
+    // integer boundaries (the DuckDB oracle replays the same arithmetic)
+    assert(Similarity.autoLshBits(1, 64) == 8)
+    assert(Similarity.autoLshBits(16384, 64) == 8) // 64·2^8 exactly
+    assert(Similarity.autoLshBits(16385, 64) == 9) // first count past it
+    assert(Similarity.autoLshBits(20000, 64) == 9)   // sf1 embeddings
+    assert(Similarity.autoLshBits(200000, 64) == 12) // sf10 embeddings
+    assert(Similarity.autoLshBits(2000000, 64) == 15)
+    assert(Similarity.autoLshBits(Long.MaxValue / 2, 64) == 24) // ceiling clamp
+    // occupancy invariant across the decades: n/2^bits ≤ target until clamp
+    (8 to 17).foreach { p =>
+      val n = 64L << p
+      val bits = Similarity.autoLshBits(n, 64)
+      assert(n <= 64L * (1L << bits), s"law violated at n=$n bits=$bits")
+    }
+  }
+
+  test("lshKnn auto bit-count equals the explicit ladder prefix when the law engages") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val df = (0L until 1500L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    // targetBucket=4 → ceil(1500/4)=375 → 9 bits: the law must pick the
+    // 9-coordinate ladder prefix and match an explicit-dims run exactly
+    val auto = Similarity.lshKnn(df, k = 3, targetBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val explicitDims = Similarity.lshKnn(df, k = 3,
+        dims = Similarity.lshDimLadder(64).take(9)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(auto == explicitDims)
+    // and at the default target the law stays on 8 bits here (n=1500),
+    // i.e. byte-identical to the historical fixed-dims behavior
+    val default8 = Similarity.lshKnn(df, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val fixed8 = Similarity.lshKnn(df, k = 3,
+        dims = Seq(1, 9, 17, 25, 33, 41, 49, 57)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(default8 == fixed8)
+  }
+
   test("lshKnn hot-bucket guard splits oversize buckets, leaves small ones exact") {
     // 200 vectors in ONE sign bucket (all-positive on the hashed dims)
     import spark.implicits._
