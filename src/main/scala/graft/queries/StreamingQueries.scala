@@ -671,7 +671,10 @@ object StreamingQueries {
     // a mergeable max monoid, ONE struct per touched key regardless of
     // change volume or micro-batch splits (at 100 TB this keyed state
     // lives in RocksDB and the sink upserts a table; complete mode +
-    // the batch-side snapshot merge is the bounded-replay form). The
+    // the batch-side snapshot merge is the bounded-replay form — and the
+    // 100 TB form is DEMONSTRATED: CdcStreamSpec runs the same plan in
+    // update mode on RocksDBStateStoreProvider and asserts the per-key
+    // upsert stream lands on this complete-mode state exactly). The
     // merge onto the snapshot reuses q49's cdcMerge verbatim, and the
     // oracle IS q49's oracle — streaming, batch, and the independent
     // SQL replay must all three agree.
