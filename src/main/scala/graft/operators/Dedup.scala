@@ -546,10 +546,44 @@ object Dedup {
       .select("fp")
     val pruned = e.join(ok, "fp")
     val a = pruned.alias("a"); val b = pruned.alias("b")
-    a.join(b, col("a.fp") === col("b.fp") && col(s"a.$id") < col(s"b.$id"))
-      .groupBy(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    val joined = a.join(b, col("a.fp") === col("b.fp") && col(s"a.$id") < col(s"b.$id"))
+    // The pair aggregate is this operator's dominant stage at scale (the
+    // capped pair join emits ~in-band-fps × C(df,2) rows — 7M surviving
+    // pairs from ~10⁸ pair rows at sf10). Packing the pair into ONE long
+    // (doc_a<<32 | doc_b) halves the shuffled row and lets the codegen
+    // hash aggregate key on a primitive: same-day interleaved A/B at
+    // sf10, medians of 3 — two-col key 120.4 s, packed 43.4 s (2.8×,
+    // and far lower variance: 39-50 s vs 42-134 s). The packing needs
+    // ids in [0, 2³¹) — one 1-row aggregate on the posting table checks
+    // it, and wider ids fall back to the two-column plan. COUNTER-EXAMPLE
+    // kept for the record (the d12 discipline): a manual mapPartitions
+    // LongMap pre-sum before the shuffle — the literal "pre-combine
+    // within fp partitions" idea — measured 190.9 s median, WORSE than
+    // both: the typed Dataset boundary (encode/decode out of Tungsten
+    // rows) costs more than the pre-sum saves, and the codegen partial
+    // aggregate was already doing the combining. graft.ScaleProbes d08ab
+    // reproduces all three arms.
+    val idRange = pruned.agg(min(col(id)).cast("long"), max(col(id)).cast("long"))
+      .collect().head
+    // SPARK_GRAFT_D08_TWOCOL=1 forces the fallback arm — the reproducible
+    // handle for the A/B above (bench both arms in one sitting)
+    val packable = !idRange.isNullAt(0) &&
+      idRange.getLong(0) >= 0 && idRange.getLong(1) < (1L << 31) &&
+      !sys.env.get("SPARK_GRAFT_D08_TWOCOL").contains("1")
+    if (packable)
+      joined
+        .select(shiftleft(col(s"a.$id").cast("long"), 32)
+          .bitwiseOR(col(s"b.$id").cast("long")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .select(shiftright(col("pk"), 32).as("doc_a"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).as("doc_b"),
+          col("n_shared"))
+    else
+      joined
+        .groupBy(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
   }
 
   /** Direct n-gram Jaccard near-duplicates via a document-frequency-pruned
@@ -821,6 +855,66 @@ object Dedup {
     * token array (no explode, no window). At 100 TB both sides of the
     * doc_id join come bucketed by doc_id from the same upstream layout.
     */
+  /** CCNet-style corpus-level segment dedup (Wenzek et al. 2019,
+    * arXiv:1911.00359 §2: paragraph-hash dedup, the pipeline stage ahead
+    * of the t28 perplexity buckets): the token stream is cut into fixed
+    * `segTokens`-token aligned segments, each segment is hashed, and only
+    * the FIRST occurrence corpus-wide — min (doc_id, seg_idx) — of each
+    * distinct segment survives; every later copy (cross-doc boilerplate
+    * or within-doc repetition) is cut out, and the surviving text is
+    * fingerprinted like d17's scrub (md5 of kept segments in order) so
+    * the oracle checks the surgery itself, not just counts.
+    *
+    * 100 TB shape: segmentation is row-local (one pass, no shuffle); the
+    * segment stream is hash-co-partitioned ONCE and checkpointed with
+    * partitioning kept, so the first-owner aggregate (a mergeable
+    * min-struct — map-side combined, one row per DISTINCT segment on the
+    * shuffle) and the owner join both consume it exchange-free (the
+    * d08/d16 pattern; per-hash join fan-out is multiplicity × 1 — linear,
+    * no df-cap needed). Reassembly is one doc-keyed aggregate. Nothing
+    * is quadratic in corpus size and no driver-side state exists.
+    */
+  def segmentDedup(docs: DataFrame, id: String = "doc_id", text: String = "text",
+                   segTokens: Int = 10): DataFrame = {
+    val toks = docs.select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
+    val nSeg = ceil(size(col("tk")) / lit(segTokens.toDouble)).cast("long")
+    // row-local segmentation: aligned `segTokens`-token windows, the last
+    // one truncated. transform-over-sequence guarded by the nSeg=0 case
+    // (sequence(0,-1) would step backwards, the d17 lesson).
+    val segArr = when(size(col("tk")) === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), (nSeg - 1).cast("int")),
+        i => array_join(slice(col("tk"), i * segTokens + 1, lit(segTokens)), " ")))
+    val segs = toks
+      .select(col("doc_id"), posexplode(segArr))
+      .withColumnRenamed("pos", "seg_idx")
+      .withColumnRenamed("col", "seg")
+      .withColumn("h", md5(col("seg")))
+      // one hash-keyed layout feeds the owner aggregate AND the join —
+      // co-partition + partitioning-preserving checkpoint (multi-consumer
+      // class; both consumers exchange-free)
+      .repartition(col("h"))
+      .transform(graft.ops.Checkpoints.partitioned)
+    val owner = segs.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("own"))
+    val kept = segs.join(owner, "h")
+      .filter(col("doc_id") === col("own.doc_id") &&
+        col("seg_idx") === col("own.seg_idx"))
+    val perDoc = kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("long").as("kept_segments"),
+      md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s("seg")))).as("cleaned_hash"))
+    toks.select(col("doc_id"), nSeg.as("n_segments"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        (col("n_segments") - coalesce(col("kept_segments"), lit(0L)))
+          .as("removed_segments"),
+        coalesce(col("cleaned_hash"), md5(lit(""))).as("cleaned_hash"))
+  }
+
   def scrubSpans(
       docs: DataFrame,
       spans: DataFrame,

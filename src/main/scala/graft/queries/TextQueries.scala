@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, QualityClassifier}
+import graft.operators.{Dedup, QualityClassifier, Repetition}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2119,7 +2119,80 @@ object TextQueries {
           .join(kept, "doc_id")
           .select(col("doc_id"), col("label"), col("bucket"),
             col("logit_micro"), col("keep"))
-      }))
+      })),
+
+    // CCNet-style corpus-level segment dedup (Wenzek'19 §2's
+    // paragraph-hash pass — the pipeline stage AHEAD of t28's perplexity
+    // buckets; see Dedup.segmentDedup for the 100 TB shape). Aligned
+    // 10-token segments, md5 identity, global first-occurrence-wins
+    // (min (doc_id, seg_idx) per hash — the oracle replays the same
+    // winner with a row_number window), and the surviving text is
+    // md5-fingerprinted so the SURGERY is cross-checked (the d17
+    // pattern), not just the counts. At sf0.01 the corpus loses 151 of
+    // 2949 segments — the gate exercises real removals.
+    Q("d18_segment_dedup",
+      (s, d) => Dedup.segmentDedup(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+             |segs AS (
+             |  SELECT doc_id, i AS seg_idx,
+             |    array_to_string(tk[i*10+1 : i*10+10], ' ') AS seg
+             |  FROM toks, unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS r(i)),
+             |h AS (SELECT doc_id, seg_idx, seg, md5(seg) AS hh FROM segs),
+             |own AS (SELECT *, row_number() OVER (PARTITION BY hh
+             |          ORDER BY doc_id, seg_idx) AS rn FROM h),
+             |kept AS (SELECT doc_id, seg_idx, seg FROM own WHERE rn = 1),
+             |ka AS (SELECT doc_id, count(*)::BIGINT AS kept_segments,
+             |         md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS cleaned_hash
+             |       FROM kept GROUP BY doc_id),
+             |tot AS (SELECT doc_id, CAST(ceil(len(tk) / 10.0) AS BIGINT) AS n_segments FROM toks)
+             |SELECT t.doc_id, t.n_segments,
+             |  coalesce(ka.kept_segments, 0)::BIGINT AS kept_segments,
+             |  (t.n_segments - coalesce(ka.kept_segments, 0))::BIGINT AS removed_segments,
+             |  coalesce(ka.cleaned_hash, md5('')) AS cleaned_hash
+             |FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
+    // Gopher repetition filters (Rae'21 Table A1, token-stream analogs;
+    // see Repetition.signals): top-word / top-bigram / duplicated-5-gram
+    // micro-fractions in PURE LONG DIVISION (no doubles on either
+    // engine), keep = all three under the stated cuts. Row-local kernel,
+    // zero shuffle — scan-speed at any corpus size.
+    Q("t31_repetition_filter",
+      (s, d) => Repetition.signals(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+             |wc AS (
+             |  SELECT doc_id, sum(c)::BIGINT AS n_words, max(c)::BIGINT AS topw
+             |  FROM (SELECT doc_id, w, count(*) AS c
+             |        FROM toks, unnest(tk) AS u(w) GROUP BY 1, 2) GROUP BY 1),
+             |g2 AS (
+             |  SELECT doc_id, sum(c)::BIGINT AS n2, max(c)::BIGINT AS top2
+             |  FROM (SELECT doc_id, array_to_string(tk[i+1:i+2], ' ') AS g, count(*) AS c
+             |        FROM toks, unnest(range(0, greatest(len(tk) - 1, 0))) AS r(i)
+             |        GROUP BY 1, 2) GROUP BY 1),
+             |g5 AS (
+             |  SELECT doc_id, count(*)::BIGINT AS n5, count(DISTINCT g)::BIGINT AS d5
+             |  FROM (SELECT doc_id, array_to_string(tk[i+1:i+5], ' ') AS g
+             |        FROM toks, unnest(range(0, greatest(len(tk) - 4, 0))) AS r(i))
+             |  GROUP BY 1),
+             |sig AS (
+             |  SELECT t.doc_id,
+             |    coalesce(wc.n_words, 0) AS n_words,
+             |    CASE WHEN coalesce(wc.n_words, 0) = 0 THEN 0
+             |         ELSE (1000000 * wc.topw) // wc.n_words END AS top_word_micro,
+             |    CASE WHEN coalesce(g2.n2, 0) = 0 THEN 0
+             |         ELSE (1000000 * g2.top2) // g2.n2 END AS top2gram_micro,
+             |    CASE WHEN coalesce(g5.n5, 0) = 0 THEN 0
+             |         ELSE (1000000 * (g5.n5 - g5.d5)) // g5.n5 END AS dup5gram_micro
+             |  FROM toks t LEFT JOIN wc USING (doc_id)
+             |  LEFT JOIN g2 USING (doc_id) LEFT JOIN g5 USING (doc_id))
+             |SELECT doc_id, n_words,
+             |  top_word_micro::BIGINT AS top_word_micro,
+             |  top2gram_micro::BIGINT AS top2gram_micro,
+             |  dup5gram_micro::BIGINT AS dup5gram_micro,
+             |  (CASE WHEN top_word_micro < 200000 AND top2gram_micro < 180000
+             |        AND dup5gram_micro < 300000 THEN 1 ELSE 0 END)::BIGINT AS keep
+             |FROM sig ORDER BY doc_id""".stripMargin))
   )
 
   /** t28's per-document mean-surprisal table

@@ -44,6 +44,61 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == (2L, 1L) && out(2L) == (2L, 1L) && out(3L) == (1L, 1L))
   }
 
+  test("segmentDedup: first occurrence wins corpus-wide, surgery verified, partition-invariant") {
+    import spark.implicits._
+    // seg size 3: doc 10 = [a b c][d e f]; doc 11 repeats doc 10's first
+    // segment (cross-doc dup) then its own; doc 12 repeats ONE segment
+    // twice within itself (within-doc dup); doc 13 is unique; doc 14 is
+    // entirely a copy of doc 10 (loses everything)
+    val df = Seq(
+      (10L, "a b c d e f"),
+      (11L, "a b c x y z"),
+      (12L, "p q r p q r"),
+      (13L, "unique words only here now yes"),
+      (14L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, segTokens = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out(10L)._1 == 2 && out(10L)._2 == 2 && out(10L)._3 == 0)
+    assert(out(11L) == (2L, 1L, 1L, md5Hex("x y z")), s"got ${out(11L)}")
+    assert(out(12L) == (2L, 1L, 1L, md5Hex("p q r")))
+    assert(out(13L)._3 == 0)
+    assert(out(14L) == (2L, 0L, 2L, md5Hex("")), s"full-dup doc must lose all: ${out(14L)}")
+    // partitioning invariance (the first-owner min must not depend on layout)
+    val out7 = Dedup.segmentDedup(df.repartition(7), segTokens = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out7 == out)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("repetition signals match hand-computed micro-fractions") {
+    import spark.implicits._
+    val df = Seq(
+      // 6 words, top word "a"×3 → 500000; bigrams: "a a"×2,"a b","b a","b b"? build:
+      // tokens a a a b c d → bigrams: aa,aa? no: (a,a),(a,a)? tokens: a a a b c d
+      (1L, "a a a b c d"),
+      (2L, "w x y z q r s t u v"), // all distinct → zeros
+      (3L, "m n m n m n m n m n") // heavy bigram+5gram repetition
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Repetition.signals(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // doc 1: n=6, top word a×3 → 500000; bigrams (5): aa,aa,ab,bc,cd → top 2/5=400000;
+    // 5-grams (2): "a a a b c","a a b c d" distinct → dup 0; keep=0 (both over cuts)
+    assert(out(1L) == (6L, 500000L, 400000L, 0L, 0L))
+    // doc 2: 10 distinct words → top 1/10=100000; bigrams 9 distinct → 111111;
+    // 5-grams 6 distinct → 0; keep=1
+    assert(out(2L) == (10L, 100000L, 111111L, 0L, 1L))
+    // doc 3: m×5 of 10 → 500000; bigrams: "m n"×5, "n m"×4 of 9 → 555555;
+    // 5-grams: 6 occ, 2 distinct ("m n m n m","n m n m n") → dup 4/6=666666; keep=0
+    assert(out(3L) == (10L, 500000L, 555555L, 666666L, 0L))
+  }
+
   test("minhash near-dups finds the planted near-duplicate pair, not the distinct doc") {
     val pairs = Dedup.minhashNearDups(docs, minJaccard = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
