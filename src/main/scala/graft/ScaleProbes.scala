@@ -130,6 +130,36 @@ object ScaleProbes {
           report(s"b_r$round", armB)
           report(s"c_r$round", armC)
         }
+      case "lshrecall" :: sfDir :: Nil =>
+        // Recall cost of the e04 auto-bits law: mean top-5 recall vs
+        // exact brute force for a deterministic query slice, fixed-8-bit
+        // arm vs the occupancy-law arm. Quantifies what the occupancy cut
+        // (e.g. 781 -> 48 candidates/query at sf10) trades away.
+        import graft.functions.VectorFunctions.quantize
+        val emb = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), quantize(col("embedding")).as("embedding"))
+          .localCheckpoint(true)
+        val n = emb.count()
+        val brute = graft.operators.Similarity
+          .quantizedKnn(emb, col("vec_id") % 100 === 0, 5)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        def recall(label: String, dims: Seq[Int]): Unit = {
+          val bits = if (dims.nonEmpty) dims.length
+                     else graft.operators.Similarity.autoLshBits(n, 64)
+          val got = graft.operators.Similarity.lshKnn(emb, k = 5, dims = dims)
+            .filter(col("query_id") % 100 === 0)
+            .select("query_id", "neighbor_id").collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+          val rs = brute.toSeq.map { case (q, exact) =>
+            got.getOrElse(q, Set.empty).intersect(exact).size / 5.0
+          }
+          val mean = if (rs.isEmpty) 0.0 else rs.sum / rs.length
+          println(f"""[probe] {"probe":"lshrecall","sf":"$sfDir","arm":"$label",""" +
+            f""""n":$n,"bits":$bits,"queries":${rs.length},"recall_at5":$mean%.4f}""")
+        }
+        recall("fixed8", Seq(1, 9, 17, 25, 33, 41, 49, 57))
+        recall("auto", Nil)
       case "lshab" :: sfDir :: Nil =>
         // e04 auto-bits A/B: the occupancy law (autoLshBits) vs the
         // historical fixed 8-bit signature, same corpus same session.
