@@ -160,6 +160,18 @@ object ScaleProbes {
         }
         recall("fixed8", Seq(1, 9, 17, 25, 33, 41, 49, 57))
         recall("auto", Nil)
+        // e18's multi-table OR-construction — the recall lever
+        val bitsM = graft.operators.Similarity.autoLshBits(n, 64)
+        val gotM = graft.operators.Similarity.lshKnnMulti(emb, k = 5)
+          .filter(col("query_id") % 100 === 0)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val rsM = brute.toSeq.map { case (q, exact) =>
+          gotM.getOrElse(q, Set.empty).intersect(exact).size / 5.0
+        }
+        val meanM = if (rsM.isEmpty) 0.0 else rsM.sum / rsM.length
+        println(f"""[probe] {"probe":"lshrecall","sf":"$sfDir","arm":"multi",""" +
+          f""""n":$n,"bits":$bitsM,"queries":${rsM.length},"recall_at5":$meanM%.4f}""")
       case "lshab" :: sfDir :: Nil =>
         // e04 auto-bits A/B: the occupancy law (autoLshBits) vs the
         // historical fixed 8-bit signature, same corpus same session.

@@ -1048,6 +1048,81 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Multi-table sign-bit LSH ANN — the standard recall lever over e04's
+    * single table (the classic L-table OR-construction): table t buckets
+    * on the DISJOINT `lshDimLadder` coordinate slice
+    * [t·bitsPerTable, (t+1)·bitsPerTable), a candidate pair is any pair
+    * sharing ANY table's bucket, and the union is exactly reranked by
+    * cosine. Table 0's slice IS e04's 8-bit prefix, so the candidate set
+    * is a SUPERSET of the single-table one — recall@k is ≥ e04's by
+    * construction (spec-pinned), at L× the bucket-join work.
+    *
+    * Plan: the corpus explodes to L table-tagged rows, ONE self-join on
+    * the composite (table, bucket) key yields every table's directed
+    * candidate pairs, distinct-by-(query, neighbor) dedups cross-table
+    * repeats, and the vectors re-attach BY ID for the exact rerank (two
+    * hash joins on vec_id — candidate rows carry 16 bytes of ids, never
+    * duplicated vector payloads, so the L-fold explosion ships keys, not
+    * embeddings). Candidate volume ≤ L · occupancy per query; the e04
+    * hot-bucket salt guard applies per (table, bucket) key.
+    *
+    * With `bitsPerTable <= 0` (the default) the PER-TABLE bit count
+    * follows the same `autoLshBits` occupancy law as e04, and the table
+    * count yields to it: tables = min(requested, ladder/bits). The
+    * recall/cost dial therefore trades TABLES, never occupancy — a
+    * fixed-bits L-table form measured 258.6 s at sf10 (4 tables x the
+    * occupancy-squared knee the e04 law removed) vs the law's bounded
+    * per-bucket work. Table 0's slice is ALWAYS e04-auto's prefix, so
+    * the candidate-superset property holds at every scale.
+    */
+  def lshKnnMulti(vectors: DataFrame, k: Int, tables: Int = 4,
+                  bitsPerTable: Int = 0, maxBucket: Int = 4096,
+                  targetBucket: Int = 64): DataFrame = {
+    val spark = vectors.sparkSession
+    val inDims = vectors.select(size(col("embedding"))).first().getInt(0)
+    val ladder = lshDimLadder(inDims)
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else autoLshBits(vectors.count(), inDims, targetBucket)
+    val effTables = math.max(1, math.min(tables, ladder.length / bits))
+    require(effTables * bits <= ladder.length,
+      s"$effTables x $bits bits exceed the ${ladder.length}-coordinate ladder")
+    val bucketArr = array((0 until effTables).map(t =>
+      signBucket(col("embedding"),
+        ladder.slice(t * bits, (t + 1) * bits))): _*)
+    // keys only past this point; checkpointed — feeds the size aggregate
+    // and both self-join sides (multi-consumer class)
+    val bucketed = vectors
+      .select(col("vec_id").cast("long"), posexplode(bucketArr))
+      .select(col("vec_id"), concat_ws("#", col("pos"), col("col")).as("tkey"))
+      .localCheckpoint(true)
+    val sizes = bucketed.groupBy("tkey").agg(count(lit(1)).as("bn"))
+    val salted = bucketed.join(sizes, "tkey")
+      .withColumn("gkey", concat_ws("#", col("tkey"),
+        when(col("bn") <= maxBucket, lit(0L))
+          .otherwise(pmod(xxhash64(col("vec_id")),
+            ceil(col("bn") / maxBucket).cast("long")))))
+      .select(col("vec_id"), col("gkey"))
+    val a = salted.alias("a"); val b = salted.alias("b")
+    val cand = a.join(b,
+        col("a.gkey") === col("b.gkey") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    graft.plans.GraftExtensions.register(spark)
+    val emb = vectors.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>").as("v"))
+    val scored = cand
+      .join(emb.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("cosine_sim", col("qv"), col("nv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Scalar int8 quantization of an embedding column — the 4× memory
     * cut that makes a billion-vector ANN corpus fit executor RAM (codes
     * ship over the shuffle; reconstruction happens at score time). One

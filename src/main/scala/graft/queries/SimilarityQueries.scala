@@ -204,6 +204,58 @@ object SimilarityQueries {
            |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       }),
 
+    // Multi-table LSH ANN (the L-table OR-construction — the standard
+    // recall lever over e04's single table; table 0's coordinate slice
+    // IS e04-auto's prefix at every scale, so candidates are a superset
+    // and recall@k is monotonically ≥ e04's, spec-pinned). PER-TABLE
+    // bits follow the same occupancy law as e04 and the TABLE COUNT
+    // yields to it (tables = min(4, 32 // bits)) — the recall dial
+    // trades tables, never occupancy; a fixed-4x8 form re-entered the
+    // occupancy knee at 258.6 s at sf10 (SCALING.md). The oracle
+    // replays the law, every table's bucket family (substr slices of
+    // one 32-char ladder signature), the distinct candidate union and
+    // the rerank — live at any SF: 4x8 bits at the oracle SFs, 3x9 at
+    // sf1, 2x12 at sf10.
+    Q("e18_lsh_multitable",
+      (s, d) => Similarity.lshKnnMulti(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), quantize(col("embedding")).as("embedding")),
+          k = 5, tables = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank"),
+      Some {
+        val sig32 = Similarity.lshDimLadder(64)
+          .map(i => s"(CASE WHEN qv[$i] >= 0 THEN '1' ELSE '0' END)")
+          .mkString(" || ")
+        s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
+           |p1 AS (SELECT greatest(8, least(24,
+           |         length(bin(greatest(((count(*) + 63) // 64) - 1, 1))))) AS bits
+           |       FROM q),
+           |p AS (SELECT bits, least(4, 32 // bits) AS tabs FROM p1),
+           |sig AS (SELECT vec_id, qv, $sig32 AS s32 FROM q),
+           |bk AS (
+           |  SELECT vec_id, qv, t,
+           |    substr(s32, CAST(t * (SELECT bits FROM p) + 1 AS INT),
+           |           CAST((SELECT bits FROM p) AS INT)) AS bucket
+           |  FROM sig, unnest(range(0, (SELECT tabs FROM p))) AS r(t)),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+           |  FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+           |    AND x.vec_id <> y.vec_id),
+           |scored AS (
+           |  SELECT c.query_id, c.neighbor_id, $cosDuck AS cos
+           |  FROM cand c
+           |  JOIN q a ON a.vec_id = c.query_id
+           |  JOIN q b ON b.vec_id = c.neighbor_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }),
+
     // IVF ANN: KMeans cells + nprobe centroid probing (the
     // billion-vector scale path next to the LSH variant). LIVE recall
     // gate (round 7; was a frozen sf0.01 golden): a deterministic query

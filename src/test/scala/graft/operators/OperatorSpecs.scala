@@ -693,6 +693,42 @@ class SimilaritySpec extends SparkSpec {
     assert(default8 == fixed8)
   }
 
+  test("lshKnnMulti: candidates superset of single-table, recall monotonically >= e04's") {
+    import spark.implicits._
+    // quantized fixture (the e18 gate shape) — single-table = the ladder's
+    // first 8 bits = table 0 of the multi-table run, so every single-table
+    // bucket-mate pair is also a multi-table candidate by construction
+    val q = vectors.select(col("vec_id"),
+      graft.functions.VectorFunctions.quantize(col("embedding")).as("embedding"))
+      .localCheckpoint(true)
+    val single = Similarity.lshKnn(q, k = 5,
+        dims = Similarity.lshDimLadder(64).take(8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val multi = Similarity.lshKnnMulti(q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(multi.nonEmpty)
+    // exact ground truth for recall
+    val brute = Similarity.quantizedKnn(q, lit(true), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recall(rows: Array[(Long, Long, Double)]): Double = {
+      val byQ = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val rs = brute.toSeq.map { case (qid, exact) =>
+        byQ.getOrElse(qid, Set.empty).intersect(exact).size / 5.0
+      }
+      rs.sum / rs.length
+    }
+    val rs = recall(single); val rm = recall(multi)
+    assert(rm >= rs, s"multi-table recall $rm below single-table $rs")
+    // per-query top-1 similarity can only improve under a candidate superset
+    val s1 = single.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val m1 = multi.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    s1.foreach { case (qid, c) =>
+      assert(m1.getOrElse(qid, Double.MinValue) >= c - 1e-12,
+        s"query $qid: multi top-1 ${m1.get(qid)} below single $c")
+    }
+  }
+
   test("lshKnn hot-bucket guard splits oversize buckets, leaves small ones exact") {
     // 200 vectors in ONE sign bucket (all-positive on the hashed dims)
     import spark.implicits._
