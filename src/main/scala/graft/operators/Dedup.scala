@@ -563,7 +563,11 @@ object Dedup {
     // rows) costs more than the pre-sum saves, and the codegen partial
     // aggregate was already doing the combining. graft.ScaleProbes d08ab
     // reproduces all three arms.
-    val idRange = pruned.agg(min(col(id)).cast("long"), max(col(id)).cast("long"))
+    // range check on the CHECKPOINTED posting table (superset of pruned's
+    // ids — conservative), not the pruned join: aggregating the join here
+    // would execute the df-aggregate and fp-join once for this 1-row
+    // collect and AGAIN in the returned plan
+    val idRange = e.agg(min(col(id)).cast("long"), max(col(id)).cast("long"))
       .collect().head
     // SPARK_GRAFT_D08_TWOCOL=1 forces the fallback arm — the reproducible
     // handle for the A/B above (bench both arms in one sitting)
@@ -876,11 +880,15 @@ object Dedup {
     */
   def segmentDedup(docs: DataFrame, id: String = "doc_id", text: String = "text",
                    segTokens: Int = 10): DataFrame = {
-    val toks = docs.select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
+    // null text == empty text on BOTH engines (the oracle coalesces the
+    // same way) — without this, size(NULL tk) = -1 slips past the
+    // empty-doc guard and sequence(0, -1) steps backwards (the d17
+    // lesson, null edition)
+    val toks = docs.select(col(id).as("doc_id"),
+      tokens(coalesce(col(text), lit(""))).as("tk"))
     val nSeg = ceil(size(col("tk")) / lit(segTokens.toDouble)).cast("long")
     // row-local segmentation: aligned `segTokens`-token windows, the last
-    // one truncated. transform-over-sequence guarded by the nSeg=0 case
-    // (sequence(0,-1) would step backwards, the d17 lesson).
+    // one truncated. transform-over-sequence guarded by the nSeg=0 case.
     val segArr = when(size(col("tk")) === 0,
         array().cast("array<string>"))
       .otherwise(transform(
@@ -891,9 +899,10 @@ object Dedup {
       .withColumnRenamed("pos", "seg_idx")
       .withColumnRenamed("col", "seg")
       .withColumn("h", md5(col("seg")))
-      // one hash-keyed layout feeds the owner aggregate AND the join —
-      // co-partition + partitioning-preserving checkpoint (multi-consumer
-      // class; both consumers exchange-free)
+      // one hash-keyed layout feeds the owner aggregate, the owner join
+      // AND the per-doc totals — co-partition + partitioning-preserving
+      // checkpoint (multi-consumer class; the keyed consumers are
+      // exchange-free and the corpus is tokenized exactly ONCE)
       .repartition(col("h"))
       .transform(graft.ops.Checkpoints.partitioned)
     val owner = segs.groupBy("h")
@@ -906,11 +915,19 @@ object Dedup {
       md5(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s("seg")))).as("cleaned_hash"))
-    toks.select(col("doc_id"), nSeg.as("n_segments"))
+    // totals come off the CHECKPOINTED segment stream (max seg_idx + 1),
+    // not a second tokenize pass over the raw corpus; the docs-side scan
+    // prunes to the id column only. Zero-segment docs (empty/null text)
+    // have no segs rows and coalesce to 0.
+    val totals = segs.groupBy("doc_id")
+      .agg((max(col("seg_idx")) + 1).cast("long").as("n_segments"))
+    docs.select(col(id).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
       .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_segments"),
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
         coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
-        (col("n_segments") - coalesce(col("kept_segments"), lit(0L)))
+        (coalesce(col("n_segments"), lit(0L)) - coalesce(col("kept_segments"), lit(0L)))
           .as("removed_segments"),
         coalesce(col("cleaned_hash"), md5(lit(""))).as("cleaned_hash"))
   }

@@ -975,7 +975,11 @@ object Similarity {
   def autoLshBits(n: Long, inDims: Int, targetBucket: Int = 64): Int = {
     val m = (math.max(n, 1L) + targetBucket - 1) / targetBucket // ceil(n/target)
     val needed = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
-    math.max(8, math.min(math.min(24, lshDimLadder(inDims).length), needed))
+    // both clamp ends respect the ladder: an embedding narrower than 8
+    // dims caps the floor too (every coordinate used), instead of
+    // reporting 8 bits a 4-coordinate ladder cannot supply
+    val cap = math.min(24, lshDimLadder(inDims).length)
+    math.max(math.min(8, cap), math.min(cap, needed))
   }
 
   /** LSH-bucketed ANN: candidates share the sign-bit bucket; per-bucket
@@ -1005,10 +1009,15 @@ object Similarity {
       else {
         // one cheap count pass (parquet row-group metadata at rest) buys
         // the occupancy law; the ladder prefix keeps small corpora
-        // byte-identical to the historical 8-bit default
+        // byte-identical to the historical 8-bit default. An empty frame
+        // short-circuits to any valid dims (the result is empty anyway) —
+        // first() on it would throw, a regression vs the old fixed dims.
         val n = vectors.count()
-        val inDims = vectors.select(size(col("embedding"))).first().getInt(0)
-        lshDimLadder(inDims).take(autoLshBits(n, inDims, targetBucket))
+        if (n == 0) Seq(1)
+        else {
+          val inDims = vectors.select(size(col("embedding"))).first().getInt(0)
+          lshDimLadder(inDims).take(autoLshBits(n, inDims, targetBucket))
+        }
       }
     // checkpointed: it feeds both the size aggregation and the join probe
     // side — without it the scan + bucket hash run twice (same reason
@@ -1079,21 +1088,34 @@ object Similarity {
                   bitsPerTable: Int = 0, maxBucket: Int = 4096,
                   targetBucket: Int = 64): DataFrame = {
     val spark = vectors.sparkSession
-    val inDims = vectors.select(size(col("embedding"))).first().getInt(0)
+    // ONE materialization of the (id, vector) projection: the law's
+    // count, the bucket build, and BOTH rerank join sides read it —
+    // without this the upstream corpus plan re-executes up to 4x (the
+    // d08/q46 multi-consumer class this file checkpoints everywhere)
+    val emb = vectors.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    val n = emb.count()
+    if (n == 0)
+      return emb.sparkSession.emptyDataFrame
+        .withColumn("query_id", lit(0L)).withColumn("neighbor_id", lit(0L))
+        .withColumn("rank", lit(0L)).withColumn("cos", lit(0.0))
+        .limit(0)
+    val inDims = emb.select(size(col("v"))).first().getInt(0)
     val ladder = lshDimLadder(inDims)
     val bits =
       if (bitsPerTable > 0) bitsPerTable
-      else autoLshBits(vectors.count(), inDims, targetBucket)
+      else autoLshBits(n, inDims, targetBucket)
     val effTables = math.max(1, math.min(tables, ladder.length / bits))
     require(effTables * bits <= ladder.length,
       s"$effTables x $bits bits exceed the ${ladder.length}-coordinate ladder")
     val bucketArr = array((0 until effTables).map(t =>
-      signBucket(col("embedding"),
+      signBucket(col("v"),
         ladder.slice(t * bits, (t + 1) * bits))): _*)
     // keys only past this point; checkpointed — feeds the size aggregate
     // and both self-join sides (multi-consumer class)
-    val bucketed = vectors
-      .select(col("vec_id").cast("long"), posexplode(bucketArr))
+    val bucketed = emb
+      .select(col("vec_id"), posexplode(bucketArr))
       .select(col("vec_id"), concat_ws("#", col("pos"), col("col")).as("tkey"))
       .localCheckpoint(true)
     val sizes = bucketed.groupBy("tkey").agg(count(lit(1)).as("bn"))
@@ -1109,8 +1131,6 @@ object Similarity {
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
       .distinct()
     graft.plans.GraftExtensions.register(spark)
-    val emb = vectors.select(col("vec_id").cast("long"),
-      col("embedding").cast("array<double>").as("v"))
     val scored = cand
       .join(emb.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
       .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")

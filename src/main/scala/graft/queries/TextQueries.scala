@@ -2133,7 +2133,7 @@ object TextQueries {
     Q("d18_segment_dedup",
       (s, d) => Dedup.segmentDedup(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""WITH toks AS (
-             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+             |  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS tk FROM documents),
              |segs AS (
              |  SELECT doc_id, i AS seg_idx,
              |    array_to_string(tk[i*10+1 : i*10+10], ' ') AS seg

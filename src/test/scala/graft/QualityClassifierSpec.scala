@@ -30,7 +30,7 @@ class QualityClassifierSpec extends SparkSpec {
       (java.lang.Long.parseLong(hex.take(8), 16) % B).toInt
     }
     val feats = docs.map { case (id, text, lang) =>
-      val m = wordRe.matcher(text.toLowerCase)
+      val m = wordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
       val tk = scala.collection.mutable.ArrayBuffer.empty[String]
       while (m.find()) tk += m.group()
       val cnt = scala.collection.mutable.Map.empty[Int, Long]
@@ -54,7 +54,7 @@ class QualityClassifierSpec extends SparkSpec {
       val grad = Array.fill(B + 1)(BigInt(0))
       feats.foreach { case (_, y, f) =>
         val z = f.iterator.map { case (b, x) => w(b) * x }.sum
-        val p = 1.0 / (1.0 + math.exp(-z / 1e12))
+        val p = 1.0 / (1.0 + StrictMath.exp(-z / 1e12)) // fdlibm, matches the production sigmoid
         val r = math.floor((y - p) * 1e6).toLong
         f.foreach { case (b, x) => grad(b) += BigInt(x) * r }
       }

@@ -154,7 +154,7 @@ class DedupSpec extends SparkSpec {
       md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     }
     docs.filter(col("doc_id") < 3).collect().foreach { r =>
-      val toks = "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq
+      val toks = "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase(java.util.Locale.ROOT)).toSeq
       val sh = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
       val expect = (0 until 4).map(seed => sh.map(s => md5hex(s"$seed#$s")).min)
       assert(sigRows(r.getLong(0)) == expect, s"doc ${r.getLong(0)}")
@@ -208,7 +208,7 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     val B = 1000003L
     docs.collect().foreach { r =>
-      val s = "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).mkString(" ")
+      val s = "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase(java.util.Locale.ROOT)).mkString(" ")
       val expected =
         if (s.length < k) Array.empty[Long]
         else {

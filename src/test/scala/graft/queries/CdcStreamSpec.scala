@@ -28,7 +28,8 @@ class CdcStreamSpec extends SparkSpec {
     val s = spark
     val log = Tables.orders(s, sfDir).select("o_custkey", "o_orderdate",
       "o_orderkey", "o_orderstatus", "o_totalprice")
-    val dir = s"/tmp/graft_cdc_update/p${ProcessHandle.current().pid()}"
+    val dir = graft.sources.TmpDirs.scratch(
+      s"/tmp/graft_cdc_update/p${ProcessHandle.current().pid()}")
     // 4 files + maxFilesPerTrigger=1 → 4 micro-batches, so later changes
     // genuinely SUPERSEDE earlier upserts in the sink
     log.repartition(4).write.mode("overwrite").parquet(dir)
