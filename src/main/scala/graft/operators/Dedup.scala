@@ -563,25 +563,42 @@ object Dedup {
     // rows) costs more than the pre-sum saves, and the codegen partial
     // aggregate was already doing the combining. graft.ScaleProbes d08ab
     // reproduces all three arms.
-    // range check on the CHECKPOINTED posting table (superset of pruned's
-    // ids — conservative), not the pruned join: aggregating the join here
-    // would execute the df-aggregate and fp-join once for this 1-row
-    // collect and AGAIN in the returned plan
-    val idRange = e.agg(min(col(id)).cast("long"), max(col(id)).cast("long"))
-      .collect().head
+    // Packing is offered to INTEGRAL id columns only: a string-typed
+    // numeric id would aggregate min/max lexicographically (max('50e8',
+    // '9') = '9' passes the range check while the value overflows 32
+    // bits), and a leading-zero id ('007') would round-trip through the
+    // pack as '7' — both silent corruptions the type gate removes. The
+    // range check itself runs cast-BEFORE-aggregate on the CHECKPOINTED
+    // posting table (superset of pruned's ids — conservative), not the
+    // pruned join: aggregating the join here would execute the
+    // df-aggregate and fp-join once for this 1-row collect and AGAIN in
+    // the returned plan.
+    val idType = e.schema(id).dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     // SPARK_GRAFT_D08_TWOCOL=1 forces the fallback arm — the reproducible
     // handle for the A/B above (bench both arms in one sitting)
-    val packable = !idRange.isNullAt(0) &&
-      idRange.getLong(0) >= 0 && idRange.getLong(1) < (1L << 31) &&
-      !sys.env.get("SPARK_GRAFT_D08_TWOCOL").contains("1")
+    val packable = integralId &&
+      !sys.env.get("SPARK_GRAFT_D08_TWOCOL").contains("1") && {
+        val idRange = e.agg(min(col(id).cast("long")), max(col(id).cast("long")))
+          .collect().head
+        !idRange.isNullAt(0) &&
+          idRange.getLong(0) >= 0 && idRange.getLong(1) < (1L << 31)
+      }
     if (packable)
+      // output ids cast back to the INPUT id type so both arms agree on
+      // schema (exact for integral ids in [0, 2^31) by the gate above) —
+      // callers see one column type regardless of which arm ran
       joined
         .select(shiftleft(col(s"a.$id").cast("long"), 32)
           .bitwiseOR(col(s"b.$id").cast("long")).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= minShared)
-        .select(shiftright(col("pk"), 32).as("doc_a"),
-          col("pk").bitwiseAND(lit(0xffffffffL)).as("doc_b"),
+        .select(shiftright(col("pk"), 32).cast(idType).as("doc_a"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).cast(idType).as("doc_b"),
           col("n_shared"))
     else
       joined
@@ -840,25 +857,6 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
-  /** Span scrub — the REMOVAL step that completes Lee et al. 2022's
-    * span-level dedup: given the duplicated-span table ([[dupSpans]]
-    * output, token offsets), cut every covered token from each document
-    * and emit the cleaned corpus summary
-    * (doc_id, n_tokens, kept_tokens, removed_tokens, cleaned_hash)
-    * where cleaned_hash is md5 of the surviving tokens joined by single
-    * spaces — a content fingerprint of the cleaned text that the oracle
-    * recomputes independently, so the surgery itself (not just the
-    * counts) is cross-checked. Every document appears in the output,
-    * including span-free ones and ones shorter than the gram width.
-    *
-    * Scale: spans-per-doc is bounded by doc_len / spanWidth, so the
-    * collected span ARRAY is a per-row column, never a driver
-    * structure; the only shuffles are the span groupBy(doc_id) (tiny —
-    * span rows only) and one equi-join of the corpus on doc_id. The
-    * cut itself is a row-local higher-order-function pass over the
-    * token array (no explode, no window). At 100 TB both sides of the
-    * doc_id join come bucketed by doc_id from the same upstream layout.
-    */
   /** CCNet-style corpus-level segment dedup (Wenzek et al. 2019,
     * arXiv:1911.00359 §2: paragraph-hash dedup, the pipeline stage ahead
     * of the t28 perplexity buckets): the token stream is cut into fixed
@@ -932,6 +930,25 @@ object Dedup {
         coalesce(col("cleaned_hash"), md5(lit(""))).as("cleaned_hash"))
   }
 
+  /** Span scrub — the REMOVAL step that completes Lee et al. 2022's
+    * span-level dedup: given the duplicated-span table ([[dupSpans]]
+    * output, token offsets), cut every covered token from each document
+    * and emit the cleaned corpus summary
+    * (doc_id, n_tokens, kept_tokens, removed_tokens, cleaned_hash)
+    * where cleaned_hash is md5 of the surviving tokens joined by single
+    * spaces — a content fingerprint of the cleaned text that the oracle
+    * recomputes independently, so the surgery itself (not just the
+    * counts) is cross-checked. Every document appears in the output,
+    * including span-free ones and ones shorter than the gram width.
+    *
+    * Scale: spans-per-doc is bounded by doc_len / spanWidth, so the
+    * collected span ARRAY is a per-row column, never a driver
+    * structure; the only shuffles are the span groupBy(doc_id) (tiny —
+    * span rows only) and one equi-join of the corpus on doc_id. The
+    * cut itself is a row-local higher-order-function pass over the
+    * token array (no explode, no window). At 100 TB both sides of the
+    * doc_id join come bucketed by doc_id from the same upstream layout.
+    */
   def scrubSpans(
       docs: DataFrame,
       spans: DataFrame,

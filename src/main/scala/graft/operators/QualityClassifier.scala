@@ -172,7 +172,22 @@ object QualityClassifier {
             // matters if (y-p)*1e6 lands exactly on an integer boundary —
             // never observed at freeze time, but why carry the risk.)
             val p = 1.0 / (1.0 + StrictMath.exp(-z / 1e12))
-            val r = math.floor((d.y - p) * 1e6).toLong
+            val q = (d.y - p) * 1e6
+            // the 1-ulp cross-engine seam made LOUD: DuckDB's replay uses
+            // the platform libm's exp, so floor(q) only agrees if q is
+            // not within a few ulps of an integer boundary. Guard rather
+            // than hope — a residual landing inside the 8-ulp band fails
+            // the job with a pointer at the seam instead of flipping one
+            // gradient coordinate silently (never observed at freeze
+            // time). Exempt the sigmoid's exactly-representable fixed
+            // points — p = 0.5 (z = 0, every doc on step 1: exp(0) = 1
+            // exactly in EVERY libm) and the saturated p = 0/1 — where q
+            // is an exact integer on both engines by construction.
+            val exactFixedPoint = p == 0.5 || p == 0.0 || p == 1.0
+            require(exactFixedPoint || math.abs(q - math.rint(q)) > 8 * math.ulp(q),
+              s"GD residual $q within 8 ulps of an integer boundary — " +
+                "the floor((y-p)*1e6) quantization is not cross-engine stable here")
+            val r = math.floor(q).toLong
             i = 0
             while (i < d.bs.length) { acc(d.bs(i)) += d.xs(i) * r; i += 1 }
           }

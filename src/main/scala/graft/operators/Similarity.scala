@@ -1004,30 +1004,40 @@ object Similarity {
              maxBucket: Int = 4096, targetBucket: Int = 64): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    // ONE materialization of the (id, vector) projection up front (the
+    // lshKnnMulti layout): the law's count + dims probe, the bucket hash,
+    // the size aggregation and the join probe side all read these blocks —
+    // the upstream plan executes exactly once however many consumers
+    // follow (pre-r13 the auto-dims path ran it three times: count(),
+    // first(), then the bucketed scan). This also makes the builder EAGER
+    // even with explicit dims — documented behavior since the auto-dims
+    // default landed (r12): callers needing laziness pass dims explicitly
+    // to a pre-materialized frame. localCheckpoint over persist so the
+    // blocks don't accumulate in the session cache. The sign bits are
+    // computed on the double-cast vector — sign is exact under widening,
+    // so buckets are byte-identical to hashing the raw column.
+    val proj = vectors
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true)
     val useDims =
       if (dims.nonEmpty) dims
       else {
-        // one cheap count pass (parquet row-group metadata at rest) buys
-        // the occupancy law; the ladder prefix keeps small corpora
-        // byte-identical to the historical 8-bit default. An empty frame
-        // short-circuits to any valid dims (the result is empty anyway) —
-        // first() on it would throw, a regression vs the old fixed dims.
-        val n = vectors.count()
+        // the count/dims probes read checkpoint blocks, not the upstream
+        // plan; an empty frame short-circuits to any valid dims (the
+        // result is empty anyway) — first() on it would throw.
+        val n = proj.count()
         if (n == 0) Seq(1)
         else {
-          val inDims = vectors.select(size(col("embedding"))).first().getInt(0)
+          val inDims = proj.select(size(col("v"))).first().getInt(0)
           lshDimLadder(inDims).take(autoLshBits(n, inDims, targetBucket))
         }
       }
-    // checkpointed: it feeds both the size aggregation and the join probe
-    // side — without it the scan + bucket hash run twice (same reason
-    // simhashCandidates checkpoints its fingerprint table; localCheckpoint
-    // over persist so the blocks don't accumulate in the session cache)
-    val bucketed = vectors
-      .select(col("vec_id").cast("long"),
-        signBucket(col("embedding"), useDims).as("bucket"),
-        col("embedding").cast("array<double>").as("v"))
-      .localCheckpoint(true)
+    // derived from the checkpointed blocks — re-evaluating the bucket
+    // hash per consumer is a row-local pass over local blocks, so no
+    // second checkpoint is needed
+    val bucketed = proj
+      .select(col("vec_id"), signBucket(col("v"), useDims).as("bucket"), col("v"))
     // one row per non-empty bucket — joined back on the same key the
     // group-by shuffles on, so no extra partitioning axis is introduced
     val sizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))
