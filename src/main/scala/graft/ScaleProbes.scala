@@ -32,6 +32,79 @@ object ScaleProbes {
     spark.sparkContext.setLogLevel("WARN")
 
     args.toList match {
+      case "passes" :: name :: sfDir :: nPasses :: Nil =>
+        // Per-pass degradation instrument (r12 verdict #2 — d18's 3x
+        // intra-session spread; e18-at-4-tables shows the same class):
+        // run one catalog query N times in one session with EXACTLY the
+        // Bench reset between passes, and report per-pass wall plus the
+        // task-metric deltas that tell the mechanisms apart — executor
+        // run time (real compute growth?), JVM GC time (heap pressure?),
+        // memory/disk spill (execution-memory squeeze?), shuffle bytes
+        // (plan drift?), block-manager tmp bytes (leaked blocks?).
+        val q = SparkEntry.catalog.find(_.name == name)
+          .getOrElse(sys.error(s"unknown query $name"))
+        val gcT = new java.util.concurrent.atomic.AtomicLong
+        val runT = new java.util.concurrent.atomic.AtomicLong
+        val spillM = new java.util.concurrent.atomic.AtomicLong
+        val spillD = new java.util.concurrent.atomic.AtomicLong
+        val shufW = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              gcT.addAndGet(m.jvmGCTime); runT.addAndGet(m.executorRunTime)
+              spillM.addAndGet(m.memoryBytesSpilled); spillD.addAndGet(m.diskBytesSpilled)
+              shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            }
+          }
+        })
+        def tmpBytes(): Long = {
+          val tmp = java.nio.file.Paths.get(
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(tmp).iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("blockmgr-") ||
+              p.getFileName.toString.startsWith("spark-"))
+            .map { d =>
+              try java.nio.file.Files.walk(d).iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .map(f => try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+                .sum
+              catch { case _: Exception => 0L }
+            }.sum
+        }
+        def reset(): Unit = { // Bench.resetSession, replicated
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          System.gc(); Thread.sleep(250); System.gc(); Thread.sleep(250)
+        }
+        val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+        def codeCacheUsedMb(): Long = {
+          import scala.jdk.CollectionConverters._
+          java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+            .filter(_.getName.startsWith("CodeHeap"))
+            .map(_.getUsage.getUsed).sum >> 20
+        }
+        (1 to nPasses.toInt).foreach { p =>
+          reset()
+          val (g0, r0, sm0, sd0, sw0) =
+            (gcT.get, runT.get, spillM.get, spillD.get, shufW.get)
+          val jit0 = jitBean.getTotalCompilationTime
+          val t0 = System.nanoTime()
+          q.benchFn.getOrElse(q.fn)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val heap = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+          println(f"""[probe] {"probe":"passes","q":"$name","sf":"$sfDir","pass":$p,""" +
+            f""""wall_sec":$wall%.2f,"exec_run_sec":${(runT.get - r0) / 1e3}%.1f,""" +
+            f""""gc_sec":${(gcT.get - g0) / 1e3}%.1f,""" +
+            f""""spill_mem_mb":${(spillM.get - sm0) >> 20},"spill_disk_mb":${(spillD.get - sd0) >> 20},""" +
+            f""""shuffle_write_mb":${(shufW.get - sw0) >> 20},""" +
+            f""""tmp_mb":${tmpBytes() >> 20},"heap_used_mb":$heap,""" +
+            f""""jit_sec":${(jitBean.getTotalCompilationTime - jit0) / 1e3}%.1f,""" +
+            f""""codecache_mb":${codeCacheUsedMb()}}""")
+        }
       case "semdedup" :: sfDir :: maxCell :: Nil =>
         val emb = Tables.embeddings(spark, sfDir)
         val t0 = System.nanoTime()

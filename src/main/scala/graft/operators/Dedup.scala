@@ -878,25 +878,7 @@ object Dedup {
     */
   def segmentDedup(docs: DataFrame, id: String = "doc_id", text: String = "text",
                    segTokens: Int = 10): DataFrame = {
-    // null text == empty text on BOTH engines (the oracle coalesces the
-    // same way) — without this, size(NULL tk) = -1 slips past the
-    // empty-doc guard and sequence(0, -1) steps backwards (the d17
-    // lesson, null edition)
-    val toks = docs.select(col(id).as("doc_id"),
-      tokens(coalesce(col(text), lit(""))).as("tk"))
-    val nSeg = ceil(size(col("tk")) / lit(segTokens.toDouble)).cast("long")
-    // row-local segmentation: aligned `segTokens`-token windows, the last
-    // one truncated. transform-over-sequence guarded by the nSeg=0 case.
-    val segArr = when(size(col("tk")) === 0,
-        array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), (nSeg - 1).cast("int")),
-        i => array_join(slice(col("tk"), i * segTokens + 1, lit(segTokens)), " ")))
-    val segs = toks
-      .select(col("doc_id"), posexplode(segArr))
-      .withColumnRenamed("pos", "seg_idx")
-      .withColumnRenamed("col", "seg")
-      .withColumn("h", md5(col("seg")))
+    val segs = segmentize(docs, id, text, segTokens)
       // one hash-keyed layout feeds the owner aggregate, the owner join
       // AND the per-doc totals — co-partition + partitioning-preserving
       // checkpoint (multi-consumer class; the keyed consumers are
@@ -908,18 +890,56 @@ object Dedup {
     val kept = segs.join(owner, "h")
       .filter(col("doc_id") === col("own.doc_id") &&
         col("seg_idx") === col("own.seg_idx"))
+    reassembleSegments(docs.select(col(id).as("doc_id")), segs, kept)
+  }
+
+  /** [[segmentDedup]]'s row-local half: the token stream cut into
+    * aligned `segTokens`-token windows (the last one truncated), one row
+    * per (doc_id, seg_idx, seg, h = md5(seg)). ZERO shuffle — the caller
+    * picks the layout (d18 hash-co-partitions once; the streaming leg
+    * n29 feeds it a file stream, where any shuffle would be per-batch).
+    * Works on batch AND streaming frames (nothing but projections).
+    */
+  private[graft] def segmentize(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", segTokens: Int = 10): DataFrame = {
+    // null text == empty text on BOTH engines (the oracle coalesces the
+    // same way) — without this, size(NULL tk) = -1 slips past the
+    // empty-doc guard and sequence(0, -1) steps backwards (the d17
+    // lesson, null edition)
+    val toks = docs.select(col(id).as("doc_id"),
+      tokens(coalesce(col(text), lit(""))).as("tk"))
+    val nSeg = ceil(size(col("tk")) / lit(segTokens.toDouble)).cast("long")
+    val segArr = when(size(col("tk")) === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), (nSeg - 1).cast("int")),
+        i => array_join(slice(col("tk"), i * segTokens + 1, lit(segTokens)), " ")))
+    toks
+      .select(col("doc_id"), posexplode(segArr))
+      .withColumnRenamed("pos", "seg_idx")
+      .withColumnRenamed("col", "seg")
+      .withColumn("h", md5(col("seg")))
+  }
+
+  /** [[segmentDedup]]'s reassembly half, shared with the streaming leg:
+    * per-doc summary (doc_id, n_segments, kept_segments,
+    * removed_segments, cleaned_hash) from the full segment stream
+    * (totals — max seg_idx + 1, NOT a second tokenize pass) and the
+    * surviving segments (cleaned_hash = md5 of kept segments in order —
+    * the surgery fingerprint the oracle recomputes). Zero-segment docs
+    * (empty/null text) have no `segs` rows and coalesce to 0 via the
+    * left joins from `docIds`.
+    */
+  private[graft] def reassembleSegments(docIds: DataFrame, segs: DataFrame,
+      kept: DataFrame): DataFrame = {
     val perDoc = kept.groupBy("doc_id").agg(
       count(lit(1)).cast("long").as("kept_segments"),
       md5(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s("seg")))).as("cleaned_hash"))
-    // totals come off the CHECKPOINTED segment stream (max seg_idx + 1),
-    // not a second tokenize pass over the raw corpus; the docs-side scan
-    // prunes to the id column only. Zero-segment docs (empty/null text)
-    // have no segs rows and coalesce to 0.
     val totals = segs.groupBy("doc_id")
       .agg((max(col("seg_idx")) + 1).cast("long").as("n_segments"))
-    docs.select(col(id).as("doc_id"))
+    docIds
       .join(totals, Seq("doc_id"), "left")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

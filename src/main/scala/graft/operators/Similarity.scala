@@ -944,16 +944,38 @@ object Similarity {
 
   /** Evenly-spread LSH coordinate ladder for `inDims`-dimensional
     * vectors: 8 stride-spaced coordinates, then their midpoints, then the
-    * quarter-points — any PREFIX of the ladder is itself an evenly-spread
-    * coordinate set, so growing the bit count REFINES buckets without
-    * reshuffling the leading bits (an 8-bit bucket is the prefix of the
-    * same vector's 16-bit bucket). The first 8 entries reproduce the
-    * historical fixed default (1,9,…,57 at 64 dims), which keeps every
-    * sub-524k-vector result byte-identical to rounds ≤ 11.
+    * quarter-points, eighth-points, … — any PREFIX of the ladder is
+    * itself an evenly-spread coordinate set, so growing the bit count
+    * REFINES buckets without reshuffling the leading bits (an 8-bit
+    * bucket is the prefix of the same vector's 16-bit bucket). The first
+    * 8 entries reproduce the historical fixed default (1,9,…,57 at 64
+    * dims), which keeps every sub-524k-vector result byte-identical to
+    * rounds ≤ 11.
+    *
+    * Offsets walk the van der Corput (binary bit-reversal) sequence
+    * scaled by the stride — 0, s/2, s/4, 3s/4, s/8, 5s/8, 3s/8, 7s/8, …
+    * — whose first four terms ARE the pre-r13 hand-written offset list,
+    * so the ladder's first 32 entries (at 64 dims) are unchanged and
+    * every historical result stays byte-identical. The deeper levels
+    * (r13) extend the ladder to EVERY coordinate (64 entries at 64
+    * dims): at 12+ occupancy-law bits the multi-table OR-construction
+    * (e18) now fits 4+ disjoint slices instead of saturating at 2 —
+    * the recall lever stays live exactly where approximate search
+    * needs it (the round-12 verdict's one named quality gap).
     */
   def lshDimLadder(inDims: Int): Seq[Int] = {
     val stride = math.max(1, inDims / 8)
-    val offsets = Seq(0, stride / 2, stride / 4, (3 * stride) / 4)
+    // enumerate radical inverses num/den for every den up to 2x the next
+    // power of two >= stride: their floor(.*stride) values cover every
+    // offset in [0, stride) because consecutive fractions are spaced
+    // under 1/stride apart; distinct keeps first-occurrence (coarsest-
+    // level) order, which is what makes every prefix evenly spread
+    val offsets = (0 until 2 * Integer.highestOneBit(math.max(stride, 1)) * 2)
+      .map { i =>
+        var num = 0L; var den = 1L; var x = i
+        while (x > 0) { num = num * 2 + (x & 1); den *= 2; x >>= 1 }
+        ((num * stride) / den).toInt
+      }
       .distinct.filter(_ < stride)
     for (off <- offsets; j <- 0 until 8; d = j * stride + off + 1 if d <= inDims)
       yield d

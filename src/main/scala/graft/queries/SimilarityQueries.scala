@@ -209,13 +209,15 @@ object SimilarityQueries {
     // IS e04-auto's prefix at every scale, so candidates are a superset
     // and recall@k is monotonically ≥ e04's, spec-pinned). PER-TABLE
     // bits follow the same occupancy law as e04 and the TABLE COUNT
-    // yields to it (tables = min(4, 32 // bits)) — the recall dial
-    // trades tables, never occupancy; a fixed-4x8 form re-entered the
-    // occupancy knee at 258.6 s at sf10 (SCALING.md). The oracle
+    // yields to it (tables = min(4, ladder_len // bits)) — the recall
+    // dial trades tables, never occupancy; a fixed-4x8 form re-entered
+    // the occupancy knee at 258.6 s at sf10 (SCALING.md). The oracle
     // replays the law, every table's bucket family (substr slices of
-    // one 32-char ladder signature), the distinct candidate union and
-    // the rerank — live at any SF: 4x8 bits at the oracle SFs, 3x9 at
-    // sf1, 2x12 at sf10.
+    // one full-ladder signature — 64 chars at 64 dims since the r13
+    // ladder deepening, which keeps 4 tables live at sf10's 12 bits
+    // instead of saturating at 2), the distinct candidate union and
+    // the rerank — live at any SF: 4x8 bits at the oracle SFs, 4x9 at
+    // sf1, 4x12 at sf10.
     Q("e18_lsh_multitable",
       (s, d) => Similarity.lshKnnMulti(
           Tables.embeddings(s, d)
@@ -225,15 +227,16 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos"))
         .orderBy("query_id", "rank"),
       Some {
-        val sig32 = Similarity.lshDimLadder(64)
+        val ladder = Similarity.lshDimLadder(64)
+        val sigFull = ladder
           .map(i => s"(CASE WHEN qv[$i] >= 0 THEN '1' ELSE '0' END)")
           .mkString(" || ")
         s"""WITH q AS (SELECT vec_id, $quantDuck AS qv FROM embeddings),
            |p1 AS (SELECT greatest(8, least(24,
            |         length(bin(greatest(((count(*) + 63) // 64) - 1, 1))))) AS bits
            |       FROM q),
-           |p AS (SELECT bits, least(4, 32 // bits) AS tabs FROM p1),
-           |sig AS (SELECT vec_id, qv, $sig32 AS s32 FROM q),
+           |p AS (SELECT bits, least(4, ${ladder.length} // bits) AS tabs FROM p1),
+           |sig AS (SELECT vec_id, qv, $sigFull AS s32 FROM q),
            |bk AS (
            |  SELECT vec_id, qv, t,
            |    substr(s32, CAST(t * (SELECT bits FROM p) + 1 AS INT),

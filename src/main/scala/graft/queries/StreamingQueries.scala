@@ -25,6 +25,11 @@ object StreamingQueries {
 
   private val ctr = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Input-bearing micro-batch count of the LAST runToTable query —
+    * spec instrumentation only (see runToTable).
+    */
+  @volatile private[graft] var lastStreamBatches: Int = 0
+
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the sink table (unique per call — Bench runs each query
     * twice).
@@ -48,6 +53,10 @@ object StreamingQueries {
       val query = q.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
+      // visible to specs asserting that a multi-file staging actually
+      // SPLIT into micro-batches (so batch-split-invariance tests are
+      // not vacuously comparing two single-batch runs)
+      lastStreamBatches = query.recentProgress.count(_.numInputRows > 0)
       // copy the result out of the memory sink and DROP the temp view:
       // the sink's row buffer would otherwise stay registered (and
       // referenced) for the session's lifetime — under the bench's
@@ -691,8 +700,89 @@ object StreamingQueries {
             runToTable(s, latest, "complete"))
         }
       },
-      Some(RelationalQueries.cdcOracleSql))
+      Some(RelationalQueries.cdcOracleSql)),
+
+    // d18's STREAMING leg — CCNet segment dedup in a continuously
+    // ingesting pipeline (r12 verdict #5, the d13 history/delta shape):
+    // the historical 75% of the corpus is already deduped and its
+    // segment-hash owner index sits AT REST; tonight's documents ARRIVE
+    // as a stream, and each micro-batch's segments probe ONLY that
+    // checkpointed index (stream-static anti-join — the corpus is never
+    // re-scanned) plus a mergeable min-struct state for first-occurrence
+    // among the new docs themselves (the n28 supersede monoid, so
+    // micro-batch splits cannot change the winner; spec-pinned). Ingest
+    // ids are monotone — history IS the doc_id prefix — so the
+    // incremental owner set equals the batch corpus-wide
+    // first-occurrence set and the oracle IS d18's, verbatim: batch,
+    // streaming, and the independent SQL replay must all three agree on
+    // the surgery fingerprints.
+    Q("n29_stream_segment_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val cut = docs.agg(coalesce((max(col("doc_id")) + 1) * 3 / 4, lit(0L))
+          .cast("long")).head.getLong(0)
+        val fresh = docs.filter(col("doc_id") >= cut)
+        withStaged(s, fresh, "n29") { src =>
+          streamSegmentDedup(s, docs, fresh,
+            docs.filter(col("doc_id") < cut), src)
+        }
+      },
+      Some(TextQueries.segmentDedupOracle))
   )
+
+  private[graft] val segStageSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** n29's plan, factored so the spec can drive its own staging/batch
+    * splits: `hist` (the at-rest, already-deduped history) builds the
+    * hash-keyed segment layout + owner index ONCE (d18's co-partitioned
+    * checkpoint — at 100 TB this index is the at-rest table the ingest
+    * pipeline maintains); the staged `src` streams tonight's documents.
+    * Per micro-batch: row-local segmentation → stream-static ANTI-join
+    * against the owner index (only the index is probed, never the
+    * corpus) → min-struct owner state over the surviving new segments
+    * (complete mode; a deployment runs update mode on RocksDB exactly
+    * like n28's CdcStreamSpec form — the state is one struct per
+    * DISTINCT new segment hash). Reassembly is batch-side over the sink
+    * + the at-rest history, reusing d18's `reassembleSegments` verbatim;
+    * totals come row-local from each side (no corpus re-scan).
+    */
+  private[graft] def streamSegmentDedup(s: SparkSession, docs: DataFrame,
+      fresh: DataFrame, hist: DataFrame, src: String,
+      filesPerTrigger: Option[Int] = None): DataFrame = {
+    val histSegs = Dedup.segmentize(hist)
+      .repartition(col("h"))
+      .transform(graft.ops.Checkpoints.partitioned)
+    // the index both the per-batch anti-join and the history reassembly
+    // probe — materialized once (multi-consumer class)
+    val histOwner = histSegs.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("own"))
+      .localCheckpoint(true)
+    val reader0 = s.readStream.schema(segStageSchema)
+    val reader = filesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    val freshSegs = Dedup.segmentize(reader.parquet(src))
+    val survivors = freshSegs.join(histOwner.select("h"), Seq("h"), "left_anti")
+    // first-occurrence among the NEW docs: min (doc_id, seg_idx) is a
+    // mergeable monoid, so the final state is independent of how the
+    // stream was cut into batches — a later batch carrying an earlier
+    // doc_id supersedes the provisional owner exactly like n28's CDC key
+    val freshOwn = runToTable(s,
+      survivors.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("own")),
+      "complete")
+    val histKept = histSegs.join(histOwner, "h")
+      .filter(col("doc_id") === col("own.doc_id") &&
+        col("seg_idx") === col("own.seg_idx"))
+      .select(col("doc_id"), col("seg_idx"), col("seg"))
+    val freshKept = freshOwn.select(col("own.doc_id").as("doc_id"),
+      col("own.seg_idx").as("seg_idx"), col("own.seg").as("seg"))
+    val totalsSegs = histSegs.select("doc_id", "seg_idx", "seg")
+      .unionByName(Dedup.segmentize(fresh).select("doc_id", "seg_idx", "seg"))
+    Dedup.reassembleSegments(docs.select(col("doc_id")), totalsSegs,
+        histKept.unionByName(freshKept))
+      .orderBy("doc_id")
+  }
 
   private val cdcStageSchema = StructType(Seq(
     StructField("o_custkey", LongType),

@@ -2132,25 +2132,7 @@ object TextQueries {
     // 2949 segments — the gate exercises real removals.
     Q("d18_segment_dedup",
       (s, d) => Dedup.segmentDedup(Tables.documents(s, d)).orderBy("doc_id"),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS tk FROM documents),
-             |segs AS (
-             |  SELECT doc_id, i AS seg_idx,
-             |    array_to_string(tk[i*10+1 : i*10+10], ' ') AS seg
-             |  FROM toks, unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS r(i)),
-             |h AS (SELECT doc_id, seg_idx, seg, md5(seg) AS hh FROM segs),
-             |own AS (SELECT *, row_number() OVER (PARTITION BY hh
-             |          ORDER BY doc_id, seg_idx) AS rn FROM h),
-             |kept AS (SELECT doc_id, seg_idx, seg FROM own WHERE rn = 1),
-             |ka AS (SELECT doc_id, count(*)::BIGINT AS kept_segments,
-             |         md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS cleaned_hash
-             |       FROM kept GROUP BY doc_id),
-             |tot AS (SELECT doc_id, CAST(ceil(len(tk) / 10.0) AS BIGINT) AS n_segments FROM toks)
-             |SELECT t.doc_id, t.n_segments,
-             |  coalesce(ka.kept_segments, 0)::BIGINT AS kept_segments,
-             |  (t.n_segments - coalesce(ka.kept_segments, 0))::BIGINT AS removed_segments,
-             |  coalesce(ka.cleaned_hash, md5('')) AS cleaned_hash
-             |FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+      Some(segmentDedupOracle)),
 
     // Gopher repetition filters (Rae'21 Table A1, token-stream analogs;
     // see Repetition.signals): top-word / top-bigram / duplicated-5-gram
@@ -2204,6 +2186,33 @@ object TextQueries {
     * checkpointing the exploded occurrence stream); LM joins stay
     * AQE-managed — hot function-word bigrams are the d12 skew lesson.
     */
+  /** d18's DuckDB oracle — shared VERBATIM with the streaming leg n29
+    * (the q49/n28 pattern): batch, streaming, and the independent SQL
+    * replay must all three agree on the deduped corpus.
+    */
+  // lazy: referenced by the queries map ABOVE this definition (and by
+  // StreamingQueries.n29) — eager init order would hand the map a null
+  private[graft] lazy val segmentDedupOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS tk FROM documents),
+      |segs AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |    array_to_string(tk[i*10+1 : i*10+10], ' ') AS seg
+      |  FROM toks, unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS r(i)),
+      |h AS (SELECT doc_id, seg_idx, seg, md5(seg) AS hh FROM segs),
+      |own AS (SELECT *, row_number() OVER (PARTITION BY hh
+      |          ORDER BY doc_id, seg_idx) AS rn FROM h),
+      |kept AS (SELECT doc_id, seg_idx, seg FROM own WHERE rn = 1),
+      |ka AS (SELECT doc_id, count(*)::BIGINT AS kept_segments,
+      |         md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS cleaned_hash
+      |       FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(ceil(len(tk) / 10.0) AS BIGINT) AS n_segments FROM toks)
+      |SELECT t.doc_id, t.n_segments,
+      |  coalesce(ka.kept_segments, 0)::BIGINT AS kept_segments,
+      |  (t.n_segments - coalesce(ka.kept_segments, 0))::BIGINT AS removed_segments,
+      |  coalesce(ka.cleaned_hash, md5('')) AS cleaned_hash
+      |FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   private def ccnetAvgMicro(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(s, d)

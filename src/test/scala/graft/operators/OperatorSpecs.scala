@@ -649,10 +649,32 @@ class SimilaritySpec extends SparkSpec {
     // the first 8 ladder coordinates at 64 dims ARE the pre-r12 fixed
     // default, so sub-524k corpora stay byte-identical across rounds
     assert(Similarity.lshDimLadder(64).take(8) == Seq(1, 9, 17, 25, 33, 41, 49, 57))
-    // ladder coordinates are distinct, in range, and ≥24 deep at 64 dims
+    // ...and the first 32 ARE the pre-r13 four-level ladder verbatim
+    // (every oracle SF and every dims-prefix caller stays byte-identical
+    // under the r13 deepening)
+    assert(Similarity.lshDimLadder(64).take(32) == Seq(
+      1, 9, 17, 25, 33, 41, 49, 57, // stride offsets
+      5, 13, 21, 29, 37, 45, 53, 61, // midpoints
+      3, 11, 19, 27, 35, 43, 51, 59, // quarter-points
+      7, 15, 23, 31, 39, 47, 55, 63)) // three-quarter-points
+    // ladder coordinates are distinct, in range, and — since r13 — cover
+    // EVERY coordinate at 64 dims (the van der Corput offset walk), so
+    // the e18 OR-construction keeps >=4 disjoint 12-bit slices at sf10
     val ladder = Similarity.lshDimLadder(64)
     assert(ladder.distinct.length == ladder.length && ladder.forall(d => d >= 1 && d <= 64))
-    assert(ladder.length >= 24)
+    assert(ladder.length == 64 && ladder.sorted == (1 to 64))
+    // non-power-of-two strides cover every offset too (72 dims, stride 9)
+    val l72 = Similarity.lshDimLadder(72)
+    assert(l72.distinct.length == l72.length && l72.length == 72 && l72.sorted == (1 to 72))
+    // every 8-aligned offset-level prefix is evenly spread: each stride-8
+    // block of coordinate space holds exactly level-count entries
+    (1 to 8).foreach { lvl =>
+      val prefix = ladder.take(8 * lvl)
+      (0 until 8).foreach { blk =>
+        assert(prefix.count(d => (d - 1) / 8 == blk) == lvl,
+          s"level $lvl block $blk uneven: $prefix")
+      }
+    }
     // the law: smallest b with 64·2^b ≥ n, clamped to [8, 24] — exact
     // integer boundaries (the DuckDB oracle replays the same arithmetic)
     assert(Similarity.autoLshBits(1, 64) == 8)
@@ -727,6 +749,65 @@ class SimilaritySpec extends SparkSpec {
       assert(m1.getOrElse(qid, Double.MinValue) >= c - 1e-12,
         s"query $qid: multi top-1 ${m1.get(qid)} below single $c")
     }
+  }
+
+  test("LSH family recall floors on the planted-neighborhood fixture") {
+    // The e06 pattern for the LSH family (r12 verdict #4): the oracles
+    // replay the occupancy LAW, not the QUALITY — a ladder/law/salt
+    // change could halve recall with every gate still green. This spec
+    // pins recall@5 lower bounds on a DETERMINISTIC planted corpus:
+    // 50 well-separated cluster prototypes x 8 jittered members (seed
+    // 21; jitter sigma 0.18 flips some near-zero sign bits, so recall
+    // is genuinely < 1 and sensitive to bucket machinery), ground truth
+    // = exact cosine top-5 under the operator's own tie-break.
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val rows = (0 until 50).flatMap { c =>
+      val proto = Array.fill(64)(rnd.nextGaussian())
+      (0 until 8).map { m =>
+        val v = proto.map(x => (x + 0.18 * rnd.nextGaussian()).toFloat)
+        (c * 8L + m, v)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding").localCheckpoint(true)
+    val vecs = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth: Map[Long, Set[Long]] = vecs.map { case (q, qv) =>
+      q -> vecs.toSeq.collect { case (n, nv) if n != q => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1).toSet
+    }
+    def recall(out: Array[org.apache.spark.sql.Row]): Double = {
+      val got = out.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      truth.toSeq.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size / 5.0
+      }.sum / truth.size
+    }
+    val ladder = Similarity.lshDimLadder(64)
+    val auto = recall(Similarity.lshKnn(df, k = 5).collect())
+    val single12 = recall(Similarity.lshKnn(df, k = 5, dims = ladder.take(12)).collect())
+    val multi12 = recall(Similarity.lshKnnMulti(df, k = 5, tables = 4, bitsPerTable = 12).collect())
+    info(f"planted recall@5: e04-auto $auto%.3f, 1x12 $single12%.3f, 4x12 $multi12%.3f")
+    // e04 shape at the 8-bit law floor (n=400 -> 8 bits). The corpus is
+    // FIXED (seeded), so the measured values are constants of the
+    // machinery — e04-auto 0.487, 1x12 0.330, 4x12 0.850 — and the
+    // floors sit ~0.13 under measured: margin for machinery-preserving
+    // refactors only, while a mechanism break (wrong slice, salt
+    // misroute, law blow-up) collapses recall to near the
+    // random-candidate level, far below every floor.
+    assert(auto >= 0.35, f"e04-auto recall@5 $auto%.3f below the 0.35 floor")
+    // e18 shape at DEPTH: 4 tables x 12 bits needs 48 ladder coordinates
+    // — the r13 deepening (pre-r13 the 32-entry ladder capped this at 2
+    // tables). The OR-construction must also beat its own single table
+    // by >= 0.25 (measured +0.52) — the lever the deepening keeps live.
+    assert(single12 >= 0.20, f"single-12-bit recall@5 $single12%.3f below the 0.20 floor")
+    assert(multi12 >= 0.65, f"e18 4x12 recall@5 $multi12%.3f below the 0.65 floor")
+    assert(multi12 - single12 >= 0.25,
+      f"multi-table lever dead at depth: 4x12 $multi12%.3f vs 1x12 $single12%.3f")
   }
 
   test("lshKnn hot-bucket guard splits oversize buckets, leaves small ones exact") {
