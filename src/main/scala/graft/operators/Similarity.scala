@@ -207,8 +207,16 @@ object Similarity {
     * nprobe/nlist of the files, the property that makes IVF worth it at
     * billion-vector scale.
     */
+  /** `nVectors` is the MATERIALIZED corpus size (-1 = unknown): build
+    * and path-append set it from the at-rest/persisted frame (metadata
+    * count, no data scan), and the probe's broadcast-vs-shuffle
+    * crossover uses it instead of the nlist² sizing-law estimate — the
+    * law is ~781x off for a fixed-nlist index over a grown corpus (the
+    * e14 shape at sf10), putting the probe on the corpus-shuffling side
+    * exactly where a 10⁹-vector read path must not shuffle.
+    */
   final case class IvfIndex(centers: Array[Array[Double]], assigned: DataFrame,
-                            path: Option[String] = None)
+                            path: Option[String] = None, nVectors: Long = -1L)
 
   /** nlist for a corpus of n vectors: ~√n (the classic IVF sizing — cells
     * of ~√n vectors balance centroid-scan and cell-scan cost), clamped to
@@ -497,23 +505,26 @@ object Similarity {
         // case costs one per-cell count over the written files, nothing
         // else; a split rewrites the refined layout to a sibling dir
         val (refined, cents2) = enforceMaxCell(onDisk, centers, maxCell)
-        if (refined eq onDisk) IvfIndex(centers, onDisk, Some(p))
+        // parquet metadata count — no data scan
+        if (refined eq onDisk) IvfIndex(centers, onDisk, Some(p), onDisk.count())
         else {
           val p2 = p + "-split"
           refined.repartition(col("cell"))
             .write.mode("overwrite").partitionBy("cell").parquet(p2)
-          IvfIndex(cents2, spark.read.parquet(p2), Some(p2))
+          val onDisk2 = spark.read.parquet(p2)
+          IvfIndex(cents2, onDisk2, Some(p2), onDisk2.count())
         }
       case None =>
         val persisted =
           assignedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val (refined, cents2) = enforceMaxCell(persisted, centers, maxCell)
-        if (refined eq persisted) IvfIndex(centers, persisted)
+        if (refined eq persisted) IvfIndex(centers, persisted, None, persisted.count())
         else {
           // refined is already localCheckpoint-materialized round by round
           persisted.unpersist()
-          IvfIndex(cents2,
-            refined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          val kept =
+            refined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          IvfIndex(cents2, kept, None, kept.count())
         }
     }
   }
@@ -624,9 +635,15 @@ object Similarity {
       case Some(p) =>
         assignedNew.repartition(col("cell"))
           .write.mode("append").partitionBy("cell").parquet(p)
-        index.copy(assigned = spark.read.parquet(p))
+        val onDisk = spark.read.parquet(p)
+        index.copy(assigned = onDisk, nVectors = onDisk.count())
       case None =>
-        index.copy(assigned = index.assigned.unionByName(assignedNew))
+        // the union is lazy — counting it would re-execute the appended
+        // side's upstream once per append, so the in-memory form falls
+        // back to the nlist² law at probe time (right for autoNlist-sized
+        // indexes, the in-memory case)
+        index.copy(assigned = index.assigned.unionByName(assignedNew),
+          nVectors = -1L)
     }
   }
 
@@ -676,15 +693,25 @@ object Similarity {
   private val probeBroadcastRatio = 16L
 
   private[operators] def maybeBroadcastProbe(probes: DataFrame, dim: Int,
-                                             nlist: Int): DataFrame = {
+                                             nlist: Int, nVectors: Long = -1L): DataFrame = {
     val rowBytes = dim * 8L + 24L // qv doubles + (query_id, cell) + overhead
     val probeBytes = probes.count() * rowBytes // cheap: eager checkpoint
-    // corpus estimate from the IVF sizing law nlist ≈ √n — exact enough
-    // for a crossover decision; the 4096 clamp only UNDERestimates huge
-    // corpora, which errs toward broadcast, the side that's right there
-    val corpusBytesEst = nlist.toLong * nlist * rowBytes
+    // corpus size: the index's materialized count when it carries one
+    // (r13 — a FIXED-nlist index over a grown corpus breaks the law
+    // below by the corpus/nlist² ratio: e14 at sf10 is 200k vectors in
+    // 16 cells, 781x, which parked its full probe on the corpus-shuffle
+    // side); else the IVF sizing law nlist ≈ √n — exact enough for
+    // autoNlist-sized indexes, and the 4096 clamp only UNDERestimates
+    // huge corpora, which errs toward broadcast, the side that's right
+    // there
+    val corpusBytesEst =
+      if (nVectors >= 0) nVectors * rowBytes
+      else nlist.toLong * nlist * rowBytes
+    // SPARK_GRAFT_PROBE_NOBC=1 forces the shuffle arm — the reproducible
+    // A/B handle (the d08 SPARK_GRAFT_D08_TWOCOL pattern)
     if (probeBytes <= maxProbeBroadcastBytes &&
-        corpusBytesEst >= probeBroadcastRatio * probeBytes) broadcast(probes)
+        corpusBytesEst >= probeBroadcastRatio * probeBytes &&
+        !sys.env.get("SPARK_GRAFT_PROBE_NOBC").contains("1")) broadcast(probes)
     else probes
   }
 
@@ -733,7 +760,8 @@ object Similarity {
     // the recall gates' exact nprobe=nlist arm and low-corpus/probe-
     // ratio slices on the shuffle join, where measurement says it wins.
     val probeSide = maybeBroadcastProbe(probes,
-      index.centers.headOption.map(_.length).getOrElse(64), index.centers.length)
+      index.centers.headOption.map(_.length).getOrElse(64), index.centers.length,
+      index.nVectors)
     val scored = probeSide.join(corpus, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

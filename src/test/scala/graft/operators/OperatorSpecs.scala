@@ -810,6 +810,44 @@ class SimilaritySpec extends SparkSpec {
       f"multi-table lever dead at depth: 4x12 $multi12%.3f vs 1x12 $single12%.3f")
   }
 
+  test("probeIvf broadcast crossover picks the right side in both regimes") {
+    // r12 verdict #7: the ratio-guarded probe broadcast, asserted on the
+    // executed plan at BOTH regimes. Auto-broadcast is disabled for the
+    // duration so the ONLY possible BroadcastHashJoin is the guard's own
+    // explicit hint — the assertion tests the guard, not Spark's size
+    // estimation.
+    import spark.implicits._
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planOf(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect() // finalize AQE
+        df.queryExecution.executedPlan.toString
+      }
+      // broadcast regime: 5000-vector corpus, 10-query full probe —
+      // probe 160 rows vs corpus 5000 (ratio ~31 >= 16) -> the corpus
+      // must NOT shuffle; the probe side is broadcast
+      val rnd = new scala.util.Random(31)
+      val big = (0L until 5000L)
+        .map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+        .toDF("vec_id", "embedding").localCheckpoint(true)
+      val idxB = Similarity.buildIvfIndex(big, nlist = 16)
+      assert(idxB.nVectors == 5000L, s"index lost its corpus count: ${idxB.nVectors}")
+      val pB = planOf(Similarity.probeIvf(idxB, big.filter(col("vec_id") < 10),
+        k = 3, nprobe = 16))
+      assert(pB.contains("BroadcastHashJoin"),
+        s"probe side not broadcast at corpus/probe ratio ~31:\n$pB")
+      // shuffle regime: 300-vector corpus, 100-query full probe — probe
+      // 1600 rows vs corpus 300 (ratio < 1) -> broadcasting the probe
+      // would ship MORE than the corpus shuffle moves; guard must decline
+      val idxA = Similarity.buildIvfIndex(vectors, nlist = 16)
+      val pA = planOf(Similarity.probeIvf(idxA, vectors.filter(col("vec_id") < 100),
+        k = 3, nprobe = 16))
+      assert(!pA.contains("BroadcastHashJoin"),
+        s"probe side broadcast below the crossover ratio:\n$pA")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("lshKnn hot-bucket guard splits oversize buckets, leaves small ones exact") {
     // 200 vectors in ONE sign bucket (all-positive on the hashed dims)
     import spark.implicits._
