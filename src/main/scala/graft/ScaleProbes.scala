@@ -105,6 +105,29 @@ object ScaleProbes {
             f""""jit_sec":${(jitBean.getTotalCompilationTime - jit0) / 1e3}%.1f,""" +
             f""""codecache_mb":${codeCacheUsedMb()}}""")
         }
+      case "ivfpqrecall" :: sfDir :: Nil =>
+        // e09 (raw-vector PQ) vs e19 (residual PQ / IVFADC) recall@5
+        // against the exact full probe — the UNCLAMPED numbers behind
+        // the two gates' floors (250 / 300 milli).
+        val emb = Tables.embeddings(spark, sfDir)
+        val index = graft.operators.Similarity.ivfIndexFor(emb, key = sfDir)
+        val queries = emb.filter(col("vec_id") % 20 === 0)
+        val exact = graft.operators.Similarity
+          .probeIvf(index, queries, k = 5, nprobe = index.centers.length)
+          .select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        def recall(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          val got = df.select("query_id", "neighbor_id").collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+          val rs = exact.toSeq.map { case (q, t) =>
+            got.getOrElse(q, Set.empty).intersect(t).size / 5.0 }
+          println(f"""[probe] {"probe":"ivfpqrecall","sf":"$sfDir","arm":"$label",""" +
+            f""""queries":${rs.length},"recall_at5":${rs.sum / rs.length}%.4f}""")
+        }
+        recall("raw_e09", graft.operators.Similarity.probeIvfPq(index,
+          graft.operators.Similarity.pqCodebooks(emb), queries, kNn = 5))
+        recall("residual_e19", graft.operators.Similarity.probeIvfPqResidual(index,
+          graft.operators.Similarity.pqCodebooksResidual(index), queries, kNn = 5))
       case "semdedup" :: sfDir :: maxCell :: Nil =>
         val emb = Tables.embeddings(spark, sfDir)
         val t0 = System.nanoTime()

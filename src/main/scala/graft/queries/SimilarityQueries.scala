@@ -493,6 +493,44 @@ object SimilarityQueries {
           emb.filter(col("vec_id") % 20 === 0), kNn = 5)
       })),
 
+    // Residual IVF-PQ — IVFADC proper (Jégou'11 §IV, the form FAISS
+    // ships): PQ codebooks fit on RESIDUALS to the assigned coarse
+    // centroid, ADC computed per candidate against the candidate cell's
+    // query residual, exact re-rank. The residual grid is finer at the
+    // same m x k budget exactly when the corpus is CLUSTERED (the
+    // coarse quantizer removes each cell's mean): the spec pins
+    // reconstruction error < half of raw PQ's on a 32-cluster fixture.
+    // On the synthetic random-embedding table there is no cluster
+    // structure to exploit, so measured recall ~= e09's (ivfpqrecall
+    // probe: 0.44-0.47 vs 0.45-0.46 at the oracle SFs, 0.314 vs 0.300
+    // at sf0.1) — the floor is set at 300 milli, above e09's 250,
+    // holding at sf0.001/0.01/0.1; like e09, recall at sf1+ falls with
+    // the nprobe=4/sqrt(n) cell fraction and the gate is an oracle-SF
+    // contract, not a scale-invariant one.
+    Q("e19_ivfpq_residual",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val index = Similarity.ivfIndexFor(emb, key = d)
+        val queries = emb.filter(col("vec_id") % 20 === 0)
+        val ann = Similarity.probeIvfPqResidual(index,
+          Similarity.pqCodebooksResidual(index), queries, kNn = 5)
+        val exact = Similarity.probeIvf(index, queries, k = 5,
+          nprobe = index.centers.length)
+        recallFloor(ann, exact, queries, k = 5, milliFloor = 300)
+      },
+      Some("""SELECT count(*)::BIGINT AS n_queries, 300::BIGINT AS recall_milli
+             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin),
+      // benched plan = residual codebook fit + the residual-ADC probe
+      // with exact re-rank; the gate's exact nprobe=nlist arm stays
+      // correctness-only (see e06).
+      benchFn = Some((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val index = Similarity.ivfIndexFor(emb, key = d)
+        Similarity.probeIvfPqResidual(index,
+          Similarity.pqCodebooksResidual(index),
+          emb.filter(col("vec_id") % 20 === 0), kNn = 5)
+      })),
+
     // IVF incremental APPEND — the nightly-ingest path: ~75% of the
     // corpus builds the index (trains centroids), the remaining ~25%
     // arrives later and is assigned to the EXISTING centroids and

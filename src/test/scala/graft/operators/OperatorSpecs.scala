@@ -810,6 +810,61 @@ class SimilaritySpec extends SparkSpec {
       f"multi-table lever dead at depth: 4x12 $multi12%.3f vs 1x12 $single12%.3f")
   }
 
+  test("residual PQ (IVFADC): finer grid than raw PQ on clustered data; recall holds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // clustered corpus — the regime IVFADC exists for: MORE cluster
+    // modes than the 16 per-subspace codes can cover, so raw PQ must
+    // spend its budget on the mode layout while the residual form (the
+    // coarse quantizer removed each cell's mean) spends it all on the
+    // within-cluster jitter. With 4 clusters the two differ only by the
+    // k^(-2/d) code-allocation factor (~1.5x measured); with 32 the
+    // residual grid is ~5x finer — the assertion pins the regime where
+    // the published form earns its keep.
+    val protos = Array.fill(32)(Array.fill(64)(rnd.nextGaussian() * 2))
+    val rows = (0L until 384L).map { i =>
+      val p = protos((i % 32).toInt)
+      (i, p.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding").localCheckpoint(true)
+    val index = Similarity.buildIvfIndex(df, nlist = 32)
+    val rawErr = Similarity.pqEncode(df).agg(sum(col("err_q"))).head.getLong(0)
+    val resErr = Similarity.pqEncodeResidual(index).agg(sum(col("err_q"))).head.getLong(0)
+    info(f"PQ reconstruction err: raw $rawErr vs residual $resErr " +
+      f"(${rawErr.toDouble / resErr}%.1fx)")
+    assert(resErr < rawErr / 2,
+      s"residual PQ error $resErr not well below raw PQ's $rawErr on clustered data")
+    // codes are a pure function of the data, not the partitioning
+    val a = Similarity.pqEncodeResidual(index).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    val b = Similarity.pqEncodeResidual(
+        index.copy(assigned = index.assigned.repartition(7))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(a == b, "residual codes changed under repartitioning")
+    // the full IVFADC probe: valid ranked output, recall at least at the
+    // plain IVF-PQ level on the shared fixture (same cells, finer codes)
+    val idx2 = Similarity.buildIvfIndex(vectors, nlist = 8)
+    val queries = vectors.filter(col("vec_id") % 4 === 0)
+    val exact = Similarity.probeIvf(idx2, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.toSeq.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size / 5.0
+      }.sum / exact.size
+    }
+    val rRes = recallOf(Similarity.probeIvfPqResidual(idx2,
+      Similarity.pqCodebooksResidual(idx2), queries, kNn = 5))
+    val rRaw = recallOf(Similarity.probeIvfPq(idx2,
+      Similarity.pqCodebooks(vectors), queries, kNn = 5))
+    info(f"IVF-PQ recall@5: residual $rRes%.3f vs raw $rRaw%.3f")
+    assert(rRes >= rRaw - 0.05,
+      f"residual-ADC recall $rRes%.3f fell below the raw path's $rRaw%.3f")
+    assert(rRes > 8.0 / 64.0, f"residual recall $rRes%.3f at random-fraction level")
+  }
+
   test("probeIvf broadcast crossover picks the right side in both regimes") {
     // r12 verdict #7: the ratio-guarded probe broadcast, asserted on the
     // executed plan at BOTH regimes. Auto-broadcast is disabled for the
