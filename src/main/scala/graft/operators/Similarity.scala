@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -1135,6 +1135,19 @@ object Similarity {
     * embeddings). Candidate volume ≤ L · occupancy per query; the e04
     * hot-bucket salt guard applies per (table, bucket) key.
     *
+    * COUNTER-EXAMPLE kept for the record (the d08/d12 discipline): a
+    * per-group typed-kernel form — vectors ride the explode once, each
+    * (table, bucket, salt) group resolves its exact top-k in the lshKnn
+    * kernel, global top-k over the deduped union of per-group top-ks
+    * (provably byte-identical under the strict (cos desc, id asc)
+    * order; spec-pinned equal) — measured SLOWER same-day interleaved
+    * at sf10: kernel 15.7/24.9 s vs pair join 14.1/14.3/9.7 s
+    * (dedicated medians). The Dataset encode/decode boundary and the
+    * per-group member-array materialization cost more than the
+    * codegen'd join pipeline saves — d08's mapPartitions lesson in
+    * multi-table costume. SPARK_GRAFT_E18_KERNEL=1 (or
+    * pairJoin = false) routes to it, the reproducible A/B handle.
+    *
     * With `bitsPerTable <= 0` (the default) the PER-TABLE bit count
     * follows the same `autoLshBits` occupancy law as e04, and the table
     * count yields to it: tables = min(requested, ladder/bits). The
@@ -1146,7 +1159,9 @@ object Similarity {
     */
   def lshKnnMulti(vectors: DataFrame, k: Int, tables: Int = 4,
                   bitsPerTable: Int = 0, maxBucket: Int = 4096,
-                  targetBucket: Int = 64): DataFrame = {
+                  targetBucket: Int = 64,
+                  pairJoin: Boolean =
+                    !sys.env.get("SPARK_GRAFT_E18_KERNEL").contains("1")): DataFrame = {
     val spark = vectors.sparkSession
     // ONE materialization of the (id, vector) projection: the law's
     // count, the bucket build, and BOTH rerank join sides read it —
@@ -1172,6 +1187,16 @@ object Similarity {
     val bucketArr = array((0 until effTables).map(t =>
       signBucket(col("v"),
         ladder.slice(t * bits, (t + 1) * bits))): _*)
+    if (pairJoin) multiPairJoin(spark, emb, bucketArr, k, maxBucket)
+    else multiKernel(spark, emb, bucketArr, k, maxBucket)
+  }
+
+  /** The production pair-join arm of [[lshKnnMulti]] (see its doc).
+    * `emb` must be the materialized (vec_id, v) projection and
+    * `bucketArr` the per-table bucket-key array column.
+    */
+  private def multiPairJoin(spark: SparkSession, emb: DataFrame,
+      bucketArr: Column, k: Int, maxBucket: Int): DataFrame = {
     // keys only past this point; checkpointed — feeds the size aggregate
     // and both self-join sides (multi-consumer class)
     val bucketed = emb
@@ -1199,6 +1224,63 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** The per-group kernel arm of [[lshKnnMulti]] — the RECORDED
+    * COUNTER-EXAMPLE (slower than the pair join at sf10, see the
+    * lshKnnMulti doc): one vector-bearing explode,
+    * per-(table,bucket,salt) exact top-k in the lshKnn typed kernel,
+    * global top-k over the deduped union (provably exact, spec-pinned
+    * byte-identical to the pair join).
+    */
+  private def multiKernel(spark: SparkSession, emb: DataFrame,
+      bucketArr: Column, k: Int, maxBucket: Int): DataFrame = {
+    import spark.implicits._
+    // vectors ride the explode ONCE (L·n rows); checkpointed — feeds the
+    // size aggregate and the kernel input (multi-consumer class)
+    val tagged = emb
+      .select(col("vec_id"), posexplode(bucketArr), col("v"))
+      .select(col("vec_id"), concat_ws("#", col("pos"), col("col")).as("tkey"), col("v"))
+      .localCheckpoint(true)
+    val sizes = tagged.groupBy("tkey").agg(count(lit(1)).as("bn"))
+    val grouped = tagged.join(sizes, "tkey")
+      .select(col("vec_id"),
+        concat_ws("#", col("tkey"),
+          when(col("bn") <= maxBucket, lit(0L))
+            .otherwise(pmod(xxhash64(col("vec_id")),
+              ceil(col("bn") / maxBucket).cast("long")))).as("gkey"),
+        col("v"))
+    // the lshKnn kernel, verbatim: per-group exact (cos desc, id asc)
+    // top-k with the same scalar loop as the codegen'd cosine_sim
+    val perGroup = grouped
+      .as[(Long, String, Array[Double])]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val members = it.map { case (id, _, v) => (id, v) }.toArray
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        members.iterator.flatMap { case (qid, qv) =>
+          members.iterator
+            .collect { case (nid, nv) if nid != qid => (nid, cos(qv, nv)) }
+            .toArray.sortBy { case (nid, c) => (-c, nid) }
+            .take(k)
+            .map { case (nid, c) => (qid, nid, c) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    perGroup
+      // cross-table repeats carry identical cos (same pair, same
+      // arithmetic) — dropping any one of them is deterministic
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }

@@ -810,6 +810,33 @@ class SimilaritySpec extends SparkSpec {
       f"multi-table lever dead at depth: 4x12 $multi12%.3f vs 1x12 $single12%.3f")
   }
 
+  test("lshKnnMulti: kernel form is byte-identical to the pair-join form") {
+    import spark.implicits._
+    // the per-group-kernel arm (the recorded slower counter-example —
+    // Similarity.multiKernel doc) must be EXACT, not approximate: top-k
+    // over the deduped union of per-group top-ks equals top-k over all
+    // candidates under the strict (cos desc, id asc) order, and the
+    // kernel's scalar cosine matches the codegen'd cosine_sim bit for
+    // bit. Quantized fixture (the e18 gate shape) + a float one, both
+    // with a forced hot-bucket salt and forced 12-bit depth.
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val q = vectors.select(col("vec_id"),
+      graft.functions.VectorFunctions.quantize(col("embedding")).as("embedding"))
+      .localCheckpoint(true)
+    for ((label, df, mb, bpt) <- Seq(
+        ("quantized-default", q, 4096, 0),
+        ("float-12bit", vectors, 4096, 12),
+        ("quantized-salted", q, 20, 0))) {
+      val kernel = rows(Similarity.lshKnnMulti(df, k = 5,
+        maxBucket = mb, bitsPerTable = bpt, pairJoin = false))
+      val pair = rows(Similarity.lshKnnMulti(df, k = 5,
+        maxBucket = mb, bitsPerTable = bpt, pairJoin = true))
+      assert(kernel == pair, s"$label: kernel and pair-join forms diverge")
+    }
+  }
+
   test("residual PQ (IVFADC): finer grid than raw PQ on clustered data; recall holds") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
