@@ -206,8 +206,8 @@ object Similarity {
     * probed cells' literal values — partition pruning means a probe reads
     * nprobe/nlist of the files, the property that makes IVF worth it at
     * billion-vector scale.
-    */
-  /** `nVectors` is the MATERIALIZED corpus size (-1 = unknown): build
+    *
+    * `nVectors` is the MATERIALIZED corpus size (-1 = unknown): build
     * and path-append set it from the at-rest/persisted frame (metadata
     * count, no data scan), and the probe's broadcast-vs-shuffle
     * crossover uses it instead of the nlist² sizing-law estimate — the
@@ -665,12 +665,6 @@ object Similarity {
       .distinct().collect().sorted
   }
 
-  /** Probe the index: each query ranks candidates from its nprobe nearest
-    * cells only — the recall/throughput dial for billion-vector corpora.
-    * The corpus side is filtered to the probed cells' LITERAL values, so
-    * a cell-partitioned at-rest index gets static partition pruning (the
-    * scan reads nprobe/nlist of the files — asserted in SimilaritySpec).
-    */
   /** 64 MB cap for broadcasting a probe/candidate side — the local-mode
     * analog of a sane executor broadcast budget (matches the session's
     * autoBroadcastJoinThreshold in Bench).
@@ -715,6 +709,12 @@ object Similarity {
     else probes
   }
 
+  /** Probe the index: each query ranks candidates from its nprobe nearest
+    * cells only — the recall/throughput dial for billion-vector corpora.
+    * The corpus side is filtered to the probed cells' LITERAL values, so
+    * a cell-partitioned at-rest index gets static partition pruning (the
+    * scan reads nprobe/nlist of the files — asserted in SimilaritySpec).
+    */
   def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
