@@ -62,16 +62,23 @@ object ScaleProbes {
           val tmp = java.nio.file.Paths.get(
             sys.props.getOrElse("java.io.tmpdir", "/tmp"))
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(tmp).iterator().asScala
-            .filter(p => p.getFileName.toString.startsWith("blockmgr-") ||
-              p.getFileName.toString.startsWith("spark-"))
-            .map { d =>
-              try java.nio.file.Files.walk(d).iterator().asScala
-                .filter(java.nio.file.Files.isRegularFile(_))
-                .map(f => try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
-                .sum
-              catch { case _: Exception => 0L }
-            }.sum
+          // Files.list/walk streams hold an open directory handle until
+          // CLOSED — a long `passes` run (this probe's whole purpose)
+          // would otherwise leak one fd per spark-/blockmgr- dir per
+          // pass, exactly the per-pass degradation it exists to diagnose
+          scala.util.Using.resource(java.nio.file.Files.list(tmp)) { ls =>
+            ls.iterator().asScala
+              .filter(p => p.getFileName.toString.startsWith("blockmgr-") ||
+                p.getFileName.toString.startsWith("spark-"))
+              .map { d =>
+                try scala.util.Using.resource(java.nio.file.Files.walk(d)) { ws =>
+                  ws.iterator().asScala
+                    .filter(java.nio.file.Files.isRegularFile(_))
+                    .map(f => try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+                    .sum
+                } catch { case _: Exception => 0L }
+              }.sum
+          }
         }
         def reset(): Unit = { // Bench.resetSession, replicated
           spark.sharedState.cacheManager.clearCache()

@@ -514,11 +514,15 @@ object Dedup {
     * already collapsed by exact dedup; the planted-boilerplate bound is
     * asserted in DedupSpec.
     *
+    * `idsBounded = true` promises every id is in [0, 2³¹) and skips the
+    * packed-key guard's 1-row min/max probe job (see the packing note
+    * below) — the integral-TYPE gate still applies.
+    *
     * Returns (doc_a, doc_b, n_shared >= minShared).
     */
   def winnowCandidates(docs: DataFrame, id: String = "doc_id", text: String = "text",
                        k: Int = 8, w: Int = 4, minShared: Int = 4,
-                       maxDf: Int = 64): DataFrame = {
+                       maxDf: Int = 64, idsBounded: Boolean = false): DataFrame = {
     // The posting table feeds THREE consumers (df aggregate + both
     // self-join sides); without materialization the planner re-executes
     // the whole scan+kernel+explode+distinct per consumer — measured at
@@ -580,14 +584,23 @@ object Dedup {
       case _ => false
     }
     // SPARK_GRAFT_D08_TWOCOL=1 forces the fallback arm — the reproducible
-    // handle for the A/B above (bench both arms in one sitting)
+    // handle for the A/B above (bench both arms in one sitting).
+    // `idsBounded = true` is the caller's PROMISE that every id already
+    // sits in [0, 2³¹) — it skips the 1-row min/max probe job entirely
+    // (one fewer scan of the checkpointed posting table per call; the
+    // synthetic-corpus catalog entry and any pipeline whose ids are
+    // assigned by a bounded sequence know this statically). The integral
+    // TYPE gate is not waivable — packing a string id stays broken no
+    // matter what the caller promises, so the flag only short-circuits
+    // the RANGE probe.
     val packable = integralId &&
-      !sys.env.get("SPARK_GRAFT_D08_TWOCOL").contains("1") && {
+      !sys.env.get("SPARK_GRAFT_D08_TWOCOL").contains("1") &&
+      (idsBounded || {
         val idRange = e.agg(min(col(id).cast("long")), max(col(id).cast("long")))
           .collect().head
         !idRange.isNullAt(0) &&
           idRange.getLong(0) >= 0 && idRange.getLong(1) < (1L << 31)
-      }
+      })
     if (packable)
       // output ids cast back to the INPUT id type so both arms agree on
       // schema (exact for integral ids in [0, 2^31) by the gate above) —

@@ -154,11 +154,19 @@ object QualityClassifier {
     val w = Array.fill(B + 1)(0L)
     if (nDocs == 0) return w
     val denom = BigInt(nDocs) * 1000000
-    for (_ <- 0 until Steps) {
+    for (step <- 0 until Steps) {
       val bw = sc.broadcast(w.clone())
       val g = data
         .mapPartitions { it =>
           val acc = new Array[Long](B + 1)
+          // boundary hits are COLLECTED, not thrown: a mid-task abort on
+          // the first unlucky doc would kill the step with one anonymous
+          // residual in hand — accumulating (docId, q) pairs (capped at 8
+          // per partition) lets the step finish its map and fail AT STEP
+          // END with the offending doc ids, so an operator seeing the
+          // error knows it is the cross-engine quantization seam (and
+          // which documents trip it), not bad data
+          val bad = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
           val wv = bw.value
           it.foreach { d =>
             var z = 0L
@@ -176,33 +184,43 @@ object QualityClassifier {
             // the 1-ulp cross-engine seam made LOUD: DuckDB's replay uses
             // the platform libm's exp, so floor(q) only agrees if q is
             // not within a few ulps of an integer boundary. Guard rather
-            // than hope — a residual landing inside the 8-ulp band fails
-            // the job with a pointer at the seam instead of flipping one
-            // gradient coordinate silently (never observed at freeze
+            // than hope — a residual inside the 8-ulp band fails the job
+            // at step end with a pointer at the seam instead of flipping
+            // one gradient coordinate silently (never observed at freeze
             // time). Exempt the sigmoid's exactly-representable fixed
             // points — p = 0.5 (z = 0, every doc on step 1: exp(0) = 1
             // exactly in EVERY libm) and the saturated p = 0/1 — where q
             // is an exact integer on both engines by construction.
             val exactFixedPoint = p == 0.5 || p == 0.0 || p == 1.0
-            require(exactFixedPoint || math.abs(q - math.rint(q)) > 8 * math.ulp(q),
-              s"GD residual $q within 8 ulps of an integer boundary — " +
-                "the floor((y-p)*1e6) quantization is not cross-engine stable here")
+            if (!exactFixedPoint && math.abs(q - math.rint(q)) <= 8 * math.ulp(q)
+                && bad.length < 8)
+              bad += ((d.docId, q))
             val r = math.floor(q).toLong
             i = 0
             while (i < d.bs.length) { acc(d.bs(i)) += d.xs(i) * r; i += 1 }
           }
-          Iterator.single(acc.map(BigInt(_)))
+          Iterator.single((acc.map(BigInt(_)), bad.toList))
         }
       // plain reduce folds partials at the driver — one job, no extra
       // stage (treeReduce's per-step shuffle measured 0.07 s/step of
       // pure overhead here); above ~256 partials the driver fold is no
       // longer trivial, so a wide cluster switches to the tree merge
-      val merged = if (data.getNumPartitions > 256) {
-        g.treeReduce((a, b) => Array.tabulate(B + 1)(i => a(i) + b(i)))
-      } else {
-        g.reduce((a, b) => Array.tabulate(B + 1)(i => a(i) + b(i)))
-      }
+      def mergePartials(a: (Array[BigInt], List[(Long, Double)]),
+                        b: (Array[BigInt], List[(Long, Double)])) =
+        (Array.tabulate(B + 1)(i => a._1(i) + b._1(i)), (a._2 ++ b._2).take(8))
+      val (merged, boundaryHits) =
+        if (data.getNumPartitions > 256) g.treeReduce(mergePartials _)
+        else g.reduce(mergePartials _)
       bw.destroy()
+      if (boundaryHits.nonEmpty)
+        throw new IllegalStateException(
+          s"quality-classifier GD step $step: ${boundaryHits.length}+ residuals " +
+            s"within 8 ulps of an integer boundary — the floor((y-p)*1e6) " +
+            s"quantization is not cross-engine stable for doc ids " +
+            s"${boundaryHits.map(_._1).mkString("[", ", ", "]")} " +
+            s"(residuals ${boundaryHits.map(_._2).mkString("[", ", ", "]")}); " +
+            "this is the Spark/DuckDB sigmoid seam, not bad data — exclude or " +
+            "perturb these documents, or widen the quantization")
       var b = 0
       while (b <= B) {
         w(b) += tdiv(BigInt(Eta) * merged(b), denom).toLong

@@ -638,12 +638,24 @@ object Similarity {
         val onDisk = spark.read.parquet(p)
         index.copy(assigned = onDisk, nVectors = onDisk.count())
       case None =>
-        // the union is lazy — counting it would re-execute the appended
-        // side's upstream once per append, so the in-memory form falls
-        // back to the nlist² law at probe time (right for autoNlist-sized
-        // indexes, the in-memory case)
-        index.copy(assigned = index.assigned.unionByName(assignedNew),
-          nVectors = -1L)
+        if (index.nVectors >= 0L) {
+          // carry the materialized count FORWARD instead of dropping to
+          // -1: resetting would put an appended fixed-nlist in-memory
+          // index back on the nlist² sizing law — the exact e14-class
+          // underestimate the nVectors field exists to fix (corpus grows,
+          // nlist fixed, probe parks on the corpus-shuffle side). The
+          // appended side is the small one by contract; checkpointing it
+          // makes the count here and the union's probe-time reads share
+          // ONE materialization, so nothing re-executes per append.
+          val mat = assignedNew.localCheckpoint(true)
+          index.copy(assigned = index.assigned.unionByName(mat),
+            nVectors = index.nVectors + mat.count())
+        } else
+          // unknown base count stays unknown — the fully-lazy form falls
+          // back to the nlist² law at probe time (right for
+          // autoNlist-sized indexes, the in-memory case)
+          index.copy(assigned = index.assigned.unionByName(assignedNew),
+            nVectors = -1L)
     }
   }
 

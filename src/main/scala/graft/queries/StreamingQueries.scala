@@ -25,10 +25,17 @@ object StreamingQueries {
 
   private val ctr = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Input-bearing micro-batch count of the LAST runToTable query —
-    * spec instrumentation only (see runToTable).
+  /** Input-bearing micro-batch count of the LAST runToTable query run
+    * ON THIS THREAD — spec instrumentation only (see runToTable).
+    * Thread-local rather than a shared volatile: runToTable records it on
+    * the caller's thread after awaitTermination and every spec reads it
+    * on that same thread, so two streaming queries running concurrently
+    * (parallel specs, parallel catalog drivers) can no longer read each
+    * other's batch counts and pass/fail spuriously.
     */
-  @volatile private[graft] var lastStreamBatches: Int = 0
+  private val lastBatchesTl: ThreadLocal[Int] = ThreadLocal.withInitial(() => 0)
+
+  private[graft] def lastStreamBatches: Int = lastBatchesTl.get()
 
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the sink table (unique per call — Bench runs each query
@@ -56,7 +63,7 @@ object StreamingQueries {
       // visible to specs asserting that a multi-file staging actually
       // SPLIT into micro-batches (so batch-split-invariance tests are
       // not vacuously comparing two single-batch runs)
-      lastStreamBatches = query.recentProgress.count(_.numInputRows > 0)
+      lastBatchesTl.set(query.recentProgress.count(_.numInputRows > 0))
       // copy the result out of the memory sink and DROP the temp view:
       // the sink's row buffer would otherwise stay registered (and
       // referenced) for the session's lifetime — under the bench's
@@ -951,7 +958,11 @@ object StreamingQueries {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      // close the walk stream (directory handle) — one leaked fd per
+      // staged streaming query adds up over a bench sweep
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { ws =>
+        ws.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     }
 }

@@ -548,7 +548,11 @@ object TextQueries {
     // of length >= w+k-1 guarantee a shared fingerprint, so candidates
     // surface from an equi-join, never an all-pairs scan).
     Q("d08_winnow_candidates",
-      (s, d) => Dedup.winnowCandidates(Tables.documents(s, d), k = 24, w = 8)
+      // idsBounded: synthetic doc_ids are a 0-based sequence, known
+      // statically to fit [0, 2^31) — skips the packed-key guard's 1-row
+      // min/max probe job (one fewer scan of the posting checkpoint)
+      (s, d) => Dedup.winnowCandidates(Tables.documents(s, d), k = 24, w = 8,
+          idsBounded = true)
         .orderBy("doc_a", "doc_b"),
       // LIVE since round 7: the same winnowing replay, then the kernel's
       // df-capped posting join (2 <= df <= 64) and the >= 4 shared-fp cut

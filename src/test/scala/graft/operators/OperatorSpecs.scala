@@ -236,6 +236,48 @@ class DedupSpec extends SparkSpec {
     assert(got(0L).toSet.intersect(got(2L).toSet).isEmpty)
   }
 
+  test("winnowCandidates idsBounded skips the range-probe job, identical output/schema") {
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    }
+    // count jobs fired DURING the winnowCandidates call (checkpoint +, in
+    // the default arm, the packed-key guard's 1-row min/max probe); the
+    // returned plan is lazy so downstream execution doesn't pollute it
+    def settle(): Int = {
+      // listener events post asynchronously — poll until the count is
+      // stable for 3 consecutive 100 ms windows (max ~5 s)
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 50) {
+        Thread.sleep(100); waited += 1
+        val cur = jobCount.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      last
+    }
+    def jobsDuring[T](body: => T): (T, Int) = {
+      spark.sparkContext.addSparkListener(listener)
+      val before = settle()
+      val out = body
+      val after = settle()
+      spark.sparkContext.removeSparkListener(listener)
+      (out, after - before)
+    }
+    val (probed, jobsProbed) = jobsDuring(Dedup.winnowCandidates(docs))
+    val (promised, jobsPromised) = jobsDuring(Dedup.winnowCandidates(docs, idsBounded = true))
+    // the probe is one logical job but AQE may stage it as 2 — assert the
+    // flag strictly removes work, not an exact count
+    assert(jobsPromised < jobsProbed,
+      s"idsBounded should save the probe job(s) ($jobsProbed vs $jobsPromised)")
+    // both arms: same schema (packed arm casts back to the input id type)
+    // and same rows
+    assert(promised.schema == probed.schema)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(promised) == rows(probed))
+  }
+
   test("typed simhash kernel matches the column expression bit-for-bit") {
     val fast = Dedup.simhashTable(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val colV = docs.select(col("doc_id"),
