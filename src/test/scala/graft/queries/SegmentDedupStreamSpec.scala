@@ -28,7 +28,8 @@ class SegmentDedupStreamSpec extends SparkSpec {
     fresh.repartition(4).write.mode("overwrite").parquet(dir)
 
     def run(fpt: Option[Int]): Seq[(Long, Long, Long, Long, String)] =
-      StreamingQueries.streamSegmentDedup(s, docs, fresh, hist, dir, fpt)
+      StreamingQueries.streamSegmentDedup(s, docs, fresh, hist, dir, fpt,
+          histKey = Some(sfDir))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
         .sortBy(_._1).toSeq
