@@ -822,17 +822,7 @@ object Dedup {
       text: String = "text",
       spanTokens: Int = 8): DataFrame = {
     val L = spanTokens
-    // gram strings are built only transiently inside the projection;
-    // what shuffles is the 128-bit fingerprint (h1, h2)
-    val occ = docs
-      .select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
-      .filter(size(col("tk")) >= L)
-      .select(col("doc_id"), posexplode(transform(
-        transform(sequence(lit(0), size(col("tk")) - L),
-          i => concat_ws(" ", slice(col("tk"), i + 1, lit(L)))),
-        g => struct(xxhash64(g).as("h1"), xxhash64(lit("d16b"), g).as("h2")))))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("col.h1").as("h1"), col("col.h2").as("h2"))
+    val occ = spanOcc(docs, id, text, L)
       // occ feeds BOTH the dup-gram aggregate and the hit join (the
       // d08/q46 multi-consumer class: the scan+tokenize+gram hashing ran
       // twice), and both consumers key on (h1, h2) — pre-partition once
@@ -856,8 +846,42 @@ object Dedup {
       .filter(col("mn") =!= col("mx"))
       .select("h1", "h2")
     val hits = occ.join(dup, Seq("h1", "h2"), "left_semi").select("doc_id", "pos")
-    // merge windows into maximal spans: window [p, p+L-1] overlaps or
-    // touches the previous span iff p - prev <= L
+    mergeSpans(hits, L)
+  }
+
+  /** [[dupSpans]]'s row-local half, shared with the streaming leg (n30):
+    * one fingerprinted L-token window per token position —
+    * (doc_id, pos, h1, h2), where (h1, h2) is the 128-bit gram
+    * fingerprint (two independent xxhash64 values — see dupSpans' scale
+    * note). ZERO shuffle, projections only, so it runs on batch AND
+    * streaming frames; the caller picks the layout (d16 co-partitions
+    * and checkpoints, n30 feeds a file stream where any shuffle would be
+    * per-batch).
+    */
+  private[graft] def spanOcc(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", spanTokens: Int = 8): DataFrame = {
+    val L = spanTokens
+    // gram strings are built only transiently inside the projection;
+    // what shuffles is the 128-bit fingerprint (h1, h2)
+    docs
+      .select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
+      .filter(size(col("tk")) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        transform(sequence(lit(0), size(col("tk")) - L),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(L)))),
+        g => struct(xxhash64(g).as("h1"), xxhash64(lit("d16b"), g).as("h2")))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.h1").as("h1"), col("col.h2").as("h2"))
+  }
+
+  /** [[dupSpans]]'s merge half, shared with the streaming leg: hit
+    * positions (doc_id, pos) merged into maximal spans — window
+    * [p, p+L-1] overlaps or touches the previous span iff p - prev <= L
+    * (gaps-and-islands per document). Returns
+    * (doc_id, span_start, span_end, span_tokens).
+    */
+  private[graft] def mergeSpans(hits: DataFrame, spanTokens: Int = 8): DataFrame = {
+    val L = spanTokens
     val w = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("prev", lag(col("pos"), 1).over(w))

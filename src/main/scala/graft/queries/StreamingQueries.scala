@@ -752,7 +752,37 @@ object StreamingQueries {
             docs.filter(col("doc_id") < cut), src, histKey = Some(d))
         }
       },
-      Some(TextQueries.segmentDedupOracle))
+      Some(TextQueries.segmentDedupOracle)),
+
+    // d16/d17's STREAMING leg — span-level dedup (Lee'22) in a
+    // continuously ingesting pipeline, the last dedup stage that lacked
+    // an incremental form (r13 verdict #2): the historical corpus's
+    // 8-gram fingerprint index (the suffix-array replacement, linear in
+    // corpus tokens) sits AT REST; tonight's documents ARRIVE as a
+    // stream, each micro-batch's grams are fingerprinted ROW-LOCALLY
+    // and probe ONLY that index (stream-static join — the corpus text
+    // is never re-tokenized per batch), and a per-fingerprint
+    // (min_doc, max_doc, hist_hit) monoid state accumulates the
+    // fresh-side occurrence stats (update-mode RocksDB upserts — the
+    // n28/n29 form). Span dedup is RETROACTIVE by nature — a gram
+    // unique in history becomes duplicated the moment a fresh copy
+    // arrives, so the affected HISTORY doc's scrub changes too; the
+    // assembly handles exactly that (see streamSpanScrub). Oracle =
+    // d17's SQL VERBATIM over the unioned corpus: batch, streaming,
+    // and the independent replay must all three agree on every
+    // document's post-surgery fingerprint.
+    Q("n30_stream_span_scrub",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val cut = docs.agg(coalesce((max(col("doc_id")) + 1) * 3 / 4, lit(0L))
+          .cast("long")).head.getLong(0)
+        val fresh = docs.filter(col("doc_id") >= cut)
+        withStaged(s, fresh, "n30") { src =>
+          streamSpanScrub(s, docs, fresh,
+            docs.filter(col("doc_id") < cut), src, histKey = Some(d))
+        }
+      },
+      Some(TextQueries.spanScrubOracle))
   )
 
   private[graft] val segStageSchema = StructType(Seq(
@@ -833,6 +863,113 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** n30's plan, factored so the spec can drive its own staging/batch
+    * splits. The at-rest state (built once per session under `histKey`,
+    * bucketed by the gram fingerprint): `histOcc` — history's full
+    * (doc_id, pos, h1, h2) posting index, the distributed stand-in for
+    * Lee'22's suffix array — and `histStats` — per-fingerprint
+    * (min_doc, max_doc) over history. Per micro-batch: row-local
+    * tokenize + 128-bit gram fingerprints → stream-static LEFT join
+    * against `histStats` (the probe: does this gram already exist in
+    * history? — only the index is touched, never the corpus text) →
+    * per-fingerprint mergeable state (min_doc, max_doc, max hist_hit)
+    * over the fresh occurrences, update-mode RocksDB upserts (each
+    * component is monotone under the monoid, so the batch-side
+    * min/max/max collapse of the upsert stream lands on exactly the
+    * final state and micro-batch splits cannot change it).
+    *
+    * Assembly (batch-side, over the sink + the at-rest index): a
+    * fingerprint is corpus-wide duplicated iff ≥2 distinct docs carry
+    * it — histStats says mn≠mx (history-only dups), the fresh state
+    * says mn≠mx (fresh-only dups) or hist_hit (the cross-boundary case,
+    * which RETROACTIVELY invalidates the single history occurrence:
+    * that history doc's positions surface as hits through the same
+    * semi-join, so its scrub updates — the CDC-shaped property unique
+    * to span dedup among the dedup stages; segment dedup's history
+    * owners can never change, span dedup's history spans can). Hits =
+    * (histOcc ∪ fresh occ) ⋉ dup fingerprints → gaps-and-islands span
+    * merge → d17's scrubSpans verbatim. At 100 TB the scrub UPDATE
+    * would be restricted to the docs whose span set changed (a keyed
+    * read of the affected history docs — point lookups, not a corpus
+    * scan); the bounded-replay gate emits every doc because the oracle
+    * checks the whole corpus.
+    */
+  private[graft] def streamSpanScrub(s: SparkSession, docs: DataFrame,
+      fresh: DataFrame, hist: DataFrame, src: String,
+      filesPerTrigger: Option[Int] = None,
+      histKey: Option[String] = None): DataFrame = {
+    val (histOcc, histStats) = histKey match {
+      case Some(k) => histSpanTables(s, hist, k)
+      case None =>
+        val occ = Dedup.spanOcc(hist)
+          .repartition(col("h1"), col("h2"))
+          .transform(graft.ops.Checkpoints.partitioned)
+        val stats = occ.groupBy("h1", "h2")
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .localCheckpoint(true)
+        (occ, stats)
+    }
+    val reader0 = s.readStream.schema(segStageSchema)
+    val reader = filesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    val freshOcc = Dedup.spanOcc(reader.parquet(src))
+    // the per-batch probe: flag each fresh occurrence whose gram already
+    // exists in history (presence is enough — one history occurrence +
+    // one fresh occurrence = two distinct docs, since the ingest cut
+    // makes the id sets disjoint)
+    val probed = freshOcc.join(
+        histStats.select(col("h1"), col("h2"), lit(1L).as("hist_hit")),
+        Seq("h1", "h2"), "left")
+      .select(col("doc_id"), col("h1"), col("h2"),
+        coalesce(col("hist_hit"), lit(0L)).as("hh"))
+    val upserts = runToTable(s,
+      probed.groupBy("h1", "h2")
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+          max(col("hh")).as("hh")),
+      "update", rocksDbState = true)
+    val freshStats = upserts.groupBy("h1", "h2")
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"), max(col("hh")).as("hh"))
+    val dupFresh = freshStats
+      .filter(col("mn") =!= col("mx") || col("hh") === 1L)
+      .select("h1", "h2")
+    val dupHist = histStats.filter(col("mn") =!= col("mx")).select("h1", "h2")
+    val dupAll = dupHist.unionByName(dupFresh).distinct()
+    // fresh occ recomputed batch-side for the hit set (the n29 totals
+    // pattern — "tonight's batch" is the small side by contract); the
+    // history side reads the at-rest index, never the text
+    val occAll = histOcc.select("doc_id", "pos", "h1", "h2")
+      .unionByName(Dedup.spanOcc(fresh))
+    val hits = occAll.join(dupAll, Seq("h1", "h2"), "left_semi")
+      .select("doc_id", "pos")
+    Dedup.scrubSpans(docs, Dedup.mergeSpans(hits)).orderBy("doc_id")
+  }
+
+  /** n30's at-rest history fingerprint index as session-cached BUCKETED
+    * tables (posting index + per-fingerprint stats), keyed by `key` —
+    * the same contract and rationale as [[histSegmentTables]]: built
+    * once per session (the ingest pipeline maintains this index, a
+    * query does not rebuild it), bucketed by (h1, h2) so the stats
+    * aggregate and every fingerprint-keyed join read it exchange-free.
+    */
+  private def histSpanTables(s: SparkSession, hist: DataFrame,
+      key: String): (DataFrame, DataFrame) = {
+    val base = "graft_n30_hist_" + key.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val occT = base + "_occ"
+    val statsT = base + "_stats"
+    histTableLock.synchronized {
+      if (!s.catalog.tableExists(occT) || !s.catalog.tableExists(statsT)) {
+        dropStaleLocation(s, occT); dropStaleLocation(s, statsT)
+        Dedup.spanOcc(hist)
+          .repartition(32, col("h1"), col("h2"))
+          .write.mode("overwrite").bucketBy(32, "h1", "h2").saveAsTable(occT)
+        s.table(occT).groupBy("h1", "h2")
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .write.mode("overwrite").bucketBy(32, "h1", "h2").saveAsTable(statsT)
+      }
+    }
+    (s.table(occT), s.table(statsT))
+  }
+
   /** n29's at-rest history index as session-cached BUCKETED tables
     * (segments + owner), keyed by `key` (callers pass the dataset dir —
     * the history split is a pure function of it). Built once per
@@ -847,6 +984,23 @@ object StreamingQueries {
     * mid-session requires dropping the tables.
     */
   private val histTableLock = new Object
+
+  /** The in-memory catalog doesn't survive process restarts but the
+    * warehouse FILES do — a table absent from the catalog whose location
+    * lingers from a previous run fails CREATE with
+    * LOCATION_ALREADY_EXISTS. Sweep the stale dir before creating.
+    */
+  private def dropStaleLocation(s: SparkSession, table: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val uri = java.net.URI.create(wh.replace(" ", "%20"))
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        val root = if (uri.getScheme == null) java.nio.file.Paths.get(wh)
+                   else java.nio.file.Paths.get(uri)
+        deleteRecursively(root.resolve(table))
+      }
+    }
+
   private def histSegmentTables(s: SparkSession, hist: DataFrame,
       key: String): (DataFrame, DataFrame) = {
     val base = "graft_n29_hist_" + key.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
@@ -854,6 +1008,7 @@ object StreamingQueries {
     val ownerT = base + "_owner"
     histTableLock.synchronized {
       if (!s.catalog.tableExists(segsT) || !s.catalog.tableExists(ownerT)) {
+        dropStaleLocation(s, segsT); dropStaleLocation(s, ownerT)
         Dedup.segmentize(hist)
           .repartition(32, col("h"))
           .write.mode("overwrite").bucketBy(32, "h").saveAsTable(segsT)

@@ -1798,38 +1798,7 @@ object TextQueries {
         val docs = Tables.documents(s, d)
         Dedup.scrubSpans(docs, Dedup.dupSpans(docs)).orderBy("doc_id")
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
-             |occ AS (
-             |  SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+8], ' ') AS gram
-             |  FROM toks, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
-             |dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-             |hits AS (SELECT doc_id, pos FROM occ WHERE gram IN (SELECT gram FROM dup)),
-             |isl AS (
-             |  SELECT doc_id, pos,
-             |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
-             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-             |  FROM (SELECT doc_id, pos,
-             |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-             |        FROM hits) l),
-             |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
-             |          FROM isl GROUP BY doc_id, island),
-             |tok_pos AS (
-             |  SELECT doc_id, i AS pos, tk[i+1] AS tok
-             |  FROM toks, unnest(range(0, len(tk))) AS r(i)),
-             |kept AS (
-             |  SELECT p.doc_id, p.pos, p.tok FROM tok_pos p
-             |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
-             |                    WHERE sp.doc_id = p.doc_id AND p.pos BETWEEN sp.s AND sp.e)),
-             |ka AS (
-             |  SELECT doc_id, count(*)::BIGINT AS kept_tokens,
-             |         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_hash
-             |  FROM kept GROUP BY doc_id)
-             |SELECT t.doc_id, len(tk)::BIGINT AS n_tokens,
-             |  coalesce(ka.kept_tokens, 0)::BIGINT AS kept_tokens,
-             |  (len(tk) - coalesce(ka.kept_tokens, 0))::BIGINT AS removed_tokens,
-             |  coalesce(ka.cleaned_hash, md5('')) AS cleaned_hash
-             |FROM toks t LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin)),
+      Some(spanScrubOracle)),
 
     // BM25 top-k retrieval (Robertson-Sparck Jones; Lucene's idf form
     // ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75) for a fixed query
@@ -2181,15 +2150,47 @@ object TextQueries {
              |FROM sig ORDER BY doc_id""".stripMargin))
   )
 
-  /** t28's per-document mean-surprisal table
-    * (doc_id, lang, n_pairs, sur_sum, avg_micro) — shared by the gate
-    * (exact per-lang ntile tertiles) and the benched histogram arm.
-    * One checkpointed tokenize pass feeds both the src0 training
-    * counts and the scoring stream; the bigram explode re-runs per
-    * consumer off the materialized token arrays (cheaper than
-    * checkpointing the exploded occurrence stream); LM joins stay
-    * AQE-managed — hot function-word bigrams are the d12 skew lesson.
+  /** d17's DuckDB oracle — shared VERBATIM with the streaming leg n30
+    * (the d18/n29 pattern): batch span scrub, the incremental streaming
+    * form, and the independent SQL replay must all three agree on the
+    * post-surgery fingerprints of EVERY document.
     */
+  // lazy: referenced by the queries map ABOVE this definition (and by
+  // StreamingQueries.n30) — eager init order would hand the map a null
+  private[graft] lazy val spanScrubOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+8], ' ') AS gram
+      |  FROM toks, unnest(range(0, greatest(len(tk) - 7, 0))) AS r(i)),
+      |dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, pos FROM occ WHERE gram IN (SELECT gram FROM dup)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |        FROM hits) l),
+      |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |          FROM isl GROUP BY doc_id, island),
+      |tok_pos AS (
+      |  SELECT doc_id, i AS pos, tk[i+1] AS tok
+      |  FROM toks, unnest(range(0, len(tk))) AS r(i)),
+      |kept AS (
+      |  SELECT p.doc_id, p.pos, p.tok FROM tok_pos p
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |                    WHERE sp.doc_id = p.doc_id AND p.pos BETWEEN sp.s AND sp.e)),
+      |ka AS (
+      |  SELECT doc_id, count(*)::BIGINT AS kept_tokens,
+      |         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_hash
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, len(tk)::BIGINT AS n_tokens,
+      |  coalesce(ka.kept_tokens, 0)::BIGINT AS kept_tokens,
+      |  (len(tk) - coalesce(ka.kept_tokens, 0))::BIGINT AS removed_tokens,
+      |  coalesce(ka.cleaned_hash, md5('')) AS cleaned_hash
+      |FROM toks t LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** d18's DuckDB oracle — shared VERBATIM with the streaming leg n29
     * (the q49/n28 pattern): batch, streaming, and the independent SQL
     * replay must all three agree on the deduped corpus.
@@ -2217,6 +2218,15 @@ object TextQueries {
       |  coalesce(ka.cleaned_hash, md5('')) AS cleaned_hash
       |FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  /** t28's per-document mean-surprisal table
+    * (doc_id, lang, n_pairs, sur_sum, avg_micro) — shared by the gate
+    * (exact per-lang ntile tertiles) and the benched histogram arm.
+    * One checkpointed tokenize pass feeds both the src0 training
+    * counts and the scoring stream; the bigram explode re-runs per
+    * consumer off the materialized token arrays (cheaper than
+    * checkpointing the exploded occurrence stream); LM joins stay
+    * AQE-managed — hot function-word bigrams are the d12 skew lesson.
+    */
   private def ccnetAvgMicro(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(s, d)
