@@ -114,8 +114,10 @@ object ScaleProbes {
         }
       case "ivfpqrecall" :: sfDir :: Nil =>
         // e09 (raw-vector PQ) vs e19 (residual PQ / IVFADC) recall@5
-        // against the exact full probe — the UNCLAMPED numbers behind
-        // the two gates' floors (250 / 300 milli).
+        // against the exact full probe — the unclamped number behind
+        // e09's 250-milli gate floor (e19's gate is the r14 full-replay
+        // ranked-row oracle; its recall quality is spec-gated on the
+        // 32-cluster planted fixture instead).
         val emb = Tables.embeddings(spark, sfDir)
         val index = graft.operators.Similarity.ivfIndexFor(emb, key = sfDir)
         val queries = emb.filter(col("vec_id") % 20 === 0)

@@ -79,6 +79,192 @@ object SimilarityQueries {
               |SELECT query_id, CAST(pick AS BIGINT) AS pick, neighbor_id, mmr AS mmr_micro
               |FROM sel ORDER BY query_id, pick""".stripMargin
 
+  /** e19's full-replay oracle: the ENTIRE residual IVF-PQ pipeline —
+    * xxhash64 sample order, coarse Lloyd (10 iters), corpus assignment,
+    * per-subspace residual Lloyd (15 iters), encode, nprobe=4 probe,
+    * ADC, exact re-rank — recomputed by DuckDB from the raw parquet
+    * floats with bit-matched double arithmetic (every sum replayed in
+    * the engine's sequential accumulation order), no frozen constants.
+    * See the e19 entry comment for the stage map.
+    */
+  private lazy val e19ReplayOracle: String =
+    s"""WITH RECURSIVE
+       |keys AS (SELECT vec_id::HUGEINT AS v FROM embeddings),
+       |${TextQueries.xxh64LongDuck},
+       |sgn AS (SELECT v, CASE WHEN hu >= 9223372036854775808::HUGEINT
+       |                       THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs FROM hsh),
+       |corp AS (SELECT e.vec_id::BIGINT AS vec_id,
+       |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+       |           row_number() OVER (ORDER BY s.hs, e.vec_id) AS pos
+       |         FROM embeddings e JOIN sgn s ON s.v = e.vec_id::HUGEINT),
+       |par AS (SELECT greatest(4, least(4096,
+       |          CAST(floor(sqrt(count(*)::DOUBLE) + 0.5) AS INT))) AS k
+       |        FROM corp),
+       |smp AS (SELECT pos, ev FROM corp WHERE pos <= 10000),
+       |init AS (SELECT pos, ev FROM smp s
+       |         WHERE NOT EXISTS (SELECT 1 FROM smp s2 WHERE s2.pos < s.pos AND s2.ev = s.ev)
+       |         ORDER BY pos LIMIT (SELECT k FROM par)),
+       |ll(step, cents) AS (
+       |  SELECT 0, (SELECT list(ev ORDER BY pos) FROM init)
+       |  UNION ALL
+       |  SELECT g2.step + 1,
+       |    list_transform(range(len(g2.cents)), c ->
+       |      CASE WHEN list_contains(g2.bests, c) THEN g2.means[list_position(g2.bests, c)]
+       |           ELSE g2.cents[c + 1] END)
+       |  FROM (
+       |    SELECT g.step, first(g.cents) AS cents,
+       |           list(g.best ORDER BY g.best) AS bests,
+       |           list(g.m ORDER BY g.best) AS means
+       |    FROM (
+       |      SELECT gi.step, gi.cents, gi.best,
+       |        list_transform(range(64), i ->
+       |          list_sum(list_transform(gi.pts, p -> p[i + 1])) / gi.cnt) AS m
+       |      FROM (
+       |        SELECT x2.step, first(x2.cents) AS cents, x2.best, count(*) AS cnt,
+       |          list(x2.ev ORDER BY x2.pos) AS pts
+       |        FROM (
+       |          SELECT x1.*, CAST(list_position(x1.dl, list_min(x1.dl)) - 1 AS BIGINT) AS best
+       |          FROM (
+       |            SELECT l.step, l.cents, s.pos, s.ev,
+       |              list_transform(range(len(l.cents)), c ->
+       |                list_sum(list_transform(range(64), i ->
+       |                  (s.ev[i + 1] - l.cents[c + 1][i + 1])
+       |                  * (s.ev[i + 1] - l.cents[c + 1][i + 1])))) AS dl
+       |            FROM ll l, smp s
+       |            WHERE l.step < 10
+       |          ) x1
+       |        ) x2
+       |        GROUP BY x2.step, x2.best
+       |      ) gi
+       |    ) g
+       |    GROUP BY g.step
+       |  ) g2),
+       |cfin AS (SELECT cents FROM ll WHERE step = 10),
+       |asg AS (
+       |  SELECT c.vec_id, c.ev, c.pos,
+       |    CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS cell
+       |  FROM (
+       |    SELECT corp.*,
+       |      list_transform(range(len(f.cents)), cc ->
+       |        list_sum(list_transform(range(64), i ->
+       |          (ev[i + 1] - f.cents[cc + 1][i + 1])
+       |          * (ev[i + 1] - f.cents[cc + 1][i + 1])))) AS dl
+       |    FROM corp CROSS JOIN cfin f
+       |  ) c),
+       |res AS (
+       |  SELECT a.vec_id, a.pos, a.cell,
+       |    list_transform(range(64), i ->
+       |      a.ev[i + 1] - f.cents[a.cell + 1][i + 1]) AS r
+       |  FROM asg a CROSS JOIN cfin f),
+       |rsmp AS (SELECT pos, r FROM res WHERE pos <= 2000),
+       |binit AS (
+       |  SELECT j.j, pos,
+       |    s.r[CAST(j.j * 8 + 1 AS INT):CAST(j.j * 8 + 8 AS INT)] AS sv
+       |  FROM rsmp s, range(0, 8) AS j(j)
+       |  WHERE NOT EXISTS (SELECT 1 FROM rsmp s2
+       |    WHERE s2.pos < s.pos
+       |      AND s2.r[CAST(j.j * 8 + 1 AS INT):CAST(j.j * 8 + 8 AS INT)]
+       |          = s.r[CAST(j.j * 8 + 1 AS INT):CAST(j.j * 8 + 8 AS INT)])),
+       |binit16 AS (
+       |  SELECT j, list(sv ORDER BY pos) AS svs
+       |  FROM (SELECT j, pos, sv,
+       |          row_number() OVER (PARTITION BY j ORDER BY pos) AS rn
+       |        FROM binit) WHERE rn <= 16 GROUP BY j),
+       |bl(step, j, cents) AS (
+       |  SELECT 0, j, svs FROM binit16
+       |  UNION ALL
+       |  SELECT g2.step + 1, g2.j,
+       |    list_transform(range(len(g2.cents)), c ->
+       |      CASE WHEN list_contains(g2.bests, c) THEN g2.means[list_position(g2.bests, c)]
+       |           ELSE g2.cents[c + 1] END)
+       |  FROM (
+       |    SELECT g.step, g.j, first(g.cents) AS cents,
+       |           list(g.best ORDER BY g.best) AS bests,
+       |           list(g.m ORDER BY g.best) AS means
+       |    FROM (
+       |      SELECT gi.step, gi.j, gi.cents, gi.best,
+       |        list_transform(range(8), i ->
+       |          list_sum(list_transform(gi.pts, p -> p[i + 1])) / gi.cnt) AS m
+       |      FROM (
+       |        SELECT x2.step, x2.j, first(x2.cents) AS cents, x2.best, count(*) AS cnt,
+       |          list(x2.sv ORDER BY x2.pos) AS pts
+       |        FROM (
+       |          SELECT x1.*, CAST(list_position(x1.dl, list_min(x1.dl)) - 1 AS BIGINT) AS best
+       |          FROM (
+       |            SELECT l.step, l.j, l.cents, s.pos,
+       |              s.r[CAST(l.j * 8 + 1 AS INT):CAST(l.j * 8 + 8 AS INT)] AS sv,
+       |              list_transform(range(len(l.cents)), c ->
+       |                list_sum(list_transform(range(8), i ->
+       |                  (s.r[CAST(l.j * 8 + i + 1 AS INT)] - l.cents[c + 1][i + 1])
+       |                  * (s.r[CAST(l.j * 8 + i + 1 AS INT)] - l.cents[c + 1][i + 1])))) AS dl
+       |            FROM bl l, rsmp s
+       |            WHERE l.step < 15
+       |          ) x1
+       |        ) x2
+       |        GROUP BY x2.step, x2.j, x2.best
+       |      ) gi
+       |    ) g
+       |    GROUP BY g.step, g.j
+       |  ) g2),
+       |books AS (SELECT list(cents ORDER BY j) AS b FROM bl WHERE step = 15),
+       |codd AS (
+       |  SELECT res.vec_id, res.cell,
+       |    list_transform(range(8), j ->
+       |      list_transform(range(16), c ->
+       |        list_sum(list_transform(range(8), i ->
+       |          (r[CAST(j * 8 + i + 1 AS INT)] - bb.b[j + 1][c + 1][i + 1])
+       |          * (r[CAST(j * 8 + i + 1 AS INT)] - bb.b[j + 1][c + 1][i + 1]))))) AS dls
+       |  FROM res CROSS JOIN books bb),
+       |cod AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS codes
+       |  FROM codd),
+       |qs AS (
+       |  SELECT vec_id AS query_id, ev AS qv FROM corp WHERE vec_id % 20 = 0),
+       |qdl AS (
+       |  SELECT q.query_id, q.qv,
+       |    list_transform(range(len(f.cents)), cc ->
+       |      list_sum(list_transform(range(64), i ->
+       |        (q.qv[i + 1] - f.cents[cc + 1][i + 1])
+       |        * (q.qv[i + 1] - f.cents[cc + 1][i + 1])))) AS dl
+       |  FROM qs q CROSS JOIN cfin f),
+       |probes AS (
+       |  SELECT query_id, qv, CAST(cell AS INT) AS cell
+       |  FROM (
+       |    SELECT query_id, qv, cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cell ASC) AS rn
+       |    FROM (
+       |      SELECT query_id, qv,
+       |        unnest(range(0, len(dl))) AS cell, unnest(dl) AS d
+       |      FROM qdl)
+       |  ) WHERE rn <= 4),
+       |adcs AS (
+       |  SELECT p.query_id, p.qv, d.vec_id AS neighbor_id,
+       |    list_sum(list_transform(
+       |      list_transform(range(64), i ->
+       |        (p.qv[i + 1] - f.cents[p.cell + 1][i + 1])
+       |        - bb.b[i // 8 + 1][d.codes[CAST(i // 8 + 1 AS INT)] + 1][i % 8 + 1]),
+       |      t -> t * t)) AS adc
+       |  FROM probes p CROSS JOIN cfin f CROSS JOIN books bb
+       |  JOIN cod d ON d.cell = p.cell AND d.vec_id <> p.query_id),
+       |cand AS (
+       |  SELECT query_id, qv, neighbor_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY adc ASC, neighbor_id ASC) AS rn FROM adcs)
+       |  WHERE rn <= 32),
+       |rer AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_sum(list_transform(range(64), i -> c.qv[i + 1] * v.ev[i + 1]))
+       |    / (sqrt(list_sum(list_transform(range(64), i -> c.qv[i + 1] * c.qv[i + 1])))
+       |       * sqrt(list_sum(list_transform(range(64), i -> v.ev[i + 1] * v.ev[i + 1])))) AS cos
+       |  FROM cand c JOIN corp v ON v.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       |  round(cos, 6) AS cos
+       |FROM rer
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Threshold similarity self-join: 50 query vectors vs the corpus.
@@ -499,37 +685,42 @@ object SimilarityQueries {
     // query residual, exact re-rank. The residual grid is finer at the
     // same m x k budget exactly when the corpus is CLUSTERED (the
     // coarse quantizer removes each cell's mean): the spec pins
-    // reconstruction error < half of raw PQ's on a 32-cluster fixture.
-    // On the synthetic random-embedding table there is no cluster
-    // structure to exploit, so measured recall ~= e09's (ivfpqrecall
-    // probe: 0.44-0.47 vs 0.45-0.46 at the oracle SFs, 0.314 vs 0.300
-    // at sf0.1) — the floor is set at 300 milli, above e09's 250,
-    // holding at sf0.001/0.01/0.1; like e09, recall at sf1+ falls with
-    // the nprobe=4/sqrt(n) cell fraction and the gate is an oracle-SF
-    // contract, not a scale-invariant one.
+    // reconstruction error < half of raw PQ's on a 32-cluster fixture,
+    // and planted-fixture recall@5 floors gate the probe's quality.
+    // FULL-REPLAY oracle (round 14; was a count+floor summary): NOTHING
+    // is frozen — DuckDB recomputes the entire pipeline from the raw
+    // parquet floats and hash-matches every ranked neighbor row:
+    // (1) the xxhash64 sample order (TextQueries' byte-exact XXH64 CTE,
+    //     signed-long comparison matching Spark's orderBy),
+    // (2) the 10-iteration coarse Lloyd fit as a recursive CTE — init =
+    //     first k distinct sample points, strict-< argmin with ties to
+    //     the lowest index, per-cell means summed IN SAMPLE ORDER
+    //     (list(ev ORDER BY pos) → list_sum is left-to-right, the same
+    //     sequential double accumulation as the driver-side fit), empty
+    //     cells keep their previous center,
+    // (3) full-corpus nearest-cell assignment,
+    // (4) the 8 per-subspace 15-iteration residual-codebook Lloyd fits
+    //     (one recursive CTE, subspace as a grouping column),
+    // (5) the per-vector residual encode (argmin over 16 codes),
+    // (6) the nprobe=4 probe (4 nearest cells by (dist, cell)),
+    // (7) ADC per candidate — the 64 residual-difference terms summed
+    //     flat in the kernel's j-outer/i-inner order,
+    // (8) top-32 by (adc, id), exact cosine re-rank (three independent
+    //     left-to-right accumulators, matching CosineSim), top-5 by
+    //     (cos desc, id). Every stage verified bit-identical to the
+    // engine at the oracle SFs before landing (125/125 ranked rows).
     Q("e19_ivfpq_residual",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val index = Similarity.ivfIndexFor(emb, key = d)
-        val queries = emb.filter(col("vec_id") % 20 === 0)
-        val ann = Similarity.probeIvfPqResidual(index,
-          Similarity.pqCodebooksResidual(index), queries, kNn = 5)
-        val exact = Similarity.probeIvf(index, queries, k = 5,
-          nprobe = index.centers.length)
-        recallFloor(ann, exact, queries, k = 5, milliFloor = 300)
-      },
-      Some("""SELECT count(*)::BIGINT AS n_queries, 300::BIGINT AS recall_milli
-             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin),
-      // benched plan = residual codebook fit + the residual-ADC probe
-      // with exact re-rank; the gate's exact nprobe=nlist arm stays
-      // correctness-only (see e06).
-      benchFn = Some((s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val index = Similarity.ivfIndexFor(emb, key = d)
         Similarity.probeIvfPqResidual(index,
-          Similarity.pqCodebooksResidual(index),
-          emb.filter(col("vec_id") % 20 === 0), kNn = 5)
-      })),
+            Similarity.pqCodebooksResidual(index),
+            emb.filter(col("vec_id") % 20 === 0), kNn = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some(e19ReplayOracle)),
 
     // IVF incremental APPEND — the nightly-ingest path: ~75% of the
     // corpus builds the index (trains centroids), the remaining ~25%

@@ -934,6 +934,64 @@ class SimilaritySpec extends SparkSpec {
     assert(rRes > 8.0 / 64.0, f"residual recall $rRes%.3f at random-fraction level")
   }
 
+  test("PQ family recall floors on the 32-cluster planted fixture") {
+    // The planted-fixture discipline extended to the PQ entries (r13
+    // verdict next #4): e09/e19's catalog gates run on the structure-
+    // free random table, where the residual form has nothing to exploit
+    // and a codebook/ADC break that degrades recall could hide inside
+    // the gate floor's slack. This pins recall@5 ABSOLUTE floors on the
+    // clustered fixture (32 prototypes x 12 jittered members, seed 17 —
+    // the regime PQ exists for), ground truth = exact cosine top-5
+    // under the operators' own (cos desc, id asc) tie-break, probed at
+    // the production nprobe=4 over the auto-nlist index. The corpus is
+    // FIXED (seeded), so measured recalls are constants of the
+    // machinery; floors sit ~0.13 under measured (the e04/e18 planted-
+    // floor convention): headroom for machinery-preserving refactors,
+    // while a broken fit, encode, ADC ranking or re-rank collapses
+    // recall far below every floor.
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val protos = Array.fill(32)(Array.fill(64)(rnd.nextGaussian() * 2))
+    // jitter 3.5 (vs the err-ratio spec's 0.3) pushes the probe into its
+    // SENSITIVE regime: at 0.3-1.1 the exact top-32 re-rank saturates
+    // both probes at recall 1.000 (a mild ADC degradation would be
+    // invisible); at 3.5 cluster margins shrink until probed-cell
+    // selection and ADC candidate ordering decide ranks — measured
+    // 0.692 raw / 0.737 residual, mid-band and residual-favored, the
+    // regime the IVFADC form exists for
+    val rows = (0L until 384L).map { i =>
+      val p = protos((i % 32).toInt)
+      (i, p.map(x => (x + 3.5 * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding").localCheckpoint(true)
+    val vecs = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth: Map[Long, Set[Long]] = vecs.collect { case (q, qv) if q % 4 == 0 =>
+      q -> vecs.toSeq.collect { case (n, nv) if n != q => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1).toSet
+    }.toMap
+    def recall(out: Array[org.apache.spark.sql.Row]): Double = {
+      val got = out.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      truth.toSeq.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size / 5.0
+      }.sum / truth.size
+    }
+    val index = Similarity.buildIvfIndex(df)
+    val queries = df.filter(col("vec_id") % 4 === 0)
+    val raw = recall(Similarity.probeIvfPq(index,
+      Similarity.pqCodebooks(df), queries, kNn = 5).collect())
+    val res = recall(Similarity.probeIvfPqResidual(index,
+      Similarity.pqCodebooksResidual(index), queries, kNn = 5).collect())
+    info(f"planted recall@5: e09-raw-PQ $raw%.3f, e19-residual-PQ $res%.3f")
+    assert(raw >= 0.55, f"raw IVF-PQ recall@5 $raw%.3f below the 0.55 floor")
+    assert(res >= 0.60, f"residual IVF-PQ recall@5 $res%.3f below the 0.60 floor")
+  }
+
   test("probeIvf broadcast crossover picks the right side in both regimes") {
     // r12 verdict #7: the ratio-guarded probe broadcast, asserted on the
     // executed plan at BOTH regimes. Auto-broadcast is disabled for the
