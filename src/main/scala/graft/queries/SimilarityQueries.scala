@@ -79,15 +79,31 @@ object SimilarityQueries {
               |SELECT query_id, CAST(pick AS BIGINT) AS pick, neighbor_id, mmr AS mmr_micro
               |FROM sel ORDER BY query_id, pick""".stripMargin
 
-  /** e19's full-replay oracle: the ENTIRE residual IVF-PQ pipeline —
-    * xxhash64 sample order, coarse Lloyd (10 iters), corpus assignment,
-    * per-subspace residual Lloyd (15 iters), encode, nprobe=4 probe,
-    * ADC, exact re-rank — recomputed by DuckDB from the raw parquet
-    * floats with bit-matched double arithmetic (every sum replayed in
-    * the engine's sequential accumulation order), no frozen constants.
-    * See the e19 entry comment for the stage map.
+  /** Shared full-replay CTE prefix for the IVF-family oracles (e06/e09/
+    * e19): DuckDB recomputes, from the raw parquet floats with NO frozen
+    * constants, everything up to the per-query probed cells —
+    * (1) the xxhash64 sample order (TextQueries' byte-exact XXH64 CTE,
+    *     signed-long comparison matching Spark's orderBy),
+    * (2) the 10-iteration coarse Lloyd fit as a recursive CTE: init =
+    *     first k distinct sample points, strict-< argmin with ties to
+    *     the lowest index, per-cell means summed IN SAMPLE ORDER
+    *     (list(ev ORDER BY pos) → left-to-right list_sum = the driver
+    *     fit's sequential double accumulation), empty cells keep their
+    *     previous center, k replaying autoNlist's floor(√n + 0.5),
+    * (3) full-corpus nearest-cell assignment (asg) — for e12 this IS
+    *     the append path: appendToIvf assigns late rows with the same
+    *     argmin kernel against the frozen centers, so build-on-subset +
+    *     append == one-pass assignment of everything (the property
+    *     SimilaritySpec asserts),
+    * (4) the vec_id % 20 query slice and its nprobe=4 probed cells by
+    *     (dist, cell) order (probes).
+    * `trainWhere` restricts the CENTROID TRAINING relation (e12 trains
+    * on the ~75% md5 split); assignment and probing always run over the
+    * full corpus. Each oracle appends its own ranking tail. Every stage
+    * was verified bit-identical against the engine's own intermediates
+    * before landing.
     */
-  private lazy val e19ReplayOracle: String =
+  private def ivfReplayPrefix(trainWhere: String = "TRUE"): String =
     s"""WITH RECURSIVE
        |keys AS (SELECT vec_id::HUGEINT AS v FROM embeddings),
        |${TextQueries.xxh64LongDuck},
@@ -97,10 +113,12 @@ object SimilarityQueries {
        |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
        |           row_number() OVER (ORDER BY s.hs, e.vec_id) AS pos
        |         FROM embeddings e JOIN sgn s ON s.v = e.vec_id::HUGEINT),
+       |trn AS (SELECT ev, row_number() OVER (ORDER BY pos) AS tpos
+       |        FROM corp WHERE $trainWhere),
        |par AS (SELECT greatest(4, least(4096,
        |          CAST(floor(sqrt(count(*)::DOUBLE) + 0.5) AS INT))) AS k
-       |        FROM corp),
-       |smp AS (SELECT pos, ev FROM corp WHERE pos <= 10000),
+       |        FROM trn),
+       |smp AS (SELECT tpos AS pos, ev FROM trn WHERE tpos <= 10000),
        |init AS (SELECT pos, ev FROM smp s
        |         WHERE NOT EXISTS (SELECT 1 FROM smp s2 WHERE s2.pos < s.pos AND s2.ev = s.ev)
        |         ORDER BY pos LIMIT (SELECT k FROM par)),
@@ -151,13 +169,34 @@ object SimilarityQueries {
        |          * (ev[i + 1] - f.cents[cc + 1][i + 1])))) AS dl
        |    FROM corp CROSS JOIN cfin f
        |  ) c),
-       |res AS (
-       |  SELECT a.vec_id, a.pos, a.cell,
-       |    list_transform(range(64), i ->
-       |      a.ev[i + 1] - f.cents[a.cell + 1][i + 1]) AS r
-       |  FROM asg a CROSS JOIN cfin f),
-       |rsmp AS (SELECT pos, r FROM res WHERE pos <= 2000),
-       |binit AS (
+       |qs AS (
+       |  SELECT vec_id AS query_id, ev AS qv FROM corp WHERE vec_id % 20 = 0),
+       |qdl AS (
+       |  SELECT q.query_id, q.qv,
+       |    list_transform(range(len(f.cents)), cc ->
+       |      list_sum(list_transform(range(64), i ->
+       |        (q.qv[i + 1] - f.cents[cc + 1][i + 1])
+       |        * (q.qv[i + 1] - f.cents[cc + 1][i + 1])))) AS dl
+       |  FROM qs q CROSS JOIN cfin f),
+       |probes AS (
+       |  SELECT query_id, qv, CAST(cell AS INT) AS cell
+       |  FROM (
+       |    SELECT query_id, qv, cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cell ASC) AS rn
+       |    FROM (
+       |      SELECT query_id, qv,
+       |        unnest(range(0, len(dl))) AS cell, unnest(dl) AS d
+       |      FROM qdl)
+       |  ) WHERE rn <= 4)""".stripMargin
+
+  /** The 8 per-subspace 15-iteration PQ Lloyd fits as ONE recursive CTE
+    * (subspace j as a grouping column) + the encode distance lists —
+    * shared by e09 (rsmp = raw vectors) and e19 (rsmp = residuals to
+    * the assigned coarse centroid). References a caller-provided
+    * `rsmp(pos, r)` CTE; ends with `books(b)`.
+    */
+  private lazy val subspaceLloydCtes: String =
+    s"""binit AS (
        |  SELECT j.j, pos,
        |    s.r[CAST(j.j * 8 + 1 AS INT):CAST(j.j * 8 + 8 AS INT)] AS sv
        |  FROM rsmp s, range(0, 8) AS j(j)
@@ -206,7 +245,116 @@ object SimilarityQueries {
        |    ) g
        |    GROUP BY g.step, g.j
        |  ) g2),
-       |books AS (SELECT list(cents ORDER BY j) AS b FROM bl WHERE step = 15),
+       |books AS (SELECT list(cents ORDER BY j) AS b FROM bl WHERE step = 15)""".stripMargin
+
+  /** ADC top-32 → exact cosine re-rank → ranked top-5, shared by the
+    * two PQ oracles. References caller CTEs `adcs(query_id, qv,
+    * neighbor_id, adc)` and the prefix's `corp`.
+    */
+  private lazy val pqRerankTail: String =
+    """cand AS (
+      |  SELECT query_id, qv, neighbor_id
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY adc ASC, neighbor_id ASC) AS rn FROM adcs)
+      |  WHERE rn <= 32),
+      |rer AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    list_sum(list_transform(range(64), i -> c.qv[i + 1] * v.ev[i + 1]))
+      |    / (sqrt(list_sum(list_transform(range(64), i -> c.qv[i + 1] * c.qv[i + 1])))
+      |       * sqrt(list_sum(list_transform(range(64), i -> v.ev[i + 1] * v.ev[i + 1])))) AS cos
+      |  FROM cand c JOIN corp v ON v.vec_id = c.neighbor_id)
+      |SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+      |  round(cos, 6) AS cos
+      |FROM rer
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Exact-cosine ranking of the prefix's probed cells (three
+    * independent left-to-right accumulators matching CosineSim), top-5
+    * by (cos desc, id) — probeIvf's ranking replayed; shared by e06
+    * (full-corpus index) and e12 (subset-trained, append path).
+    */
+  private lazy val cosRankTail: String =
+    """rer AS (
+      |  SELECT p.query_id, v.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(64), i -> p.qv[i + 1] * v.ev[i + 1]))
+      |    / (sqrt(list_sum(list_transform(range(64), i -> p.qv[i + 1] * p.qv[i + 1])))
+      |       * sqrt(list_sum(list_transform(range(64), i -> v.ev[i + 1] * v.ev[i + 1])))) AS cos
+      |  FROM probes p JOIN asg v ON v.cell = p.cell AND v.vec_id <> p.query_id)
+      |SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+      |  round(cos, 6) AS cos
+      |FROM rer
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** e06's full-replay oracle: probeIvf replayed end to end, ranked
+    * rows hash-matched. */
+  private lazy val e06ReplayOracle: String =
+    s"""${ivfReplayPrefix()},
+       |$cosRankTail""".stripMargin
+
+  /** e12's full-replay oracle: centroids trained ONLY on the ~75% md5
+    * split (DuckDB's md5 replays Spark's byte-for-byte on the same
+    * 'iv#'||vec_id string), every vector — late arrivals included —
+    * assigned and probed against those frozen centers: exactly
+    * build-on-subset + appendToIvf + probeIvf, ranked rows
+    * hash-matched. A vector lost or mis-assigned by the append flips
+    * rows directly.
+    */
+  private lazy val e12ReplayOracle: String =
+    s"""${ivfReplayPrefix(
+           "substr(md5('iv#' || vec_id::VARCHAR), 1, 1) >= '4'")},
+       |$cosRankTail""".stripMargin
+
+  /** e09's full-replay oracle: raw-vector PQ — subspace Lloyd fits over
+    * the raw xxhash64-ordered sample, per-vector encode, ADC with the
+    * 64 raw-difference terms summed flat in the kernel's j-outer/
+    * i-inner order, top-32, exact re-rank. probeIvfPq replayed end to
+    * end, ranked rows hash-matched.
+    */
+  private lazy val e09ReplayOracle: String =
+    s"""${ivfReplayPrefix()},
+       |rsmp AS (SELECT pos, ev AS r FROM corp WHERE pos <= 2000),
+       |$subspaceLloydCtes,
+       |codd AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(8), j ->
+       |      list_transform(range(16), c ->
+       |        list_sum(list_transform(range(8), i ->
+       |          (a.ev[CAST(j * 8 + i + 1 AS INT)] - bb.b[j + 1][c + 1][i + 1])
+       |          * (a.ev[CAST(j * 8 + i + 1 AS INT)] - bb.b[j + 1][c + 1][i + 1]))))) AS dls
+       |  FROM asg a CROSS JOIN books bb),
+       |cod AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS codes
+       |  FROM codd),
+       |adcs AS (
+       |  SELECT p.query_id, p.qv, d.vec_id AS neighbor_id,
+       |    list_sum(list_transform(
+       |      list_transform(range(64), i ->
+       |        p.qv[i + 1]
+       |        - bb.b[i // 8 + 1][d.codes[CAST(i // 8 + 1 AS INT)] + 1][i % 8 + 1]),
+       |      t -> t * t)) AS adc
+       |  FROM probes p CROSS JOIN books bb
+       |  JOIN cod d ON d.cell = p.cell AND d.vec_id <> p.query_id),
+       |$pqRerankTail""".stripMargin
+
+  /** e19's full-replay oracle: the residual sibling — codebooks fit on
+    * residuals to the assigned coarse centroid, encode over residuals,
+    * ADC against the candidate cell's query residual. See the e19
+    * entry comment for the full stage map.
+    */
+  private lazy val e19ReplayOracle: String =
+    s"""${ivfReplayPrefix()},
+       |res AS (
+       |  SELECT a.vec_id, a.pos, a.cell,
+       |    list_transform(range(64), i ->
+       |      a.ev[i + 1] - f.cents[a.cell + 1][i + 1]) AS r
+       |  FROM asg a CROSS JOIN cfin f),
+       |rsmp AS (SELECT pos, r FROM res WHERE pos <= 2000),
+       |$subspaceLloydCtes,
        |codd AS (
        |  SELECT res.vec_id, res.cell,
        |    list_transform(range(8), j ->
@@ -219,25 +367,6 @@ object SimilarityQueries {
        |  SELECT vec_id, cell,
        |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS codes
        |  FROM codd),
-       |qs AS (
-       |  SELECT vec_id AS query_id, ev AS qv FROM corp WHERE vec_id % 20 = 0),
-       |qdl AS (
-       |  SELECT q.query_id, q.qv,
-       |    list_transform(range(len(f.cents)), cc ->
-       |      list_sum(list_transform(range(64), i ->
-       |        (q.qv[i + 1] - f.cents[cc + 1][i + 1])
-       |        * (q.qv[i + 1] - f.cents[cc + 1][i + 1])))) AS dl
-       |  FROM qs q CROSS JOIN cfin f),
-       |probes AS (
-       |  SELECT query_id, qv, CAST(cell AS INT) AS cell
-       |  FROM (
-       |    SELECT query_id, qv, cell,
-       |      row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cell ASC) AS rn
-       |    FROM (
-       |      SELECT query_id, qv,
-       |        unnest(range(0, len(dl))) AS cell, unnest(dl) AS d
-       |      FROM qdl)
-       |  ) WHERE rn <= 4),
        |adcs AS (
        |  SELECT p.query_id, p.qv, d.vec_id AS neighbor_id,
        |    list_sum(list_transform(
@@ -247,23 +376,7 @@ object SimilarityQueries {
        |      t -> t * t)) AS adc
        |  FROM probes p CROSS JOIN cfin f CROSS JOIN books bb
        |  JOIN cod d ON d.cell = p.cell AND d.vec_id <> p.query_id),
-       |cand AS (
-       |  SELECT query_id, qv, neighbor_id
-       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |          ORDER BY adc ASC, neighbor_id ASC) AS rn FROM adcs)
-       |  WHERE rn <= 32),
-       |rer AS (
-       |  SELECT c.query_id, c.neighbor_id,
-       |    list_sum(list_transform(range(64), i -> c.qv[i + 1] * v.ev[i + 1]))
-       |    / (sqrt(list_sum(list_transform(range(64), i -> c.qv[i + 1] * c.qv[i + 1])))
-       |       * sqrt(list_sum(list_transform(range(64), i -> v.ev[i + 1] * v.ev[i + 1])))) AS cos
-       |  FROM cand c JOIN corp v ON v.vec_id = c.neighbor_id)
-       |SELECT query_id, neighbor_id,
-       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
-       |  round(cos, 6) AS cos
-       |FROM rer
-       |QUALIFY rank <= 5
-       |ORDER BY query_id, rank""".stripMargin
+       |$pqRerankTail""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -446,39 +559,29 @@ object SimilarityQueries {
       }),
 
     // IVF ANN: KMeans cells + nprobe centroid probing (the
-    // billion-vector scale path next to the LSH variant). LIVE recall
-    // gate (round 7; was a frozen sf0.01 golden): a deterministic query
-    // slice is probed at nprobe=4 AND at nprobe=nlist — the full probe is
-    // exact brute force under the identical metric and tie-break (the e14
-    // property) — and the mean top-5 recall must clear the 0.30 floor
-    // (measured 0.40-0.50 across sf0.001-0.1; nprobe=4 of ~√n cells is a
-    // genuinely approximate dial). DuckDB independently counts the slice
-    // and pins recall_milli to the floor: broken assignment, pruning,
-    // scoring or ranking collapses recall and flips the row; exact
-    // machinery correctness is e14's gate. The index is built once per
-    // dataset (sample-trained KMeans, ~√n cells) and WRITTEN partitioned
-    // by cell; the probe reads only probed cells' files.
+    // billion-vector scale path next to the LSH variant). The index is
+    // built once per dataset (sample-trained KMeans, ~√n cells) and
+    // WRITTEN partitioned by cell; the probe reads only probed cells'
+    // files. FULL-REPLAY oracle (round 14; rounds 7-13 gated a live
+    // recall floor): DuckDB recomputes sample order, coarse Lloyd,
+    // assignment, probed cells and the exact cosine ranking from the
+    // raw parquet floats (ivfReplayPrefix) and hash-matches every
+    // ranked neighbor row — broken assignment, pruning, scoring or
+    // ranking flips rows directly. The recall QUALITY story moves to
+    // specs: e14's gate pins full-probe == brute force, and the
+    // 32-cluster planted fixture pins nprobe=4 recall floors
+    // (SimilaritySpec); the gate no longer pays the nprobe=nlist exact
+    // arm, so fn IS the production probe (no benchFn override needed).
     Q("e06_ivf_knn",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val index = Similarity.ivfIndexFor(emb, key = d)
-        val queries = emb.filter(col("vec_id") % 20 === 0)
-        val ann = Similarity.probeIvf(index, queries, k = 5, nprobe = 4)
-        val exact = Similarity.probeIvf(index, queries, k = 5, nprobe = index.centers.length)
-        recallFloor(ann, exact, queries, k = 5, milliFloor = 300)
-      },
-      Some("""SELECT count(*)::BIGINT AS n_queries, 300::BIGINT AS recall_milli
-             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin),
-      // benched plan = the production nprobe=4 probe only. The gate's
-      // exact arm (nprobe=nlist over every query — brute force by the
-      // e14 property) exists to PIN the recall floor and costs ~nlist/4
-      // times the probe; at sf10 it dominated the published number
-      // (SCALING.md r9). Correctness still runs the full gate.
-      benchFn = Some((s, d) => {
-        val emb = Tables.embeddings(s, d)
         Similarity.probeIvf(Similarity.ivfIndexFor(emb, key = d),
-          emb.filter(col("vec_id") % 20 === 0), k = 5, nprobe = 4)
-      })),
+            emb.filter(col("vec_id") % 20 === 0), k = 5, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some(e06ReplayOracle)),
 
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
     // corpus-vs-corpus scale path e01/d07 lack. K-means cells bound the
@@ -652,32 +755,25 @@ object SimilarityQueries {
     // IVF-PQ probe (Similarity.probeIvfPq): cells pruned by IVF, the
     // candidate scan ranked by PQ asymmetric distance over m-byte codes,
     // exact cosine re-rank of the top 32 — the production read path at
-    // 10^9 vectors. LIVE recall gate (round 7; was a frozen sf0.01
-    // snapshot): same contract as e06 — the slice probed through the PQ
-    // path must keep mean top-5 recall above the 0.25 floor (measured
-    // 0.30-0.46; the 8x16 codebooks quantize harder than plain IVF). A
-    // broken code fit, ADC ranking or re-rank collapses recall and flips
-    // the single gated row.
+    // 10^9 vectors. FULL-REPLAY oracle (round 14; rounds 7-13 gated a
+    // live 250-milli recall floor): DuckDB recomputes the shared IVF
+    // prefix plus the raw-vector PQ tail — the 8 subspace Lloyd fits,
+    // the per-vector encode, ADC in the kernel's flat summation order,
+    // top-32, exact re-rank — and hash-matches every ranked neighbor
+    // row. A broken code fit, ADC ranking or re-rank flips rows
+    // directly; recall quality is spec-gated on the 32-cluster planted
+    // fixture. fn IS the production probe (no benchFn override needed).
     Q("e09_ivfpq_knn",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val index = Similarity.ivfIndexFor(emb, key = d)
-        val queries = emb.filter(col("vec_id") % 20 === 0)
-        val ann = Similarity.probeIvfPq(index, Similarity.pqCodebooks(emb), queries, kNn = 5)
-        val exact = Similarity.probeIvf(index, queries, k = 5, nprobe = index.centers.length)
-        recallFloor(ann, exact, queries, k = 5, milliFloor = 250)
-      },
-      Some("""SELECT count(*)::BIGINT AS n_queries, 250::BIGINT AS recall_milli
-             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin),
-      // benched plan = codebook fit + the PQ-ranked probe with exact
-      // re-rank (the production read path); the gate's exact
-      // nprobe=nlist arm stays correctness-only (see e06).
-      benchFn = Some((s, d) => {
-        val emb = Tables.embeddings(s, d)
         Similarity.probeIvfPq(Similarity.ivfIndexFor(emb, key = d),
-          Similarity.pqCodebooks(emb),
-          emb.filter(col("vec_id") % 20 === 0), kNn = 5)
-      })),
+            Similarity.pqCodebooks(emb),
+            emb.filter(col("vec_id") % 20 === 0), kNn = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some(e09ReplayOracle)),
 
     // Residual IVF-PQ — IVFADC proper (Jégou'11 §IV, the form FAISS
     // ships): PQ codebooks fit on RESIDUALS to the assigned coarse
@@ -726,38 +822,29 @@ object SimilarityQueries {
     // corpus builds the index (trains centroids), the remaining ~25%
     // arrives later and is assigned to the EXISTING centroids and
     // appended (Similarity.appendToIvf — centroids untouched, at-rest
-    // layout preserved, partition pruning unchanged). LIVE recall gate
-    // (round 7; was a frozen sf0.01 snapshot): the nprobe=4 probe over
-    // the appended index must keep mean top-5 recall above the 0.35
-    // floor (measured 0.42-0.60; exact = full probe of the SAME appended
-    // index — which e14 proves equals brute force over the full corpus,
-    // appended rows included). A vector lost or mis-assigned by the
-    // append collapses recall and flips the single gated row.
+    // layout preserved, partition pruning unchanged). FULL-REPLAY
+    // oracle (round 14; rounds 7-13 gated a live 350-milli recall
+    // floor): DuckDB trains the Lloyd centers on the SAME md5-split
+    // subset, assigns the full corpus — late arrivals included —
+    // against them (appendToIvf's documented equality: append ==
+    // one-pass assignment under frozen centers), replays the nprobe=4
+    // probe and exact cosine ranking, and hash-matches every ranked
+    // neighbor row. A vector lost or mis-assigned by the append flips
+    // rows directly; append recall quality is spec-gated on the
+    // 32-cluster planted fixture. fn IS the ingest path (no benchFn).
     Q("e12_ivf_append",
       (s, d) => {
-        val em = Tables.embeddings(s, d)
-        val isNew = substring(md5(concat(lit("iv#"), col("vec_id").cast("string"))), 1, 1) < "4"
-        val index = Similarity.buildIvfIndex(em.filter(!isNew))
-        val appended = Similarity.appendToIvf(index, em.filter(isNew))
-        val queries = em.filter(col("vec_id") % 20 === 0)
-        val ann = Similarity.probeIvf(appended, queries, k = 5, nprobe = 4)
-        val exact = Similarity.probeIvf(appended, queries, k = 5,
-          nprobe = appended.centers.length)
-        recallFloor(ann, exact, queries, k = 5, milliFloor = 350)
-      },
-      Some("""SELECT count(*)::BIGINT AS n_queries, 350::BIGINT AS recall_milli
-             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin),
-      // benched plan = the nightly-ingest path (build on ~75%, append
-      // the rest, nprobe=4 probe); the gate's exact nprobe=nlist arm
-      // stays correctness-only (see e06).
-      benchFn = Some((s, d) => {
         val em = Tables.embeddings(s, d)
         val isNew = substring(md5(concat(lit("iv#"), col("vec_id").cast("string"))), 1, 1) < "4"
         val appended = Similarity.appendToIvf(
           Similarity.buildIvfIndex(em.filter(!isNew)), em.filter(isNew))
         Similarity.probeIvf(appended, em.filter(col("vec_id") % 20 === 0),
-          k = 5, nprobe = 4)
-      })),
+            k = 5, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos"), 6).as("cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some(e12ReplayOracle)),
 
     // Nearest-centroid classification over the labeled embeddings —
     // integer-exact (quantize, integer means, integer squared distances;
@@ -911,18 +998,4 @@ object SimilarityQueries {
     * min, is the gateable statistic; exactness of the machinery itself
     * is e14's job, not this bound's.
     */
-  private def recallFloor(ann: org.apache.spark.sql.DataFrame,
-                          exact: org.apache.spark.sql.DataFrame,
-                          queries: org.apache.spark.sql.DataFrame,
-                          k: Int, milliFloor: Int): org.apache.spark.sql.DataFrame = {
-    val hits = ann.select("query_id", "neighbor_id")
-      .join(exact.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      .agg(count(lit(1)).as("total_hits"))
-    queries.agg(count(lit(1)).as("n_queries"))
-      .crossJoin(hits)
-      .select(col("n_queries"),
-        least(expr(s"total_hits * 1000 div ($k * n_queries)"),
-          lit(milliFloor.toLong)).as("recall_milli"))
-  }
 }

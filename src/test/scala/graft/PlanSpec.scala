@@ -220,11 +220,10 @@ class PlanSpec extends SparkSpec {
     // n08 (ONE-row broadcast of the global ||X|| normalization scalar),
     // t21 (≤64-cell histogram sketch × 3 quantile literals — the theta
     // join runs over the SKETCH, never the data),
-    // e06/e09/e12 (recallFloor: ONE global-agg row × ONE global-agg
-    // row — the gate's n_queries × total_hits summary join, never
-    // data-sized; e19 lost its exemption in r14 when its gate became
-    // the ranked-row full-replay oracle — its fn is the production
-    // residual-ADC probe, checked clean below with NO exemption),
+    // (the whole IVF family — e06/e09/e12/e19 — lost its recallFloor
+    // exemptions in r14 when the gates became ranked-row full-replay
+    // oracles: each fn is now the production probe itself, checked
+    // clean below with NO exemption; the recallFloor helper is gone),
     // t24 (ONE-row HLL estimate × ONE-row exact count),
     // t26 (ONE-row broadcast of the global N/avgdl scalar),
     // t27 (ONE-row rr/tt totals × the 256-row bucket feature table —
@@ -235,7 +234,6 @@ class PlanSpec extends SparkSpec {
     // the operator's defined work; nothing data × data)
     val exempt = Set("a06_containment_join", "n05_placement_pareto",
       "n08_forecast_trainset", "t21_hist_quantiles",
-      "e06_ivf_knn", "e09_ivfpq_knn", "e12_ivf_append",
       "t24_hll_distinct", "t26_bm25", "t27_dsir_weights",
       "e17_contrastive_pairs")
     SparkEntry.catalog.filterNot(q => exempt(q.name)).foreach { q =>

@@ -934,31 +934,33 @@ class SimilaritySpec extends SparkSpec {
     assert(rRes > 8.0 / 64.0, f"residual recall $rRes%.3f at random-fraction level")
   }
 
-  test("PQ family recall floors on the 32-cluster planted fixture") {
-    // The planted-fixture discipline extended to the PQ entries (r13
-    // verdict next #4): e09/e19's catalog gates run on the structure-
-    // free random table, where the residual form has nothing to exploit
-    // and a codebook/ADC break that degrades recall could hide inside
-    // the gate floor's slack. This pins recall@5 ABSOLUTE floors on the
-    // clustered fixture (32 prototypes x 12 jittered members, seed 17 —
-    // the regime PQ exists for), ground truth = exact cosine top-5
-    // under the operators' own (cos desc, id asc) tie-break, probed at
-    // the production nprobe=4 over the auto-nlist index. The corpus is
+  test("IVF family recall floors on the 32-cluster planted fixture") {
+    // The planted-fixture discipline extended to the IVF family (r13
+    // verdict next #4, widened in r14): since r14 the catalog gates
+    // e06/e09/e12/e19 are ranked-row FULL-REPLAY oracles — DuckDB
+    // recomputes the same algorithm, so they pin machinery exactness,
+    // not approximation QUALITY. This spec is the family's recall
+    // gate: recall@5 ABSOLUTE floors on the clustered fixture (32
+    // prototypes x 12 jittered members, seed 17 — the regime IVF/PQ
+    // exist for), ground truth = exact cosine top-5 under the
+    // operators' own (cos desc, id asc) tie-break, probed at the
+    // production nprobe=4 over the auto-nlist index. The corpus is
     // FIXED (seeded), so measured recalls are constants of the
     // machinery; floors sit ~0.13 under measured (the e04/e18 planted-
     // floor convention): headroom for machinery-preserving refactors,
-    // while a broken fit, encode, ADC ranking or re-rank collapses
-    // recall far below every floor.
+    // while a broken fit, assignment, encode, ADC ranking or re-rank
+    // collapses recall far below every floor.
     import spark.implicits._
     val rnd = new scala.util.Random(17)
     val protos = Array.fill(32)(Array.fill(64)(rnd.nextGaussian() * 2))
-    // jitter 3.5 (vs the err-ratio spec's 0.3) pushes the probe into its
-    // SENSITIVE regime: at 0.3-1.1 the exact top-32 re-rank saturates
-    // both probes at recall 1.000 (a mild ADC degradation would be
-    // invisible); at 3.5 cluster margins shrink until probed-cell
-    // selection and ADC candidate ordering decide ranks — measured
-    // 0.692 raw / 0.737 residual, mid-band and residual-favored, the
-    // regime the IVFADC form exists for
+    // jitter 3.5 (vs the err-ratio spec's 0.3) pushes the probes into
+    // their SENSITIVE regime: at 0.3-1.1 the exact top-32 re-rank
+    // saturates the PQ paths at recall 1.000 (a mild ADC degradation
+    // would be invisible); at 3.5 cluster margins shrink until
+    // probed-cell selection and ADC candidate ordering decide ranks —
+    // measured 0.777 ivf / 0.692 raw / 0.737 residual / 0.829 append,
+    // mid-band and residual-favored over raw, the regime IVFADC exists
+    // for
     val rows = (0L until 384L).map { i =>
       val p = protos((i % 32).toInt)
       (i, p.map(x => (x + 3.5 * rnd.nextGaussian()).toFloat))
@@ -983,13 +985,27 @@ class SimilaritySpec extends SparkSpec {
     }
     val index = Similarity.buildIvfIndex(df)
     val queries = df.filter(col("vec_id") % 4 === 0)
+    val ivf = recall(Similarity.probeIvf(index, queries, k = 5).collect())
     val raw = recall(Similarity.probeIvfPq(index,
       Similarity.pqCodebooks(df), queries, kNn = 5).collect())
     val res = recall(Similarity.probeIvfPqResidual(index,
       Similarity.pqCodebooksResidual(index), queries, kNn = 5).collect())
-    info(f"planted recall@5: e09-raw-PQ $raw%.3f, e19-residual-PQ $res%.3f")
+    // the e12 shape: train on ~75%, append the rest under the frozen
+    // centers — append recall must stay in the same band as the
+    // full-build probe (centroid drift on a FIXED fixture is bounded)
+    val app = recall(Similarity.probeIvf(
+      Similarity.appendToIvf(
+        Similarity.buildIvfIndex(df.filter(col("vec_id") % 4 =!= 3)),
+        df.filter(col("vec_id") % 4 === 3)),
+      queries, k = 5).collect())
+    info(f"planted recall@5: e06-ivf $ivf%.3f, e09-raw-PQ $raw%.3f, " +
+      f"e19-residual-PQ $res%.3f, e12-append $app%.3f")
+    // e06's probe (exact cosine within probed cells) upper-bounds both
+    // PQ paths by construction — its floor sits above theirs
+    assert(ivf >= 0.65, f"IVF nprobe=4 recall@5 $ivf%.3f below the 0.65 floor")
     assert(raw >= 0.55, f"raw IVF-PQ recall@5 $raw%.3f below the 0.55 floor")
     assert(res >= 0.60, f"residual IVF-PQ recall@5 $res%.3f below the 0.60 floor")
+    assert(app >= 0.70, f"appended-index recall@5 $app%.3f below the 0.70 floor")
   }
 
   test("probeIvf broadcast crossover picks the right side in both regimes") {
