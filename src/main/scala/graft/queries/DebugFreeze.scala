@@ -5,9 +5,12 @@ import graft.operators.Similarity
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch: print the deterministic trained constants (PQ codebooks,
-  * KMeans centroids, semDedup cells) as full-precision DuckDB literals
-  * for the e05/e08/e10 frozen-constant live oracles. Not in the catalog.
+/** Scratch: print the deterministic trained constants as
+  * full-precision DuckDB literals for the frozen-constant live oracles
+  * (e05/n07 spark.ml centroids, n05 ledger, n09/n10 MLP weights). Not
+  * in the catalog. The PQBOOKS/SEM sections remain as cross-check aids
+  * only — since r14 the e08/e10 oracles replay those Lloyd fits LIVE
+  * in SQL and freeze nothing.
   */
 object DebugFreeze {
   private def lit1(a: Array[Double]): String =

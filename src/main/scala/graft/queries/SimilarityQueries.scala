@@ -103,17 +103,28 @@ object SimilarityQueries {
     * was verified bit-identical against the engine's own intermediates
     * before landing.
     */
-  private def ivfReplayPrefix(trainWhere: String = "TRUE"): String =
-    s"""WITH RECURSIVE
-       |keys AS (SELECT vec_id::HUGEINT AS v FROM embeddings),
+  /** keys → xxh64 → signed hash order → corp(vec_id, ev, pos): the
+    * corpus in Spark's deterministic sample order — the root CTE block
+    * every full-replay oracle builds on (also standalone: e08's raw
+    * sample).
+    */
+  private lazy val corpReplayCtes: String =
+    s"""keys AS (SELECT vec_id::HUGEINT AS v FROM embeddings),
        |${TextQueries.xxh64LongDuck},
        |sgn AS (SELECT v, CASE WHEN hu >= 9223372036854775808::HUGEINT
        |                       THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs FROM hsh),
        |corp AS (SELECT e.vec_id::BIGINT AS vec_id,
        |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
        |           row_number() OVER (ORDER BY s.hs, e.vec_id) AS pos
-       |         FROM embeddings e JOIN sgn s ON s.v = e.vec_id::HUGEINT),
-       |trn AS (SELECT ev, row_number() OVER (ORDER BY pos) AS tpos
+       |         FROM embeddings e JOIN sgn s ON s.v = e.vec_id::HUGEINT)""".stripMargin
+
+  /** The 10-iteration coarse Lloyd fit → cfin(cents) — the shared
+    * trainer replay behind buildIvfIndex AND semDedup (both fit the
+    * identical xxhash64-sampled 10-iteration Lloyd). `trainWhere`
+    * restricts the training relation (e12's md5 split).
+    */
+  private def lloydReplayCtes(trainWhere: String = "TRUE"): String =
+    s"""trn AS (SELECT ev, row_number() OVER (ORDER BY pos) AS tpos
        |        FROM corp WHERE $trainWhere),
        |par AS (SELECT greatest(4, least(4096,
        |          CAST(floor(sqrt(count(*)::DOUBLE) + 0.5) AS INT))) AS k
@@ -157,7 +168,12 @@ object SimilarityQueries {
        |    ) g
        |    GROUP BY g.step
        |  ) g2),
-       |cfin AS (SELECT cents FROM ll WHERE step = 10),
+       |cfin AS (SELECT cents FROM ll WHERE step = 10)""".stripMargin
+
+  private def ivfReplayPrefix(trainWhere: String = "TRUE"): String =
+    s"""WITH RECURSIVE
+       |$corpReplayCtes,
+       |${lloydReplayCtes(trainWhere)},
        |asg AS (
        |  SELECT c.vec_id, c.ev, c.pos,
        |    CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS cell
@@ -587,33 +603,34 @@ object SimilarityQueries {
     // corpus-vs-corpus scale path e01/d07 lack. K-means cells bound the
     // candidate search to Σ|cell|² pairs (vs n² all-pairs); within each
     // near-dup component the member farthest from its centroid survives.
-    // Output depends on the deterministic Lloyd centroids → committed
-    // sf0.01 golden (stability-checked across 4/8/16 cores;
-    // scripts/regen_goldens.sh).
-    // LIVE oracle since round 9 (was a frozen output snapshot): only the
-    // trained cell centers are frozen (FrozenModels.semCellsSql — the
-    // cell-count loop bound derives from len() of the frozen array, so
-    // regenerating for different testdata touches FrozenModels only); the
+    // FULLY LIVE oracle (round 14; rounds 9-13 froze the trained cell
+    // centers as FrozenModels.semCellsSql): semDedup's trainer is the
+    // SAME xxhash64-sampled 10-iteration Lloyd as buildIvfIndex, so the
+    // lloydReplayCtes recursive CTE recomputes the centers from the raw
+    // floats — byte-identical output to the frozen-literal form at
+    // sf0.01 (verified before landing) and now SF-independent. The
     // data-plane pipeline — nearest-cell assignment + own-centroid
     // distance, within-cell cosine>=0.3 pairs, connected components
     // (reachability closure, min-id label, the d04 pattern), and the
-    // keep-farthest-from-centroid ranking — is recomputed live by DuckDB
-    // from the raw floats. Exact on all 500 sf0.01 rows.
+    // keep-farthest-from-centroid ranking — was already recomputed live.
+    // ZERO frozen constants remain in the whole similarity family.
     Q("e10_semdedup",
       (s, d) => Similarity.semDedup(Tables.embeddings(s, d), threshold = 0.3)
         .orderBy("vec_id"),
-      Some(s"""WITH RECURSIVE sem AS (SELECT ${FrozenModels.semCellsSql}::DOUBLE[][] AS c),
-              |v AS (SELECT vec_id::BIGINT AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      Some(s"""WITH RECURSIVE
+              |$corpReplayCtes,
+              |${lloydReplayCtes()},
+              |v AS (SELECT vec_id, ev AS v FROM corp),
               |a AS (
               |  SELECT vec_id, v,
               |    list_position(dl, list_min(dl)) - 1 AS cell,
               |    list_min(dl) AS cdist
               |  FROM (
               |    SELECT vec_id, v,
-              |      list_transform(range(len(c.c)), k ->
+              |      list_transform(range(len(f.cents)), k ->
               |        list_sum(list_transform(range(64), i ->
-              |          (v[i + 1] - c.c[k + 1][i + 1]) * (v[i + 1] - c.c[k + 1][i + 1])))) AS dl
-              |    FROM v CROSS JOIN sem c
+              |          (v[i + 1] - f.cents[k + 1][i + 1]) * (v[i + 1] - f.cents[k + 1][i + 1])))) AS dl
+              |    FROM v CROSS JOIN cfin f
               |  )
               |),
               |pairs AS (
@@ -715,30 +732,31 @@ object SimilarityQueries {
 
     // Product quantization (Similarity.pqEncode): 8×16 codebooks fit by
     // a driver-side deterministic Lloyd over a bounded hash-ordered
-    // sample, one-pass encode. Codebooks aren't SQL-recomputable, so the
-    // gate holds the integer audit (code_sum/code_hash/err_q per vector)
-    // to a committed sf0.01 snapshot — stability-checked across
-    // 4/8/16-core runs like the other seeded-ML goldens
-    // (scripts/regen_goldens.sh).
-    // LIVE oracle since round 9 (was a frozen output snapshot): only the
-    // trained codebooks are frozen (FrozenModels.pqBooksSql, deterministic
-    // fit); the full per-vector encode — 8 subspace argmins over 16 codes
-    // with strict-< tie-break, code_sum/code_hash, and the floor(err*1e6)
-    // quantized reconstruction error — is recomputed by DuckDB from the
-    // raw floats. Bit-identical on all 500 sf0.01 rows incl. err_q
+    // sample, one-pass encode. FULLY LIVE oracle (round 14; rounds 9-13
+    // froze the trained codebooks as FrozenModels.pqBooksSql): the
+    // subspaceLloydCtes recursive CTE recomputes the 8 per-subspace
+    // 15-iteration fits from the raw floats in the driver fit's exact
+    // summation order — byte-identical output to the frozen-literal
+    // form at sf0.01 (verified before landing) and now SF-independent.
+    // The per-vector encode — 8 subspace argmins over 16 codes with
+    // strict-< tie-break, code_sum/code_hash, and the floor(err*1e6)
+    // quantized reconstruction error — was already recomputed live
     // (same left-to-right double summation order).
     Q("e08_pq_encode",
       (s, d) => Similarity.pqEncode(Tables.embeddings(s, d)).orderBy("vec_id"),
-      Some(s"""WITH books AS (SELECT ${FrozenModels.pqBooksSql}::DOUBLE[][][] AS b),
-              |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      Some(s"""WITH RECURSIVE
+              |$corpReplayCtes,
+              |rsmp AS (SELECT pos, ev AS r FROM corp WHERE pos <= 2000),
+              |$subspaceLloydCtes,
+              |v AS (SELECT vec_id, ev AS v FROM corp),
               |d AS (
               |  SELECT vec_id,
               |    list_transform(range(8), j ->
               |      list_transform(range(16), c ->
               |        list_sum(list_transform(range(8), i ->
-              |          (v[j * 8 + i + 1] - b[j + 1][c + 1][i + 1])
-              |          * (v[j * 8 + i + 1] - b[j + 1][c + 1][i + 1]))))) AS dl
-              |  FROM v CROSS JOIN books
+              |          (v[j * 8 + i + 1] - bb.b[j + 1][c + 1][i + 1])
+              |          * (v[j * 8 + i + 1] - bb.b[j + 1][c + 1][i + 1]))))) AS dl
+              |  FROM v CROSS JOIN books bb
               |),
               |e AS (
               |  SELECT vec_id,
