@@ -782,11 +782,132 @@ object StreamingQueries {
             docs.filter(col("doc_id") < cut), src, histKey = Some(d))
         }
       },
-      Some(TextQueries.spanScrubOracle))
+      Some(TextQueries.spanScrubOracle)),
+
+    // t27's STREAMING leg — DSIR importance resampling (Xie'23) in a
+    // continuously ingesting pipeline: the last corpus-level FIT in the
+    // text family without an incremental form. DSIR weights are
+    // RETROACTIVE (every document's log-likelihood ratio depends on the
+    // CURRENT raw/target bucket histograms), but the sufficient
+    // statistics are two 256-bucket count vectors — a trivially
+    // mergeable monoid — so the stream maintains exactly those: each
+    // micro-batch's documents are tokenized ROW-LOCALLY (once, the
+    // en-flag carried so ONE aggregation feeds both histograms) and the
+    // per-bucket counts accumulate as streaming aggregation state
+    // (update-mode RocksDB upserts are the 100 TB form, DEMONSTRATED in
+    // DsirStreamSpec; the gate runs the bounded-replay complete-mode
+    // twin — 256 keys, sketch-sized by construction). Selection at any
+    // point is then a JOIN, not a corpus re-scan: the per-(doc, bucket)
+    // count index is append-only at-rest state written alongside ingest
+    // (row-local, no shuffle), and the final weights = dc ⋈ the
+    // 256-row log-ratio table derived from the streamed histograms.
+    // Oracle = t27's SQL VERBATIM over the full corpus: batch,
+    // streaming, and the independent replay must all three agree on
+    // every document's weight, rank and keep decision.
+    Q("n31_stream_dsir",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+        withStaged(s, docs, "n31") { src => streamDsir(s, src) }
+      },
+      Some(TextQueries.dsirOracleSql))
   )
 
   private[graft] val segStageSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private[graft] val dsirStageSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** n31's plan, factored for the spec's staging/batch splits. The
+    * streaming piece maintains DSIR's sufficient statistics — the
+    * raw/target bucket histograms — as a 256-key streaming aggregation
+    * (the retroactive part: log-ratios move as the corpus grows); the
+    * per-(doc, bucket) count index `dc` is append-only at-rest state a
+    * production ingest writes row-locally per batch (the gate reads the
+    * same staged files back — no per-doc state ever enters the state
+    * store, and the corpus text is tokenized once per arrival, never
+    * re-scanned). Final weights are the dc ⋈ lr join + t27's exact
+    * resampling rank, so the output is t27's verbatim.
+    *
+    * The bucket kernel (lowercase [a-z0-9]+ adjacent bigrams →
+    * md5-prefix mod 256) must stay byte-equal to Dedup.adjacentPairs +
+    * t27's bucket column — the shared oracle and DsirStreamSpec's
+    * streaming==batch equality both pin it.
+    */
+  private[graft] def streamDsir(s: SparkSession, src: String,
+      filesPerTrigger: Option[Int] = None,
+      rocksDb: Boolean = false): DataFrame = {
+    import s.implicits._
+    val B = 256
+    def bucket(pair: org.apache.spark.sql.Column) =
+      (conv(substring(md5(pair), 1, 8), 16, 10).cast("long") % B).as("b")
+
+    val reader0 = s.readStream.schema(dsirStageSchema)
+    val reader = filesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    val pairRows = reader.parquet(src)
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+        it.flatMap { case (_, text, lang) =>
+          val m = wordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+          val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (m.find()) toks += m.group()
+          val isT = if (lang == "en") 1L else 0L
+          (0 until math.max(0, toks.length - 1)).iterator
+            .map(i => (toks(i) + " " + toks(i + 1), isT))
+        }
+      }
+      .toDF("pair", "is_t")
+    // the 256-key histogram state: ONE aggregation carries both the raw
+    // and the target counts (c_t sums the en-flag)
+    val hist = pairRows.select(bucket(col("pair")), col("is_t"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("c_r"), sum("is_t").as("c_t"))
+    val histFinal = runToTable(s, hist, "complete", rocksDbState = rocksDb)
+
+    // log-ratio table from the STREAMED histograms — t27's exact
+    // integer-micro-nat arithmetic (1-row totals × 256-row features:
+    // broadcast scalar joins, never data-sized)
+    val totals = histFinal.agg(coalesce(sum("c_r"), lit(0L)).as("rr"))
+      .crossJoin(histFinal.agg(coalesce(sum("c_t"), lit(0L)).as("tt")))
+    val lr = s.range(B).toDF("b")
+      .join(histFinal, Seq("b"), "left")
+      .na.fill(0L, Seq("c_r", "c_t"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((log(col("c_t") + 1) - log(col("tt") + B)
+             - log(col("c_r") + 1) + log(col("rr") + B)) * 1e6)
+          .cast("long").as("lr_micro"))
+
+    // the at-rest per-(doc, bucket) count index — appended row-locally
+    // per ingest batch in production; the gate reads the staged files
+    val dc = graft.operators.Dedup.adjacentPairs(s.read.parquet(src))
+      .select(col("doc_id"), bucket(col("pair")))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    val w = dc.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_bigrams"),
+           sum(col("cnt") * col("lr_micro")).cast("long").as("w_micro"))
+
+    // t27's exact resampling rank (the gate's measurement device; the
+    // production selection is t27's benched histogram threshold)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val byW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("w_micro").desc, col("doc_id"))
+    w.withColumn("rk", row_number().over(byW).cast("long"))
+      .withColumn("n_t", count(lit(1)).over(all))
+      .withColumn("keep", expr("cast(rk <= (n_t + 3) div 4 as long)"))
+      .drop("n_t")
+      .orderBy("doc_id")
+      // EAGER: the dc arm reads the staged files, which withStaged
+      // deletes as soon as this frame is returned — materialize while
+      // they exist (one row per doc; the n29/n30 assembly frames are
+      // checkpointed for the same reason)
+      .localCheckpoint(true)
+  }
 
   /** n29's plan, factored so the spec can drive its own staging/batch
     * splits: `hist` (the at-rest, already-deduped history) builds the

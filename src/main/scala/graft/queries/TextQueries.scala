@@ -1902,39 +1902,7 @@ object TextQueries {
           .drop("n_t")
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents),
-             |dp AS (
-             |  SELECT doc_id, lang,
-             |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
-             |  FROM toks),
-             |db AS (
-             |  SELECT doc_id, lang,
-             |    CAST(concat('0x', substring(md5(pair), 1, 8)) AS BIGINT) % 256 AS b
-             |  FROM dp),
-             |raw AS (SELECT b, count(*) AS c_r FROM db GROUP BY 1),
-             |tgt AS (SELECT b, count(*) AS c_t FROM db WHERE lang = 'en' GROUP BY 1),
-             |tot AS (SELECT coalesce((SELECT sum(c_r) FROM raw), 0) AS rr,
-             |               coalesce((SELECT sum(c_t) FROM tgt), 0) AS tt),
-             |lr AS (
-             |  SELECT g.range AS b,
-             |    CAST(floor((ln(coalesce(c_t, 0) + 1) - ln(tt + 256)
-             |              - ln(coalesce(c_r, 0) + 1) + ln(rr + 256)) * 1e6) AS BIGINT) AS lr_micro
-             |  FROM range(256) g
-             |  LEFT JOIN raw ON raw.b = g.range
-             |  LEFT JOIN tgt ON tgt.b = g.range
-             |  CROSS JOIN tot),
-             |dc AS (SELECT doc_id, b, count(*) AS cnt FROM db GROUP BY 1, 2),
-             |w AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
-             |             sum(cnt * lr_micro)::BIGINT AS w_micro
-             |      FROM dc JOIN lr USING (b) GROUP BY 1),
-             |r AS (SELECT *,
-             |        (row_number() OVER (ORDER BY w_micro DESC, doc_id))::BIGINT AS rk,
-             |        count(*) OVER () AS n
-             |      FROM w)
-             |SELECT doc_id, n_bigrams, w_micro, rk,
-             |  CAST(rk <= (n + 3) // 4 AS BIGINT) AS keep
-             |FROM r ORDER BY doc_id""".stripMargin),
+      Some(dsirOracleSql),
       // production arm (BENCHED, e06/t24 convention): the global
       // resampling rank — the gate's one single-partition stage —
       // replaced by a mergeable histogram quantile: bucket w_micro at
@@ -2260,6 +2228,47 @@ object TextQueries {
         sum("sur_micro").cast("long").as("sur_sum"))
       .withColumn("avg_micro", expr("sur_sum div n_pairs"))
   }
+
+  /** t27's oracle — the whole DSIR pass (hashed-bigram buckets, add-1
+    * smoothed integer-micro-nat log-ratios, per-doc weights, resampling
+    * rank) recomputed live by DuckDB. Shared VERBATIM by n31, the
+    * streaming leg: batch, streaming, and the independent replay must
+    * all three agree on every document's weight and keep decision.
+    */
+  private[queries] lazy val dsirOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents),
+      |dp AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
+      |  FROM toks),
+      |db AS (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substring(md5(pair), 1, 8)) AS BIGINT) % 256 AS b
+      |  FROM dp),
+      |raw AS (SELECT b, count(*) AS c_r FROM db GROUP BY 1),
+      |tgt AS (SELECT b, count(*) AS c_t FROM db WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT coalesce((SELECT sum(c_r) FROM raw), 0) AS rr,
+      |               coalesce((SELECT sum(c_t) FROM tgt), 0) AS tt),
+      |lr AS (
+      |  SELECT g.range AS b,
+      |    CAST(floor((ln(coalesce(c_t, 0) + 1) - ln(tt + 256)
+      |              - ln(coalesce(c_r, 0) + 1) + ln(rr + 256)) * 1e6) AS BIGINT) AS lr_micro
+      |  FROM range(256) g
+      |  LEFT JOIN raw ON raw.b = g.range
+      |  LEFT JOIN tgt ON tgt.b = g.range
+      |  CROSS JOIN tot),
+      |dc AS (SELECT doc_id, b, count(*) AS cnt FROM db GROUP BY 1, 2),
+      |w AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+      |             sum(cnt * lr_micro)::BIGINT AS w_micro
+      |      FROM dc JOIN lr USING (b) GROUP BY 1),
+      |r AS (SELECT *,
+      |        (row_number() OVER (ORDER BY w_micro DESC, doc_id))::BIGINT AS rk,
+      |        count(*) OVER () AS n
+      |      FROM w)
+      |SELECT doc_id, n_bigrams, w_micro, rk,
+      |  CAST(rk <= (n + 3) // 4 AS BIGINT) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
 
   /** t27's per-document DSIR weight table (doc_id, n_bigrams, w_micro) —
     * shared by the exact-rank gate arm and the histogram-threshold

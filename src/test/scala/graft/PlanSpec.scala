@@ -226,15 +226,16 @@ class PlanSpec extends SparkSpec {
     // clean below with NO exemption; the recallFloor helper is gone),
     // t24 (ONE-row HLL estimate × ONE-row exact count),
     // t26 (ONE-row broadcast of the global N/avgdl scalar),
-    // t27 (ONE-row rr/tt totals × the 256-row bucket feature table —
-    // the DSIR log-ratio constants, never data-sized),
+    // t27/n31 (ONE-row rr/tt totals × the 256-row bucket feature table —
+    // the DSIR log-ratio constants, never data-sized; n31 is t27's
+    // streaming leg and assembles the same lr table),
     // e17 (the bounded-contract anchor set — 50 rows broadcast against
     // the streaming corpus scan, the e01 query-side shape: the BNLJ is
     // exactly "each corpus row scored against every anchor", which is
     // the operator's defined work; nothing data × data)
     val exempt = Set("a06_containment_join", "n05_placement_pareto",
       "n08_forecast_trainset", "t21_hist_quantiles",
-      "t24_hll_distinct", "t26_bm25", "t27_dsir_weights",
+      "t24_hll_distinct", "t26_bm25", "t27_dsir_weights", "n31_stream_dsir",
       "e17_contrastive_pairs")
     SparkEntry.catalog.filterNot(q => exempt(q.name)).foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
