@@ -42,6 +42,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Sitting fingerprint (r14 verdict #1): the r14 driver artifact drifted
+    * +38% vs r13 with unchanged plans, and nothing IN the artifact could
+    * adjudicate sitting/JIT class vs engine regression. These beans give
+    * every future artifact the three discriminators the `passes` probe
+    * uses: JIT compilation time (the documented sitting mechanism — a
+    * cold JVM spends ~45 s/pass compiling, a warm one ~1 s), GC time
+    * (heap-pressure class), and OS load average (contended-host class).
+    * All are JVM-wide, which in local mode covers driver AND executors.
+    */
+  private val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Wall seconds of the fixed warmup noop job — a catalog-independent
+    * micro-benchmark of THIS sitting (JVM startup + first codegen + one
+    * tiny job). Cross-round, its ratio is a pure sitting probe. */
+  @volatile private var lastWarmupSec: Double = 0.0
+
   private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -65,8 +88,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb JVM/session warmup outside the measured section
+    // absorb JVM/session warmup outside the measured section; its wall is
+    // recorded as a sitting probe (see lastWarmupSec)
+    val w0 = System.nanoTime()
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    lastWarmupSec = (System.nanoTime() - w0) / 1e9
     spark
   }
 
@@ -107,19 +133,26 @@ object Bench {
     * otherwise accumulate their own dead checkpoint blocks and
     * state-store providers, inflating later passes.
     */
+  /** One pass's wall plus its sitting diagnostics (JIT + GC deltas). */
+  private case class Pass(wall: Double, jitSec: Double, gcSec: Double)
+
   private def measure(spark: SparkSession, q: Q, sfDir: String,
-                      steadyPasses: Int): (Double, Double, Seq[Double]) = {
-    def once(): Double = {
+                      steadyPasses: Int): (Pass, Double, Seq[Pass]) = {
+    def once(): Pass = {
+      val jit0 = jitBean.getTotalCompilationTime
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try q.benchFn.getOrElse(q.fn)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      Pass((System.nanoTime() - t0) / 1e9,
+        (jitBean.getTotalCompilationTime - jit0) / 1e3,
+        (gcMillis() - gc0) / 1e3)
     }
     resetSession(spark)
     val cold = once()
-    val steady = Seq.fill(steadyPasses) { resetSession(spark); once() }.sorted
-    (cold, steady(steady.length / 2), steady)
+    val steady = Seq.fill(steadyPasses) { resetSession(spark); once() }.sortBy(_.wall)
+    (cold, steady(steady.length / 2).wall, steady)
   }
 
   def main(args: Array[String]): Unit = {
@@ -129,7 +162,9 @@ object Bench {
     // re-measurement (0 disables, for quick local sweeps)
     val isolateSlowest = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_SLOWEST", "10").toInt
 
+    val loadStart = loadAvg()
     val spark = buildSession()
+    val warmupSweepSec = lastWarmupSec
     val keep = SparkEntry.onlyFilter
     val benched = SparkEntry.catalog.filter(_.bench).filter(q => keep(q.name))
     val sweep = benched.map { q =>
@@ -142,13 +177,16 @@ object Bench {
     // one fresh SparkContext per query, so the recorded number carries
     // zero sediment from the other 100+ catalog entries
     val slowNames = sweep.sortBy(-_._3).take(isolateSlowest).map(_._1)
+    val isoWarmups = scala.collection.mutable.ArrayBuffer.empty[Double]
     val isolated = benched.filter(q => slowNames.contains(q.name)).map { q =>
       val s = buildSession()
+      isoWarmups += lastWarmupSec
       try {
         val (cold, median, steady) = measure(s, q, sfDir, steadyPasses)
         (q.name, cold, median, steady)
       } finally s.stop()
     }
+    val loadEnd = loadAvg()
     val isoByName = isolated.map(r => r._1 -> r).toMap
     val results = sweep.map { r =>
       isoByName.getOrElse(r._1, r)
@@ -160,13 +198,36 @@ object Bench {
 
     val total = results.map(_._3).sum
     val sweepTotal = sweep.map(_._3).sum
-    val coldTotal = results.map(_._2).sum
+    val coldTotal = results.map(_._2.wall).sum
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
 
+    // sitting fingerprint: aggregate JIT/GC over every measured pass,
+    // warmup-noop walls, load average — the discriminators that let a
+    // cross-round delta be classified (sitting/JIT vs engine) from the
+    // artifacts alone (r14 verdict #1)
+    val allPasses = (sweep ++ isolated).flatMap(r => r._2 +: r._4)
+    val jitTotal = allPasses.map(_.jitSec).sum
+    val gcTotal = allPasses.map(_.gcSec).sum
+    val coldJit = results.map(_._2.jitSec).sum
+    val isoWarm =
+      if (isoWarmups.isEmpty) 0.0
+      else isoWarmups.sorted.apply(isoWarmups.length / 2)
+    val sitting = s""""sitting":{"warmup_sweep_sec":${ms(warmupSweepSec)},"warmup_iso_median_sec":${ms(isoWarm)},"load_start":${ms(loadStart)},"load_end":${ms(loadEnd)},"jit_total_sec":${ms(jitTotal)},"jit_cold_sec":${ms(coldJit)},"gc_total_sec":${ms(gcTotal)}}"""
+
     // full detail: cold map, per-pass steady maps, median map, sweep map
-    val coldLine = s"""{"metric":"total_first_pass","value":${ms(coldTotal)},"unit":"sec","first_pass":${map(results.map(r => r._1 -> r._2))}}"""
+    val coldLine = s"""{"metric":"total_first_pass","value":${ms(coldTotal)},"unit":"sec","first_pass":${map(results.map(r => r._1 -> r._2.wall))}}"""
     val passLines = (0 until steadyPasses).map { i =>
-      s"""{"metric":"steady_pass_${i + 1}","unit":"sec","queries":${map(results.map(r => r._1 -> r._4(i)))}}"""
+      s"""{"metric":"steady_pass_${i + 1}","unit":"sec","queries":${map(results.map(r => r._1 -> r._4(i).wall))}}"""
+    }
+    // per-query pass diagnostics: [cold_jit, cold_gc, median-pass_jit,
+    // median-pass_gc] seconds — enough to tell "this query's drift is
+    // JIT-shaped" per query, not just per run
+    val diagLine = {
+      val kv = results.map { r =>
+        val medPass = r._4(r._4.length / 2)
+        "\"" + r._1 + s"""\":[${ms(r._2.jitSec)},${ms(r._2.gcSec)},${ms(medPass.jitSec)},${ms(medPass.gcSec)}]"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"pass_diag","unit":"sec","fields":["cold_jit","cold_gc","med_jit","med_gc"],"queries":$kv}"""
     }
     val sweepLine = s"""{"metric":"sweep_total","value":${ms(sweepTotal)},"unit":"sec","queries":${map(sweep.map(r => r._1 -> r._3))},"note":"full-catalog single-session stress sweep, pre-isolation"}"""
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(results.map(r => r._1 -> r._3))},"sf":"$sfDir"}"""
@@ -175,10 +236,11 @@ object Bench {
     // "queries" holds the slowest 10 (median steady) so the schema the
     // driver expects ({"metric","value","unit","queries","sf"}) holds.
     val slowest = results.sortBy(-_._3).take(10).map(r => r._1 -> r._3)
-    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(slowest)},"sf":"$sfDir","n_queries":${results.size},"steady_passes":$steadyPasses,"cold_total":${ms(coldTotal)},"sweep_total":${ms(sweepTotal)},"isolated":${isolated.size},"note":"median-of-$steadyPasses steady; slowest-$isolateSlowest re-measured in dedicated sessions; full maps in $outPath"}"""
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(slowest)},"sf":"$sfDir","n_queries":${results.size},"steady_passes":$steadyPasses,"cold_total":${ms(coldTotal)},"sweep_total":${ms(sweepTotal)},"isolated":${isolated.size},$sitting,"note":"median-of-$steadyPasses steady; slowest-$isolateSlowest re-measured in dedicated sessions; full maps in $outPath"}"""
 
     println(coldLine)
     passLines.foreach(println)
+    println(diagLine)
     println(sweepLine)
     println(fullLine)
     println(summary)
@@ -189,7 +251,7 @@ object Bench {
       val out = java.nio.file.Paths.get(outPath)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out,
-        ((Seq(coldLine) ++ passLines ++ Seq(sweepLine, fullLine, summary)).mkString("\n") + "\n").getBytes("UTF-8"))
+        ((Seq(coldLine) ++ passLines ++ Seq(diagLine, sweepLine, fullLine, summary)).mkString("\n") + "\n").getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"[bench] write failed: $e") }
   }
 }

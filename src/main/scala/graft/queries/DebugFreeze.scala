@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** Scratch: print the deterministic trained constants as
   * full-precision DuckDB literals for the frozen-constant live oracles
-  * (e05/n07 spark.ml centroids, n05 ledger, n09/n10 MLP weights). Not
-  * in the catalog. The PQBOOKS/SEM sections remain as cross-check aids
-  * only — since r14 the e08/e10 oracles replay those Lloyd fits LIVE
-  * in SQL and freeze nothing.
+  * (n05 ledger, n09/n10 MLP weights — the only frozen gates left; the
+  * e05/n07 kmeans oracles replay their Lloyd fits LIVE since r15, like
+  * e08/e10 since r14). Not in the catalog. The PQBOOKS/SEM sections
+  * remain as cross-check aids only.
   */
 object DebugFreeze {
   private def lit1(a: Array[Double]): String =
@@ -29,16 +29,9 @@ object DebugFreeze {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
 
     println("=== PQBOOKS (8 x 16 x 8) ===")
     println(lit3(Similarity.pqCodebooks(emb)))
-
-    println("=== KM10 (10 x 64, spark.ml seed 42 maxIter 10) ===")
-    val feats = emb.select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(10).setSeed(42).setMaxIter(10).fit(feats)
-    println(lit2(model.clusterCenters.map(_.toArray)))
 
     println("=== SEM (autoNlist x 64, semDedup iters 10) ===")
     val train = emb.select(col("vec_id").cast("long"),
@@ -48,11 +41,6 @@ object DebugFreeze {
     val k = Similarity.autoNlist(emb.count())
     println(s"k=$k")
     println(lit2(Similarity.lloydCenters(train, k, iters = 10)))
-    println("=== KM3 (3 x 3, n07 spark.ml seed 42 maxIter 20) ===")
-    val sc3 = OfflineQueries.chunkScores(spark, d)
-      .select(array_to_vector(array(col("s0"), col("s1"), col("s2"))).as("features"))
-    val m3 = new KMeans().setK(3).setSeed(42).setMaxIter(20).fit(sc3)
-    println(lit2(m3.clusterCenters.map(_.toArray)))
     // n09/n10 forecast MLP weights (8→24→12→3: 555 doubles, layer-major;
     // each affine layer = W column-major [numOut×numIn] then bias —
     // spark.ml FeedForwardModel's breeze unroll order). Deterministic

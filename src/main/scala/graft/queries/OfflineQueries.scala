@@ -323,9 +323,118 @@ object OfflineQueries {
       ),
 
     // M10: KMeans content categorization over per-chunk quality vectors
-    // (the reference's categories_3.npy — knob_plan.py:279-281).
+    // (the reference's categories_3.npy — knob_plan.py:279-281). Since
+    // r15 the GATED fit is the engine's own deterministic Lloyd
+    // (xxhash64-sampled order, first-k-distinct init, 20 iterations,
+    // k=3 — buildIvfIndex's trainer on the 3-dim score vectors), so the
+    // oracle replays the ENTIRE fit live and no trained constants
+    // remain (the e08/e10/e05 conversion; spark.ml parity on a
+    // separated fixture is a spec). benchFn keeps timing the spark.ml
+    // fit — the published number tracks the ML-lib integration path
+    // (stated policy, BENCH.md) and cross-round continuity holds.
     Q("n07_categories",
       (s, d) => {
+        import s.implicits._
+        val scores = chunkScores(s, d)
+        val train = scores
+          .orderBy(xxhash64(col("stream_id") * 4294967296L + col("chunk_id")),
+            col("stream_id"), col("chunk_id"))
+          .limit(10000)
+          .select(col("s0"), col("s1"), col("s2"))
+          .as[(Double, Double, Double)].collect()
+          .map(t => Array(t._1, t._2, t._3))
+        val c = graft.operators.Similarity.lloydCenters(train, 3, iters = 20)
+        def dl(k: Int) =
+          (col("s0") - c(k)(0)) * (col("s0") - c(k)(0)) +
+            (col("s1") - c(k)(1)) * (col("s1") - c(k)(1)) +
+            (col("s2") - c(k)(2)) * (col("s2") - c(k)(2))
+        val cat = when(dl(0) <= dl(1) && dl(0) <= dl(2), lit(0))
+          .when(dl(1) <= dl(2), lit(1)).otherwise(lit(2))
+        val sizes = scores.select(cat.as("category"))
+          .groupBy("category").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // half-up at 3 dp (floor(x·1000 + 0.5)/1000) — the same closed
+        // form the oracle computes, so both engines round identically
+        def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
+        s.createDataFrame((0 until 3).map { i =>
+          (i, r3(c(i)(0)), r3(c(i)(1)), r3(c(i)(2)), sizes.getOrElse(i, 0L))
+        }).toDF("category", "center_s0", "center_s1", "center_s2", "n_chunks")
+          .orderBy("category")
+      },
+      // FULL-REPLAY live oracle since r15 (was: frozen spark.ml
+      // centroids + live assignment): DuckDB re-derives the xxhash64
+      // sample order over (stream_id, chunk_id), re-fits the
+      // 20-iteration k=3 Lloyd as a recursive CTE, re-assigns every
+      // chunk, and centers + sizes must hash-match — SF-independent.
+      Some(s"""WITH RECURSIVE
+              |chunks AS ($chunkScoresSql),
+              |keys AS (SELECT (stream_id * 4294967296 + chunk_id)::HUGEINT AS v FROM chunks),
+              |${TextQueries.xxh64LongDuck},
+              |sgn AS (SELECT v, CASE WHEN hu >= 9223372036854775808::HUGEINT
+              |                       THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs FROM hsh),
+              |corp AS (SELECT c.stream_id, c.chunk_id, [c.s0, c.s1, c.s2] AS ev,
+              |           row_number() OVER (ORDER BY g.hs, c.stream_id, c.chunk_id) AS pos
+              |         FROM chunks c JOIN sgn g
+              |           ON g.v = (c.stream_id * 4294967296 + c.chunk_id)::HUGEINT),
+              |smp AS (SELECT pos, ev FROM corp WHERE pos <= 10000),
+              |init AS (SELECT pos, ev FROM smp s
+              |         WHERE NOT EXISTS (SELECT 1 FROM smp s2 WHERE s2.pos < s.pos AND s2.ev = s.ev)
+              |         ORDER BY pos LIMIT 3),
+              |ll(step, cents) AS (
+              |  SELECT 0, (SELECT list(ev ORDER BY pos) FROM init)
+              |  UNION ALL
+              |  SELECT g2.step + 1,
+              |    list_transform(range(len(g2.cents)), c ->
+              |      CASE WHEN list_contains(g2.bests, c) THEN g2.means[list_position(g2.bests, c)]
+              |           ELSE g2.cents[c + 1] END)
+              |  FROM (
+              |    SELECT g.step, first(g.cents) AS cents,
+              |           list(g.best ORDER BY g.best) AS bests,
+              |           list(g.m ORDER BY g.best) AS means
+              |    FROM (
+              |      SELECT gi.step, gi.cents, gi.best,
+              |        list_transform(range(3), i ->
+              |          list_sum(list_transform(gi.pts, p -> p[i + 1])) / gi.cnt) AS m
+              |      FROM (
+              |        SELECT x2.step, first(x2.cents) AS cents, x2.best, count(*) AS cnt,
+              |          list(x2.ev ORDER BY x2.pos) AS pts
+              |        FROM (
+              |          SELECT x1.*, CAST(list_position(x1.dl, list_min(x1.dl)) - 1 AS BIGINT) AS best
+              |          FROM (
+              |            SELECT l.step, l.cents, s.pos, s.ev,
+              |              list_transform(range(len(l.cents)), c ->
+              |                list_sum(list_transform(range(3), i ->
+              |                  (s.ev[i + 1] - l.cents[c + 1][i + 1])
+              |                  * (s.ev[i + 1] - l.cents[c + 1][i + 1])))) AS dl
+              |            FROM ll l, smp s
+              |            WHERE l.step < 20
+              |          ) x1
+              |        ) x2
+              |        GROUP BY x2.step, x2.best
+              |      ) gi
+              |    ) g
+              |    GROUP BY g.step
+              |  ) g2),
+              |cfin AS (SELECT cents FROM ll WHERE step = 20),
+              |asg AS (
+              |  SELECT CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS category
+              |  FROM (
+              |    SELECT list_transform(range(len(f.cents)), cc ->
+              |        list_sum(list_transform(range(3), i ->
+              |          (ev[i + 1] - f.cents[cc + 1][i + 1])
+              |          * (ev[i + 1] - f.cents[cc + 1][i + 1])))) AS dl
+              |    FROM corp CROSS JOIN cfin f
+              |  )),
+              |cnt AS (SELECT category, count(*)::BIGINT AS n FROM asg GROUP BY 1)
+              |SELECT r.k::INT AS category,
+              |  floor(f.cents[CAST(r.k + 1 AS INT)][1] * 1000 + 0.5) / 1000 AS center_s0,
+              |  floor(f.cents[CAST(r.k + 1 AS INT)][2] * 1000 + 0.5) / 1000 AS center_s1,
+              |  floor(f.cents[CAST(r.k + 1 AS INT)][3] * 1000 + 0.5) / 1000 AS center_s2,
+              |  coalesce(c.n, 0)::BIGINT AS n_chunks
+              |FROM range(0, 3) AS r(k) CROSS JOIN cfin f
+              |LEFT JOIN cnt c ON c.category = r.k
+              |ORDER BY 1""".stripMargin),
+      benchFn = Some((s, d) => {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         val scores = chunkScores(s, d)
@@ -341,30 +450,7 @@ object OfflineQueries {
           (i, c0, c1, c2, sizes.getOrElse(i, 0L))
         }).toDF("category", "center_s0", "center_s1", "center_s2", "n_chunks")
           .orderBy("category")
-      },
-      // LIVE oracle since round 9 (was a literal snapshot): only the 3
-      // trained centroids are frozen (FrozenModels.kmeans3Sql, seeded
-      // spark.ml fit); the nearest-centroid assignment of all ~10k chunk
-      // score vectors — the n_chunks sizes — is recomputed live by
-      // DuckDB from the raw parquet via the same chunk-scores SQL.
-      Some(s"""WITH chunks AS ($chunkScoresSql),
-              |km AS (SELECT ${FrozenModels.kmeans3Sql}::DOUBLE[][] AS c),
-              |a AS (
-              |  SELECT list_position(dl, list_min(dl)) - 1 AS cluster
-              |  FROM (
-              |    SELECT list_transform(range(3), k ->
-              |        (s0 - c[k+1][1])*(s0 - c[k+1][1]) + (s1 - c[k+1][2])*(s1 - c[k+1][2])
-              |        + (s2 - c[k+1][3])*(s2 - c[k+1][3])) AS dl
-              |    FROM chunks CROSS JOIN km
-              |  )
-              |)
-              |SELECT a.cluster::INT AS category,
-              |  round(km.c[a.cluster+1][1], 3) AS center_s0,
-              |  round(km.c[a.cluster+1][2], 3) AS center_s1,
-              |  round(km.c[a.cluster+1][3], 3) AS center_s2,
-              |  count(*)::BIGINT AS n_chunks
-              |FROM a CROSS JOIN km GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin),
-      ),
+      })),
 
     // M12: forecast training-set builder — input = trailing 8-chunk score
     // history, label = category histogram over the next 4 chunks, both via

@@ -107,6 +107,17 @@ object SimilarityQueries {
     * corpus in Spark's deterministic sample order — the root CTE block
     * every full-replay oracle builds on (also standalone: e08's raw
     * sample).
+    *
+    * Replay bounds (the oracle fails LOUDLY outside them, never wrongly
+    * passes): (a) the init CTE replays Similarity.lloyd's init as "first
+    * k DISTINCT sample points" only — lloyd additionally stride-fills
+    * duplicate seeds when the 10k-sample has fewer than k distinct
+    * points, a duplicate-density regime the embeddings tables never
+    * enter (distinct sample >> k at every SF); (b) the replay assumes
+    * enforceMaxCell never splits a cell, true below ~defaultMaxCell²
+    * (≈16.7M) vectors per cell. A corpus violating either bound shows
+    * up as a hash mismatch, at which point the init CTE needs the
+    * stride-fill arm / a split-aware assignment replay.
     */
   private lazy val corpReplayCtes: String =
     s"""keys AS (SELECT vec_id::HUGEINT AS v FROM embeddings),
@@ -121,14 +132,18 @@ object SimilarityQueries {
   /** The 10-iteration coarse Lloyd fit → cfin(cents) — the shared
     * trainer replay behind buildIvfIndex AND semDedup (both fit the
     * identical xxhash64-sampled 10-iteration Lloyd). `trainWhere`
-    * restricts the training relation (e12's md5 split).
+    * restricts the training relation (e12's md5 split); `kSql` (over
+    * `n` = training-relation row count) overrides the autoNlist law
+    * (e05 fixes k=10).
     */
-  private def lloydReplayCtes(trainWhere: String = "TRUE"): String =
+  private def lloydReplayCtes(trainWhere: String = "TRUE",
+      kSql: String =
+        "greatest(4, least(4096, CAST(floor(sqrt(n::DOUBLE) + 0.5) AS INT)))")
+      : String =
     s"""trn AS (SELECT ev, row_number() OVER (ORDER BY pos) AS tpos
        |        FROM corp WHERE $trainWhere),
-       |par AS (SELECT greatest(4, least(4096,
-       |          CAST(floor(sqrt(count(*)::DOUBLE) + 0.5) AS INT))) AS k
-       |        FROM trn),
+       |par AS (SELECT $kSql AS k
+       |        FROM (SELECT count(*) AS n FROM trn)),
        |smp AS (SELECT tpos AS pos, ev FROM trn WHERE tpos <= 10000),
        |init AS (SELECT pos, ev FROM smp s
        |         WHERE NOT EXISTS (SELECT 1 FROM smp s2 WHERE s2.pos < s.pos AND s2.ev = s.ev)
@@ -670,10 +685,50 @@ object SimilarityQueries {
               |SELECT vec_id, j, sum(qv[i + 1] * sgn)::BIGINT AS val
               |FROM q, s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
-    // KMeans clustering of the embedding space (spark.ml; content
-    // categorization M10 reborn over embeddings) — rows-only.
+    // KMeans clustering of the embedding space (content categorization
+    // M10 reborn over embeddings) — cluster sizes at k=10. Since r15 the
+    // GATED fit is the engine's own deterministic Lloyd (xxhash64-
+    // sampled, first-k-distinct init, 10 iterations — buildIvfIndex's
+    // trainer at a fixed k), so the oracle is a FULL REPLAY with zero
+    // frozen constants (the e08/e10 conversion applied to the last
+    // kmeans gate; spark.ml KMeans parity on a separated fixture is
+    // pinned by spec instead — OperatorSpecs "spark.ml kmeans parity").
+    // benchFn keeps timing the spark.ml fit: the published number
+    // tracks the ML-lib integration path's cost (stated policy since
+    // r13, BENCH.md), and cross-round bench continuity holds.
     Q("e05_kmeans",
       (s, d) => {
+        val idx = Similarity.buildIvfIndex(Tables.embeddings(s, d), nlist = 10)
+        val out = idx.assigned
+          .groupBy(col("cell").cast("long").as("cluster"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("cluster")
+          .localCheckpoint(true)
+        idx.assigned.unpersist()
+        out
+      },
+      // FULL-REPLAY live oracle since r15 (was: frozen spark.ml
+      // centroids + live assignment): DuckDB re-derives the xxhash64
+      // sample order, re-fits the 10-iteration k=10 Lloyd in a
+      // recursive CTE, re-assigns every vector, and the cluster sizes
+      // must hash-match — SF-independent, no trained constants.
+      Some(s"""WITH RECURSIVE
+              |$corpReplayCtes,
+              |${lloydReplayCtes(kSql = "10")},
+              |a AS (
+              |  SELECT c.vec_id,
+              |    CAST(list_position(dl, list_min(dl)) - 1 AS BIGINT) AS cluster
+              |  FROM (
+              |    SELECT corp.vec_id,
+              |      list_transform(range(len(f.cents)), cc ->
+              |        list_sum(list_transform(range(64), i ->
+              |          (ev[i + 1] - f.cents[cc + 1][i + 1])
+              |          * (ev[i + 1] - f.cents[cc + 1][i + 1])))) AS dl
+              |    FROM corp CROSS JOIN cfin f
+              |  ) c)
+              |SELECT cluster, count(*)::BIGINT AS n
+              |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
+      benchFn = Some((s, d) => {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         val e = Tables.embeddings(s, d)
@@ -683,28 +738,7 @@ object SimilarityQueries {
           .groupBy(col("prediction").cast("long").as("cluster"))
           .agg(count(lit(1)).as("n"))
           .orderBy("cluster")
-      },
-      // LIVE oracle since round 9 (was a literal size snapshot): only the
-      // 10 trained centroids are frozen (FrozenModels.kmeans10Sql, seeded
-      // spark.ml fit); the nearest-centroid assignment of every vector —
-      // what makes these k-means cluster sizes — is recomputed live by
-      // DuckDB from the raw floats (naive strict-< argmin reproduces
-      // spark.ml's findClosest on this data, all 500 assignments).
-      Some(s"""WITH km AS (SELECT ${FrozenModels.kmeans10Sql}::DOUBLE[][] AS c),
-              |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-              |a AS (
-              |  SELECT vec_id, list_position(dl, list_min(dl)) - 1 AS cluster
-              |  FROM (
-              |    SELECT vec_id,
-              |      list_transform(range(10), k ->
-              |        list_sum(list_transform(range(64), i ->
-              |          (v[i + 1] - c[k + 1][i + 1]) * (v[i + 1] - c[k + 1][i + 1])))) AS dl
-              |    FROM v CROSS JOIN km
-              |  )
-              |)
-              |SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n
-              |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
-      ),
+      })),
 
     // Scalar int8 quantization audit (the 4× ANN memory cut): per-vector
     // codes + integer-quantized reconstruction error. Every arithmetic
@@ -1002,18 +1036,4 @@ object SimilarityQueries {
 
   )
 
-  /** ANN recall audit, gated as a corpus-level mean: one row
-    * (n_queries, recall_milli) where recall_milli = the mean top-5
-    * recall over EVERY query in the deterministic slice (missing queries
-    * count 0), in exact integer millis, clamped at `milliFloor`. The
-    * exact side is the same probe at nprobe=nlist — proven equal to
-    * brute force by e14 — and DuckDB independently enumerates the slice
-    * and requires recall_milli = milliFloor: any regression that drops
-    * mean recall below the floor (lost cells, broken assignment/ranking,
-    * empty results) flips the row. Per-query recall at nprobe=4 is
-    * legitimately dispersed (measured min 0 — a query whose true
-    * neighbors all sit outside its 4 probed cells), so the mean, not the
-    * min, is the gateable statistic; exactness of the machinery itself
-    * is e14's job, not this bound's.
-    */
 }

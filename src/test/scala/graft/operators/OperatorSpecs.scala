@@ -949,7 +949,12 @@ class SimilaritySpec extends SparkSpec {
     // machinery; floors sit ~0.13 under measured (the e04/e18 planted-
     // floor convention): headroom for machinery-preserving refactors,
     // while a broken fit, assignment, encode, ADC ranking or re-rank
-    // collapses recall far below every floor.
+    // collapses recall far below every floor. MEAN recall is the
+    // gateable statistic, never the per-query min: at nprobe=4 a
+    // query whose true neighbors all sit outside its probed cells
+    // legitimately scores 0 (measured on the corpus tables before the
+    // r14 oracle conversion) — exactness of the machinery itself is
+    // e14's full-probe equality, not a recall bound's job.
     import spark.implicits._
     val rnd = new scala.util.Random(17)
     val protos = Array.fill(32)(Array.fill(64)(rnd.nextGaussian() * 2))
@@ -1128,6 +1133,69 @@ class SimilaritySpec extends SparkSpec {
       Similarity.probeIvf(idx, queries, k = 4, nprobe = 2).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
     assert(rows(atRest) == rows(mem))
+  }
+
+  test("spark.ml kmeans parity: deterministic Lloyd finds the same partition on a separated fixture") {
+    // r15: the e05/n07 gates moved from frozen spark.ml centroids to
+    // the engine's own deterministic Lloyd with FULL-REPLAY oracles
+    // (the last kmeans frozen constants gone — r14 verdict next #3).
+    // This spec is where the spark.ml relationship now lives: on a
+    // separated fixture (4 prototypes, jitter 0.1 vs inter-cluster
+    // distance ~10s) a seeded spark.ml KMeans and lloydCenters must
+    // recover the IDENTICAL partition (k-means is unambiguous here —
+    // any correct k-means finds it), pinning that the hand-rolled fit
+    // is a faithful k-means and not some other clustering. Centroid
+    // coordinates then agree to float tolerance as a consequence
+    // (both are cluster means of the same partition).
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val rnd = new scala.util.Random(7)
+    val protos = Array.tabulate(4)(c =>
+      Array.tabulate(8)(d => ((c * 13 + d * 5) % 23).toDouble * 10.0))
+    val pts = (0 until 120).map(i =>
+      (i.toLong, protos(i % 4).map(x => x + rnd.nextGaussian() * 0.1)))
+    val df = pts.toDF("id", "v").localCheckpoint(true)
+
+    val feats = df.select(col("id"), array_to_vector(col("v")).as("features"))
+    val ml = new KMeans().setK(4).setSeed(42).setMaxIter(20).fit(feats)
+    val mlGroups = ml.transform(feats).select("id", "prediction").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._2)
+      .values.map(_.map(_._1).toSet).toSet
+
+    // train in id order: points 0-3 are one per cluster, so the
+    // first-k-distinct init covers every cluster. (Hash-order sampling
+    // — the e05/n07 protocol — can seed two points in one cluster and
+    // Lloyd then converges to a DIFFERENT local optimum than kmeans||;
+    // that is init sensitivity, a property of any k-means, not of the
+    // iteration. The parity pinned here is the iteration's: given a
+    // covering init, the hand-rolled fit recovers exactly the
+    // partition spark.ml does.)
+    val train = pts.map(_._2).toArray
+    val cs = Similarity.lloydCenters(train, 4, iters = 20)
+    def assign(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var dd = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - cs(c)(i); dd += t * t; i += 1 }
+        if (dd < bd) { bd = dd; best = c }
+        c += 1
+      }
+      best
+    }
+    val myGroups = pts.map { case (id, v) => (id, assign(v)) }.groupBy(_._2)
+      .values.map(_.map(_._1).toSet).toSet
+    assert(myGroups == mlGroups,
+      s"partition mismatch: lloyd ${myGroups.map(_.size)} vs spark.ml ${mlGroups.map(_.size)}")
+
+    // matched centroids agree to tolerance (means of the same groups)
+    val mlCenters = ml.clusterCenters.map(_.toArray)
+    cs.foreach { c =>
+      val nearest = mlCenters.map(m =>
+        m.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      assert(nearest < 1e-6, s"no spark.ml centroid within 1e-6 of ${c.take(3).mkString(",")}...")
+    }
   }
 }
 
