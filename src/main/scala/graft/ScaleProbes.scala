@@ -70,8 +70,11 @@ object ScaleProbes {
                 val cm = so.customMetrics
                 def cmGet(k: String): Long =
                   Option(cm.get(k)).map(_.longValue).getOrElse(0L)
-                so.memoryUsedBytes + cmGet("rocksdbTotalSstFilesBytes") +
-                  cmGet("rocksdbTotalMemoryUsageBytes")
+                // RocksDB providers report ~0 memoryUsedBytes; their
+                // footprint lives in the custom metrics (names from
+                // RocksDBStateStoreProvider: SST files + pinned blocks)
+                so.memoryUsedBytes + cmGet("rocksdbSstFileSize") +
+                  cmGet("rocksdbPinnedBlocksMemoryUsage")
               }.sum
               stateRows.merge(p.runId, rows, (a, b) => math.max(a, b))
               stateMem.merge(p.runId, mem, (a, b) => math.max(a, b))

@@ -50,15 +50,59 @@ object Dedup {
       minJaccard: Double = 0.05,
       maxBucket: Int = 64): DataFrame = {
 
-    val numBands = numHashes / rowsPerBand
-    // shingle arrays + signatures computed ONCE in a typed kernel (tight
-    // JVM md5 loop — the equivalent column expression is interpreted and
-    // dominates the query; semantics identical: min over shingles of
-    // lowercase-hex md5("seed#shingle"), asserted in DedupSpec) and kept
-    // for reuse by the band join (tiny projection) and the verify join
+    // shingle arrays + signatures computed ONCE in a typed kernel and
+    // kept for reuse by the band join (tiny projection) and the verify
+    // join.
+    // localCheckpoint, not persist: same materialize-once (MEMORY_AND_DISK)
+    // semantics for the double use below, but the blocks are freed by the
+    // context cleaner when the result frame is dropped — a persist() here
+    // registers in the CacheManager and accumulates for the session unless
+    // every caller remembers to unpersist
+    val withSh = minhashSignatures(docs, id, text, shingleN, numHashes)
+      .localCheckpoint(true)
+    val bands = bandTable(withSh, id, numHashes, rowsPerBand)
+
+    // hot-bucket cap (the d09 maxDf / lshKnn maxBucket guard, applied to
+    // the band self-join): one boilerplate string duplicated 100k× at
+    // corpus scale puts 100k rows on one (band, bsig) key → 10^10 pairs
+    // from a single key. Keys are kept only when 2 <= size <= maxBucket —
+    // singleton buckets cannot pair, and docs in an over-cap bucket are
+    // near-identical boilerplate already collapsed by exact dedup (their
+    // full 4-band signature collides at that multiplicity), so pruning
+    // bounds every join key's fan-out at maxBucket² without losing the
+    // near-dup pairs this operator exists to find (planted-boilerplate
+    // bound asserted in DedupSpec).
+    val okKeys = bands.groupBy("band", "bsig").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2 && col("bn") <= maxBucket)
+      .select("band", "bsig")
+    val pruned = bands.join(okKeys, Seq("band", "bsig"))
+    val a = pruned.alias("a"); val b = pruned.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
+      .distinct()
+
+    // verify join: candidates scale with duplicate density (small) — fetch
+    // each side's shingle set and compute exact Jaccard
+    jaccardVerify(cand,
+      withSh.select(col(id), col("sh")), id, minJaccard)
+  }
+
+  /** (id, sh, sig): distinct shingle array + `numHashes` minhash
+    * signature per doc, ONE typed-kernel scan (tight JVM md5 loop — the
+    * equivalent column expression is interpreted and dominates the
+    * query; semantics identical: min over shingles of lowercase-hex
+    * md5("seed#shingle"), asserted in DedupSpec). Shared by d02's batch
+    * pipeline and n32's streaming leg, which must produce byte-equal
+    * signatures for the shared oracle to hold.
+    */
+  private[graft] def minhashSignatures(docs: DataFrame,
+      id: String = "doc_id", text: String = "text",
+      shingleN: Int = 3, numHashes: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val withSh = docs
+    docs
       .select(col(id).cast("long"), col(text)).as[(Long, String)]
       .mapPartitions { it =>
         val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
@@ -104,20 +148,20 @@ object Dedup {
         }
       }
       .toDF(id, "sh", "sig")
-      // localCheckpoint, not persist: same materialize-once (MEMORY_AND_DISK)
-      // semantics for the double use below, but the blocks are freed by the
-      // context cleaner when the result frame is dropped — a persist() here
-      // registers in the CacheManager and accumulates for the session unless
-      // every caller remembers to unpersist
-      .localCheckpoint(true)
+  }
 
-    // band table carries only (id, band, bsig) — the self-join shuffles
-    // ~100 bytes/doc/band, never the shingle arrays. NOT statically
-    // partitioned on the band key: pre-prune, hot boilerplate buckets
-    // are unbounded, and a static layout removes the exchanges AQE
-    // would skew-split (the d12 lesson); the projection off the
-    // checkpointed withSh is trivial to recompute per consumer.
-    val bands = withSh.select(
+  /** (id, band, bsig) band table off a [[minhashSignatures]] frame —
+    * carries only ~100 bytes/doc/band into the self-join, never the
+    * shingle arrays. NOT statically partitioned on the band key:
+    * pre-prune, hot boilerplate buckets are unbounded, and a static
+    * layout removes the exchanges AQE would skew-split (the d12
+    * lesson); the projection off a checkpointed withSh is trivial to
+    * recompute per consumer.
+    */
+  private[graft] def bandTable(withSh: DataFrame, id: String = "doc_id",
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    withSh.select(
       col(id),
       explode(array((0 until numBands).map { b =>
         val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
@@ -125,38 +169,55 @@ object Dedup {
         struct(lit(b).as("band"), concat(least(cols: _*), greatest(cols: _*)).as("bsig"))
       }: _*)).as("bs"))
       .select(col(id), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+  }
 
-    // hot-bucket cap (the d09 maxDf / lshKnn maxBucket guard, applied to
-    // the band self-join): one boilerplate string duplicated 100k× at
-    // corpus scale puts 100k rows on one (band, bsig) key → 10^10 pairs
-    // from a single key. Keys are kept only when 2 <= size <= maxBucket —
-    // singleton buckets cannot pair, and docs in an over-cap bucket are
-    // near-identical boilerplate already collapsed by exact dedup (their
-    // full 4-band signature collides at that multiplicity), so pruning
-    // bounds every join key's fan-out at maxBucket² without losing the
-    // near-dup pairs this operator exists to find (planted-boilerplate
-    // bound asserted in DedupSpec).
-    val okKeys = bands.groupBy("band", "bsig").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") >= 2 && col("bn") <= maxBucket)
-      .select("band", "bsig")
-    val pruned = bands.join(okKeys, Seq("band", "bsig"))
-    val a = pruned.alias("a"); val b = pruned.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("doc_a"), col(s"b.$id").as("doc_b"))
-      .distinct()
-
-    // verify join: candidates scale with duplicate density (small) — fetch
-    // each side's shingle set and compute exact Jaccard
-    val sha = withSh.select(col(id).as("doc_a"), col("sh").as("sha"))
-    val shb = withSh.select(col(id).as("doc_b"), col("sh").as("shb"))
+  /** Exact-Jaccard verify of (doc_a, doc_b) candidate pairs against a
+    * (id, sh) shingle source; returns (doc_a, doc_b, jaccard) at
+    * `minJaccard`+. Shared tail of d02 and n32.
+    */
+  private[graft] def jaccardVerify(cand: DataFrame, shingles: DataFrame,
+      id: String = "doc_id", minJaccard: Double = 0.05): DataFrame = {
+    val sha = shingles.select(col(id).as("doc_a"), col("sh").as("sha"))
+    val shb = shingles.select(col(id).as("doc_b"), col("sh").as("shb"))
     cand.join(sha, "doc_a").join(shb, "doc_b")
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (size(col("sha")) + size(col("shb")) - col("common")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Bounded min-k set of doc ids — n32's per-(band, bsig) streaming
+    * bucket state. The same mergeable-monoid shape as Sketches' KMV
+    * min-k aggregator: keep the k SMALLEST ids seen. With
+    * k = maxBucket + 1, the merged state reads as exact membership for
+    * any bucket that can still pair (≤ maxBucket members — nothing was
+    * ever evicted) and a saturated set (size == k > maxBucket) is the
+    * over-cap death signal, so per-key state stays O(maxBucket) no
+    * matter how hot a boilerplate bucket runs at 100 TB.
+    */
+  final class MinKIdsAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, java.util.TreeSet[java.lang.Long], Seq[Long]] {
+    private def ins(st: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+      if (st.size < k) { st.add(v); () }
+      else if (v < st.last && st.add(v)) { st.pollLast(); () }
+    override def zero: java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+    override def reduce(b: java.util.TreeSet[java.lang.Long], a: Long)
+        : java.util.TreeSet[java.lang.Long] = { ins(b, a); b }
+    override def merge(b1: java.util.TreeSet[java.lang.Long],
+                       b2: java.util.TreeSet[java.lang.Long])
+        : java.util.TreeSet[java.lang.Long] = { b2.forEach(v => ins(b1, v)); b1 }
+    override def finish(r: java.util.TreeSet[java.lang.Long]): Seq[Long] = {
+      val out = Seq.newBuilder[Long]
+      r.forEach(v => out += v)
+      out.result()
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[java.util.TreeSet[java.lang.Long]] =
+      org.apache.spark.sql.Encoders.kryo[java.util.TreeSet[java.lang.Long]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
   /** Distinct word-n-gram posting table (doc_id, gram) in a typed kernel —

@@ -809,7 +809,41 @@ object StreamingQueries {
         val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
         withStaged(s, docs, "n31") { src => streamDsir(s, src) }
       },
-      Some(TextQueries.dsirOracleSql))
+      Some(TextQueries.dsirOracleSql)),
+
+    // d02's STREAMING leg — MinHash-LSH near-dup detection in a
+    // continuously ingesting pipeline (r14 verdict #5, the last dedup
+    // stage without an incremental form; the same Lee'22/CCNet
+    // dedup-at-ingest story as n29/n30): history's (band, bsig) band
+    // index + per-key occupancy stats + shingle sets sit AT REST
+    // (bucketed session tables — the index the ingest pipeline
+    // maintains); tonight's documents ARRIVE as a stream, each
+    // micro-batch's signatures are computed ROW-LOCALLY (the d02
+    // kernel, byte-equal — the shared oracle pins it) and probe ONLY
+    // the per-key stats (stream-static LEFT join, corpus text never
+    // re-tokenized); per-(band, bsig) streaming state is a BOUNDED
+    // min-(maxBucket+1) id-set monoid + the probed history occupancy
+    // (update-mode RocksDB upserts — so a boilerplate bucket that runs
+    // hot at 100 TB holds O(maxBucket) state, never an unbounded doc
+    // list). Assembly applies d02's corpus-wide bucket cap over
+    // hist+fresh occupancy — retroactive like n30: a fresh arrival can
+    // both CREATE cross-boundary pairs (a history doc gains a near-dup)
+    // and KILL an entire bucket's pairs by tipping it over the cap —
+    // then verifies candidates with exact Jaccard against the at-rest
+    // shingle index (history side) and tonight's batch (fresh side).
+    // Oracle = d02's SQL VERBATIM over the unioned corpus.
+    Q("n32_stream_minhash",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val cut = docs.agg(coalesce((max(col("doc_id")) + 1) * 3 / 4, lit(0L))
+          .cast("long")).head.getLong(0)
+        val fresh = docs.filter(col("doc_id") >= cut)
+        withStaged(s, fresh, "n32") { src =>
+          streamMinhash(s, fresh, docs.filter(col("doc_id") < cut), src,
+            histKey = Some(d))
+        }
+      },
+      Some(TextQueries.minhashOracle))
   )
 
   private[graft] val segStageSchema = StructType(Seq(
@@ -821,14 +855,20 @@ object StreamingQueries {
 
   /** n31's plan, factored for the spec's staging/batch splits. The
     * streaming piece maintains DSIR's sufficient statistics — the
-    * raw/target bucket histograms — as a 256-key streaming aggregation
-    * (the retroactive part: log-ratios move as the corpus grows); the
-    * per-(doc, bucket) count index `dc` is append-only at-rest state a
-    * production ingest writes row-locally per batch (the gate reads the
-    * same staged files back — no per-doc state ever enters the state
-    * store, and the corpus text is tokenized once per arrival, never
-    * re-scanned). Final weights are the dc ⋈ lr join + t27's exact
-    * resampling rank, so the output is t27's verbatim.
+    * raw/target bucket histograms — plus the per-(doc, bucket) count
+    * index `dc`, and since r15 the gate runs the production
+    * ONCE-PER-BATCH shape (r14 verdict #4, the n29 precedent): each
+    * micro-batch is tokenized EXACTLY ONCE inside foreachBatch, and
+    * that single pair pass feeds BOTH sinks — the per-batch histogram
+    * partials (the 256-key additive monoid, appended row-locally and
+    * merged on read; the state-store form of the same merge is
+    * demonstrated on RocksDB in DsirStreamSpec) and the append-only
+    * at-rest dc index. The corpus text is never re-scanned: the old
+    * gate's second tokenize (the dc arm re-reading the staged files
+    * through Dedup.adjacentPairs) is gone — it was the sf10 gate's
+    * GC wall (132.5 s, SCALING.md r14). Final weights are the
+    * dc ⋈ lr join + t27's exact resampling rank, so the output is
+    * t27's verbatim.
     *
     * The bucket kernel (lowercase [a-z0-9]+ adjacent bigrams →
     * md5-prefix mod 256) must stay byte-equal to Dedup.adjacentPairs +
@@ -836,37 +876,63 @@ object StreamingQueries {
     * streaming==batch equality both pin it.
     */
   private[graft] def streamDsir(s: SparkSession, src: String,
-      filesPerTrigger: Option[Int] = None,
-      rocksDb: Boolean = false): DataFrame = {
+      filesPerTrigger: Option[Int] = None): DataFrame = {
     import s.implicits._
     val B = 256
     def bucket(pair: org.apache.spark.sql.Column) =
       (conv(substring(md5(pair), 1, 8), 16, 10).cast("long") % B).as("b")
 
+    // per-run scratch for the two per-batch sinks (the gate's stand-in
+    // for the deployment's histogram store + at-rest index table)
+    val base = graft.sources.TmpDirs.scratch(
+      s"/tmp/graft_dsir_gate/p${ProcessHandle.current().pid()}_${ctr.incrementAndGet()}")
+    val histDir = s"$base/hist"
+    val dcDir = s"$base/dc"
+
     val reader0 = s.readStream.schema(dsirStageSchema)
     val reader = filesPerTrigger.fold(reader0)(n =>
       reader0.option("maxFilesPerTrigger", n.toString))
-    val pairRows = reader.parquet(src)
+    val query = reader.parquet(src)
       .select(col("doc_id").cast("long"), col("text"), col("lang"))
-      .as[(Long, String, String)]
-      .mapPartitions { it =>
-        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
-        it.flatMap { case (_, text, lang) =>
-          val m = wordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
-          val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (m.find()) toks += m.group()
-          val isT = if (lang == "en") 1L else 0L
-          (0 until math.max(0, toks.length - 1)).iterator
-            .map(i => (toks(i) + " " + toks(i + 1), isT))
-        }
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // ONE tokenize per arrival; persist so the two consumers below
+        // share the pass instead of re-deriving bigrams
+        val pairs = batch.as[(Long, String, String)]
+          .mapPartitions { it =>
+            val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+            it.flatMap { case (docId, text, lang) =>
+              val m = wordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+              val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+              while (m.find()) toks += m.group()
+              val isT = if (lang == "en") 1L else 0L
+              (0 until math.max(0, toks.length - 1)).iterator
+                .map(i => (docId, toks(i) + " " + toks(i + 1), isT))
+            }
+          }
+          .toDF("doc_id", "pair", "is_t")
+          .select(col("doc_id"), bucket(col("pair")), col("is_t"))
+          .persist()
+        try {
+          // histogram PARTIALS: the 256-key monoid's per-batch delta
+          pairs.groupBy("b")
+            .agg(count(lit(1)).as("c_r"), sum("is_t").as("c_t"))
+            .write.mode("append").parquet(histDir)
+          // the at-rest per-(doc, bucket) index, appended per batch
+          pairs.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+            .write.mode("append").parquet(dcDir)
+        } finally pairs.unpersist()
+        ()
       }
-      .toDF("pair", "is_t")
-    // the 256-key histogram state: ONE aggregation carries both the raw
-    // and the target counts (c_t sums the en-flag)
-    val hist = pairRows.select(bucket(col("pair")), col("is_t"))
-      .groupBy("b")
-      .agg(count(lit(1)).as("c_r"), sum("is_t").as("c_t"))
-    val histFinal = runToTable(s, hist, "complete", rocksDbState = rocksDb)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    lastBatchesTl.set(query.recentProgress.count(_.numInputRows > 0))
+
+    // merge the per-batch partials — the same additive-monoid merge the
+    // state store applies in the RocksDB form (DsirStreamSpec)
+    val histFinal = s.read.parquet(histDir).groupBy("b")
+      .agg(sum("c_r").as("c_r"), sum("c_t").as("c_t"))
 
     // log-ratio table from the STREAMED histograms — t27's exact
     // integer-micro-nat arithmetic (1-row totals × 256-row features:
@@ -882,11 +948,11 @@ object StreamingQueries {
              - log(col("c_r") + 1) + log(col("rr") + B)) * 1e6)
           .cast("long").as("lr_micro"))
 
-    // the at-rest per-(doc, bucket) count index — appended row-locally
-    // per ingest batch in production; the gate reads the staged files
-    val dc = graft.operators.Dedup.adjacentPairs(s.read.parquet(src))
-      .select(col("doc_id"), bucket(col("pair")))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    // the at-rest per-(doc, bucket) count index written by the stream
+    // above — read back, never re-derived from text (each doc's rows
+    // land in exactly one batch; the w aggregate below sums per doc, so
+    // any hypothetical split is still merged correctly)
+    val dc = s.read.parquet(dcDir)
     val w = dc.join(broadcast(lr), "b")
       .groupBy("doc_id")
       .agg(sum("cnt").cast("long").as("n_bigrams"),
@@ -1057,7 +1123,17 @@ object StreamingQueries {
     val dupAll = dupHist.unionByName(dupFresh).distinct()
     // fresh occ recomputed batch-side for the hit set (the n29 totals
     // pattern — "tonight's batch" is the small side by contract); the
-    // history side reads the at-rest index, never the text
+    // history side reads the at-rest index, never the text.
+    // Union-then-one-semi-join, DELIBERATELY: the r15 A/B tried
+    // semi-joining each side separately (semi-join distributes over
+    // union, and the split would let the bucketed histOcc side meet
+    // dupAll exchange-free) — same-day sf10 passes showed shuffle
+    // bytes IDENTICAL (950 MB steady either way: the dominant writer
+    // is the per-batch probe/state aggregate, not this join) and the
+    // split arm's steady wall 3x WORSE (153 -> 477 s, exec_run
+    // 2418 -> 7397 s — two consumers of dupAll and two join sorts).
+    // Reverted per the d12 same-day-A/B rule; SCALING.md r15 has the
+    // numbers.
     val occAll = histOcc.select("doc_id", "pos", "h1", "h2")
       .unionByName(Dedup.spanOcc(fresh))
     val hits = occAll.join(dupAll, Seq("h1", "h2"), "left_semi")
@@ -1089,6 +1165,155 @@ object StreamingQueries {
       }
     }
     (s.table(occT), s.table(statsT))
+  }
+
+  /** n32's plan, factored so the spec can drive its own staging/batch
+    * splits. At-rest state (built once per session under `histKey`):
+    * `histBands` — history's (doc_id, band, bsig) LSH band index,
+    * bucketed by (band, bsig); `histStats` — per-key history occupancy
+    * (band, bsig, hbn); `histSh` — history's distinct-shingle sets for
+    * the verify join, bucketed by doc_id. Per micro-batch: row-local
+    * d02 signatures → stream-static LEFT join against `histStats` (the
+    * probe: how many history docs already sit in this bucket? — only
+    * the stats are touched, never the corpus) → per-(band, bsig)
+    * mergeable state {bounded min-(maxBucket+1) id set, max hbn} as
+    * update-mode RocksDB upserts. The min-k set is the same monoid
+    * shape as the KMV sketch (n21): exact membership while the bucket
+    * can still pair (≤ maxBucket members), a saturated set as the
+    * over-cap signal, O(maxBucket) state per key however hot the key.
+    *
+    * Assembly (batch-side over the sink + the at-rest index): d02's
+    * corpus-wide bucket cap re-derived from hist+fresh occupancy
+    * (full-outer of histStats and the merged state — keys 2 ≤ bn ≤
+    * maxBucket survive), members of surviving keys = histBands ⋉ keys
+    * ∪ the state's exact id sets, pairs = per-key self-join, verify =
+    * exact Jaccard against histSh ∪ tonight's batch re-shingled
+    * (the n29/n30 "tonight's batch is the small side" pattern). The
+    * retroactive property: fresh arrivals both CREATE cross-boundary
+    * pairs and KILL whole buckets by tipping them over the cap —
+    * spec-asserted (MinhashStreamSpec). At 100 TB the assembly would
+    * be restricted to keys whose state CHANGED this ingest window
+    * (keyed point lookups); the bounded-replay gate emits every pair
+    * because the oracle checks the whole corpus.
+    */
+  private[graft] def streamMinhash(s: SparkSession, fresh: DataFrame,
+      hist: DataFrame, src: String,
+      filesPerTrigger: Option[Int] = None,
+      histKey: Option[String] = None,
+      maxBucket: Int = 64): DataFrame = {
+    import graft.operators.Dedup
+    val (histBands, histStats, histSh) = histKey match {
+      case Some(k) => histMinhashTables(s, hist, k)
+      case None =>
+        val sh = Dedup.minhashSignatures(hist).localCheckpoint(true)
+        val bands = Dedup.bandTable(sh)
+          .repartition(col("band"), col("bsig"))
+          .transform(graft.ops.Checkpoints.partitioned)
+        val stats = bands.groupBy("band", "bsig")
+          .agg(count(lit(1)).as("hbn")).localCheckpoint(true)
+        (bands, stats, sh.select("doc_id", "sh"))
+    }
+    val reader0 = s.readStream.schema(segStageSchema)
+    val reader = filesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    val freshBands = Dedup.bandTable(Dedup.minhashSignatures(reader.parquet(src)))
+    val probed = freshBands.join(
+        histStats.select(col("band"), col("bsig"), col("hbn")),
+        Seq("band", "bsig"), "left")
+      .select(col("doc_id"), col("band"), col("bsig"),
+        coalesce(col("hbn"), lit(0L)).as("hbn"))
+    val minK = udaf(new Dedup.MinKIdsAgg(maxBucket + 1),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val upserts = runToTable(s,
+      probed.groupBy("band", "bsig")
+        .agg(minK(col("doc_id")).as("docs"), max("hbn").as("hbn")),
+      "update", rocksDbState = true)
+    // merge the upsert stream: the union of per-batch min-k sets is a
+    // superset of the final min-k members (every final member appears
+    // in the last upsert), so re-applying sort+slice lands on exactly
+    // the state-store's final value — batch-split invariant
+    val freshState = upserts
+      .select(col("band"), col("bsig"), explode(col("docs")).as("doc_id"),
+        col("hbn"))
+      .groupBy("band", "bsig")
+      .agg(slice(sort_array(collect_set(col("doc_id"))), 1, maxBucket + 1).as("docs"),
+        max("hbn").as("hbn"))
+      .localCheckpoint(true)
+
+    // d02's corpus-wide cap over the UNION occupancy: hist-only keys
+    // count from the at-rest stats, fresh-touched keys from the probed
+    // hbn + the exact (or saturated) fresh membership
+    val keyCounts = histStats.select(col("band"), col("bsig"), col("hbn").as("hn"))
+      .join(freshState.select(col("band"), col("bsig"),
+          size(col("docs")).cast("long").as("fn")),
+        Seq("band", "bsig"), "full_outer")
+      .select(col("band"), col("bsig"),
+        (coalesce(col("hn"), lit(0L)) + coalesce(col("fn"), lit(0L))).as("bn"))
+    val okKeys = keyCounts.filter(col("bn") >= 2 && col("bn") <= maxBucket)
+      .select("band", "bsig")
+    val histMem = histBands.join(okKeys, Seq("band", "bsig"), "left_semi")
+      .select("band", "bsig", "doc_id")
+    val freshMem = freshState.join(okKeys, Seq("band", "bsig"), "left_semi")
+      .select(col("band"), col("bsig"), explode(col("docs")).as("doc_id"))
+    val mem = histMem.unionByName(freshMem)
+    val a = mem.alias("a"); val b = mem.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify: history shingles from the at-rest index, tonight's batch
+    // re-shingled batch-side (small side by contract; the corpus text
+    // is never re-read). Restrict BOTH shingle sources to candidate
+    // ids FIRST (broadcast semi-join — the id set is dup-density-
+    // sized): un-restricted, the verify join ships every history
+    // doc's shingle array — measured corpus-linear 823 MB steady
+    // shuffle at sf10 vs the ~cand-sized tens of MB after; the at-rest
+    // index must be point-read by candidates, never bulk-shipped
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shingles = histSh.unionByName(
+        Dedup.minhashSignatures(fresh).select("doc_id", "sh"))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    Dedup.jaccardVerify(cand, shingles, "doc_id", minJaccard = 0.05)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** n32's at-rest history index as session-cached BUCKETED tables
+    * (band index + per-key occupancy + shingle sets), keyed by `key` —
+    * the [[histSegmentTables]]/[[histSpanTables]] contract: built once
+    * per session (the ingest pipeline maintains it, queries do not
+    * rebuild it); band tables bucketed by (band, bsig) so the
+    * occupancy aggregate and every key-keyed join read them
+    * exchange-free, shingles bucketed by doc_id for the verify join.
+    */
+  private def histMinhashTables(s: SparkSession, hist: DataFrame,
+      key: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.Dedup
+    val base = "graft_n32_hist_" + key.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val bandsT = base + "_bands"
+    val statsT = base + "_stats"
+    val shT = base + "_sh"
+    histTableLock.synchronized {
+      if (!s.catalog.tableExists(bandsT) || !s.catalog.tableExists(statsT) ||
+          !s.catalog.tableExists(shT)) {
+        dropStaleLocation(s, bandsT); dropStaleLocation(s, statsT)
+        dropStaleLocation(s, shT)
+        val sh = Dedup.minhashSignatures(hist).localCheckpoint(true)
+        sh.select("doc_id", "sh")
+          .repartition(32, col("doc_id"))
+          .write.mode("overwrite").bucketBy(32, "doc_id").saveAsTable(shT)
+        Dedup.bandTable(sh)
+          .repartition(32, col("band"), col("bsig"))
+          .write.mode("overwrite").bucketBy(32, "band", "bsig").saveAsTable(bandsT)
+        s.table(bandsT).groupBy("band", "bsig")
+          .agg(count(lit(1)).as("hbn"))
+          .write.mode("overwrite").bucketBy(32, "band", "bsig").saveAsTable(statsT)
+      }
+    }
+    (s.table(bandsT), s.table(statsT), s.table(shT))
   }
 
   /** n29's at-rest history index as session-cached BUCKETED tables

@@ -409,32 +409,7 @@ object TextQueries {
       (s, d) => Dedup.minhashNearDups(Tables.documents(s, d))
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b"),
-      Some("""WITH words AS (
-             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
-             |sh AS (
-             |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-             |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
-             |mh AS (
-             |  SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || '#' || shingle)) AS mh
-             |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
-             |sig AS (
-             |  SELECT doc_id, CAST(seed // 2 AS INT) AS band, min(mh) || max(mh) AS sig
-             |  FROM mh GROUP BY 1, 2),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-             |cm AS (
-             |  SELECT c.doc_a, c.doc_b, count(*) AS common
-             |  FROM cand c
-             |  JOIN sh sa ON sa.doc_id = c.doc_a
-             |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-             |  GROUP BY 1, 2),
-             |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
-             |SELECT doc_a, doc_b,
-             |  round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) AS jaccard
-             |FROM cm JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
-             |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.05
-             |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(minhashOracle)),
 
     // SimHash blocking. LIVE oracle since round 7 (was a frozen sf0.01
     // golden justified by "xxhash64 has no DuckDB twin" — it does now):
@@ -2117,6 +2092,41 @@ object TextQueries {
              |        AND dup5gram_micro < 300000 THEN 1 ELSE 0 END)::BIGINT AS keep
              |FROM sig ORDER BY doc_id""".stripMargin))
   )
+
+  /** d02's DuckDB oracle — shared VERBATIM with the streaming leg n32
+    * (the d18/n29 pattern): batch MinHash-LSH near-dup, the incremental
+    * streaming form, and the independent SQL replay must all three
+    * agree on every verified pair and its Jaccard.
+    */
+  // lazy: referenced by the queries map ABOVE this definition (and by
+  // StreamingQueries.n32) — eager init order would hand the map a null
+  private[graft] lazy val minhashOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+      |mh AS (
+      |  SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || '#' || shingle)) AS mh
+      |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) s GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id, CAST(seed // 2 AS INT) AS band, min(mh) || max(mh) AS sig
+      |  FROM mh GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |cm AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS common
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2),
+      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) AS jaccard
+      |FROM cm JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+      |WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.05
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** d17's DuckDB oracle — shared VERBATIM with the streaming leg n30
     * (the d18/n29 pattern): batch span scrub, the incremental streaming
