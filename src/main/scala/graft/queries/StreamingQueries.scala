@@ -896,9 +896,14 @@ object StreamingQueries {
       .select(col("doc_id").cast("long"), col("text"), col("lang"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        // ONE tokenize per arrival; persist so the two consumers below
-        // share the pass instead of re-deriving bigrams
-        val pairs = batch.as[(Long, String, String)]
+        // ONE tokenize per arrival, collapsed straight to the
+        // per-(doc, bucket) counts (map-side combinable — the pair
+        // stream itself is never materialized twice); the 256-key
+        // histogram partials DERIVE from those counts exactly
+        // (is_t is per-doc: c_r = Σ cnt, c_t = Σ cnt over en docs),
+        // so the persisted intermediate is docs×≤256 rows, not the
+        // raw bigram stream
+        val dcB = batch.as[(Long, String, String)]
           .mapPartitions { it =>
             val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
             it.flatMap { case (docId, text, lang) =>
@@ -912,16 +917,18 @@ object StreamingQueries {
           }
           .toDF("doc_id", "pair", "is_t")
           .select(col("doc_id"), bucket(col("pair")), col("is_t"))
+          .groupBy("doc_id", "b")
+          .agg(count(lit(1)).as("cnt"), first("is_t").as("is_t"))
           .persist()
         try {
           // histogram PARTIALS: the 256-key monoid's per-batch delta
-          pairs.groupBy("b")
-            .agg(count(lit(1)).as("c_r"), sum("is_t").as("c_t"))
+          dcB.groupBy("b")
+            .agg(sum("cnt").as("c_r"), sum(col("cnt") * col("is_t")).as("c_t"))
             .write.mode("append").parquet(histDir)
           // the at-rest per-(doc, bucket) index, appended per batch
-          pairs.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+          dcB.select("doc_id", "b", "cnt")
             .write.mode("append").parquet(dcDir)
-        } finally pairs.unpersist()
+        } finally dcB.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())
