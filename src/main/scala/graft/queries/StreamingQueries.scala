@@ -843,7 +843,31 @@ object StreamingQueries {
             histKey = Some(d))
         }
       },
-      Some(TextQueries.minhashOracle))
+      Some(TextQueries.minhashOracle)),
+
+    // t28's STREAMING leg — CCNet perplexity bucketing in a
+    // continuously ingesting pipeline: the per-lang src0 bigram LM is
+    // the corpus-level fit, and its sufficient statistics — the
+    // (lang, w1, w2) counts — are an additive monoid exactly like
+    // n31's histograms, just vocabulary-keyed (the n30 "corpus-shaped
+    // state" class, bounded by the bigram-type count, not the corpus).
+    // CCNet scores are RETROACTIVE (every doc's Laplace surprisal
+    // moves as the LM counts and vocab grow), so the stream maintains
+    // exactly those stats: each micro-batch is tokenized ONCE (the
+    // n31-form single pass), collapsed to per-(doc, lang, w1, w2)
+    // counts that feed BOTH the LM partials (src0 side) and the
+    // append-only per-doc pair index. Selection at any point is the
+    // index joined against the LM tables derived from the merged
+    // partials — never a corpus re-scan. Oracle = t28's SQL VERBATIM:
+    // batch, streaming, and the independent replay must all three
+    // agree on every document's n_pairs, surprisal sum and tertile.
+    Q("n33_stream_ccnet",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "source", "lang", "text")
+        withStaged(s, docs, "n33") { src => streamCcnet(s, src) }
+      },
+      Some(TextQueries.ccnetOracleSql))
   )
 
   private[graft] val segStageSchema = StructType(Seq(
@@ -852,6 +876,96 @@ object StreamingQueries {
   private[graft] val dsirStageSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType)))
+
+  private[graft] val ccnetStageSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("lang", StringType), StructField("text", StringType)))
+
+  /** n33's plan, factored for the spec's staging/batch splits — the
+    * n31 skeleton applied to t28: per micro-batch, ONE tokenize pass
+    * (the exact t28 column kernel — TextFunctions.tokens + the
+    * adjacent-pair transform, so scores are byte-equal to batch t28)
+    * collapsed to per-(doc, lang, w1, w2) counts, feeding BOTH sinks —
+    * the src0 LM-count partials (the additive monoid; merged on read,
+    * the same merge a keyed state store applies) and the append-only
+    * per-doc pair index. Assembly derives the LM (bigram counts →
+    * unigram sums → vocab sizes) from the merged partials and scores
+    * the index against it: two vocabulary-keyed joins + one per-doc
+    * aggregate + t28's exact per-lang tertile, never a corpus
+    * re-tokenize.
+    */
+  private[graft] def streamCcnet(s: SparkSession, src: String,
+      filesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val base = graft.sources.TmpDirs.scratch(
+      s"/tmp/graft_ccnet_gate/p${ProcessHandle.current().pid()}_${ctr.incrementAndGet()}")
+    val lmDir = s"$base/lm"
+    val dpDir = s"$base/dp"
+
+    val reader0 = s.readStream.schema(ccnetStageSchema)
+    val reader = filesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    val query = reader.parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dpB = batch
+          .select(col("doc_id"), col("source"), col("lang"),
+            tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(transform(slice(col("tk"), lit(1), size(col("tk")) - 1),
+              (t, i) => struct(t.as("w1"),
+                element_at(col("tk"), i + 2).as("w2")))).as("bg"))
+          .groupBy(col("doc_id"), col("source"), col("lang"),
+            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist()
+        try {
+          // LM partials: the per-(lang, bigram) additive monoid's
+          // per-batch delta, src0 (the LM training corpus) only
+          dpB.filter(col("source") === "src0")
+            .groupBy("lang", "w1", "w2").agg(sum("cnt").as("c_b"))
+            .write.mode("append").parquet(lmDir)
+          // the at-rest per-doc pair index, appended per batch
+          dpB.select("doc_id", "lang", "w1", "w2", "cnt")
+            .write.mode("append").parquet(dpDir)
+        } finally dpB.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    lastBatchesTl.set(query.recentProgress.count(_.numInputRows > 0))
+
+    // LM derivation from the merged partials — the same monoid merge a
+    // RocksDB keyed state applies (CcnetStreamSpec demonstrates that
+    // form); uni/voc derive from the merged bigram table exactly as in
+    // batch t28
+    val big = s.read.parquet(lmDir)
+      .groupBy("lang", "w1", "w2").agg(sum("c_b").as("c_b"))
+      .localCheckpoint(true)
+    val uni = big.groupBy("lang", "w1").agg(sum("c_b").as("c_u"))
+    val voc = big.select("lang", "w2").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("v"))
+    val dp = s.read.parquet(dpDir)
+    dp.join(big, Seq("lang", "w1", "w2"), "left")
+      .join(uni, Seq("lang", "w1"), "left")
+      .join(voc, Seq("lang"))
+      .withColumn("sur_micro", floor(
+        log((coalesce(col("c_u"), lit(0L)) + col("v"))
+          .cast("double") / (coalesce(col("c_b"), lit(0L)) + lit(1L)))
+          * lit(1e6)).cast("long"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("cnt").cast("long").as("n_pairs"),
+        sum(col("cnt") * col("sur_micro")).cast("long").as("sur_sum"))
+      .withColumn("avg_micro", expr("sur_sum div n_pairs"))
+      .withColumn("bucket", ntile(3).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("avg_micro", "doc_id"))
+        .cast("long"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+  }
 
   /** n31's plan, factored for the spec's staging/batch splits. The
     * streaming piece maintains DSIR's sufficient statistics — the

@@ -1930,10 +1930,7 @@ object TextQueries {
     // stateless filter, the same replacement t27's benched arm makes.
     Q("t28_ccnet_bucket",
       (s, d) => ccnetBuckets(s, d).orderBy("doc_id"),
-      Some(s"""WITH
-             |${ccnetCtes}
-             |SELECT doc_id, lang, n_pairs, sur_sum, avg_micro, bucket
-             |FROM c_buck ORDER BY doc_id""".stripMargin),
+      Some(ccnetOracleSql),
       // production arm (BENCHED, t27 convention): the per-lang tertile
       // sort — the gate's one global-sort stage — replaced by a
       // mergeable 10-milli-nat histogram per lang (surprisal spans a
@@ -2238,6 +2235,20 @@ object TextQueries {
         sum("sur_micro").cast("long").as("sur_sum"))
       .withColumn("avg_micro", expr("sur_sum div n_pairs"))
   }
+
+  /** t28's oracle — the whole CCNet pass (per-lang src0 bigram LM,
+    * Laplace mean surprisal in integer micro-nats, exact per-lang
+    * tertile) recomputed live by DuckDB. Shared VERBATIM by n33, the
+    * streaming leg: batch, streaming, and the independent replay must
+    * all three agree on every document's score and bucket.
+    */
+  // lazy: referenced by the queries map ABOVE this definition (and by
+  // StreamingQueries.n33) — eager init order would hand the map a null
+  private[graft] lazy val ccnetOracleSql: String =
+    s"""WITH
+       |${ccnetCtes}
+       |SELECT doc_id, lang, n_pairs, sur_sum, avg_micro, bucket
+       |FROM c_buck ORDER BY doc_id""".stripMargin
 
   /** t27's oracle — the whole DSIR pass (hashed-bigram buckets, add-1
     * smoothed integer-micro-nat log-ratios, per-doc weights, resampling
