@@ -65,6 +65,29 @@ object Bench {
     * tiny job). Cross-round, its ratio is a pure sitting probe. */
   @volatile private var lastWarmupSec: Double = 0.0
 
+  /** Per-pass executor-side truth (r15 verdict #4): cumulative task
+    * executorRunTime and shuffle bytes, snapshotted around each timed
+    * pass like the JIT/GC beans. These are the two discriminators of
+    * the recorded storm-adjudication rule (SCALING.md): a host storm
+    * inflates exec_run 2-6x on BYTE-IDENTICAL plans, an engine
+    * regression moves the bytes. Listener events drain asynchronously;
+    * the post-pass snapshot waits a short settle (outside the timed
+    * section), which bounds attribution error to stray milliseconds —
+    * harmless against the rule's 2x threshold.
+    */
+  private object taskProbe extends org.apache.spark.scheduler.SparkListener {
+    val execRunMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        execRunMs.addAndGet(m.executorRunTime)
+        shuffleBytes.addAndGet(
+          m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
   private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -88,6 +111,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(taskProbe)
     // absorb JVM/session warmup outside the measured section; its wall is
     // recorded as a sitting probe (see lastWarmupSec)
     val w0 = System.nanoTime()
@@ -133,21 +157,48 @@ object Bench {
     * otherwise accumulate their own dead checkpoint blocks and
     * state-store providers, inflating later passes.
     */
-  /** One pass's wall plus its sitting diagnostics (JIT + GC deltas). */
-  private case class Pass(wall: Double, jitSec: Double, gcSec: Double)
+  /** One pass's wall plus its sitting diagnostics (JIT + GC deltas)
+    * and its executor-side truth (task exec_run + shuffle bytes). */
+  private case class Pass(wall: Double, jitSec: Double, gcSec: Double,
+                          execSec: Double, shuffleMb: Double)
+
+  /** The recorded storm-adjudication rule (SCALING.md r15, encoded per
+    * r15 verdict #4): a steady pass is a STORM pass when its task
+    * exec_run exceeds 2x the query's best steady pass on ~identical
+    * shuffle bytes (within 10% or 16 MB — same plan, same data). Tiny
+    * exec_runs (<0.5 s) never flag: at that scale 2x is scheduler
+    * noise, not a storm.
+    */
+  private def stormPasses(steady: Seq[Pass]): Seq[Boolean] = {
+    if (steady.isEmpty) return Nil
+    val ref = steady.minBy(_.execSec)
+    steady.map { p =>
+      ref.execSec >= 0.5 && p.execSec > 2 * ref.execSec &&
+        math.abs(p.shuffleMb - ref.shuffleMb) <=
+          math.max(0.1 * math.max(p.shuffleMb, ref.shuffleMb), 16.0)
+    }
+  }
 
   private def measure(spark: SparkSession, q: Q, sfDir: String,
                       steadyPasses: Int): (Pass, Double, Seq[Pass]) = {
     def once(): Pass = {
       val jit0 = jitBean.getTotalCompilationTime
       val gc0 = gcMillis()
+      val exec0 = taskProbe.execRunMs.get()
+      val sh0 = taskProbe.shuffleBytes.get()
       val t0 = System.nanoTime()
       try q.benchFn.getOrElse(q.fn)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-      Pass((System.nanoTime() - t0) / 1e9,
+      val wall = (System.nanoTime() - t0) / 1e9
+      // outside the timed section: let the listener bus drain the tail
+      // of task-end events before snapshotting the per-pass deltas
+      Thread.sleep(100)
+      Pass(wall,
         (jitBean.getTotalCompilationTime - jit0) / 1e3,
-        (gcMillis() - gc0) / 1e3)
+        (gcMillis() - gc0) / 1e3,
+        (taskProbe.execRunMs.get() - exec0) / 1e3,
+        (taskProbe.shuffleBytes.get() - sh0) / 1048576.0)
     }
     resetSession(spark)
     val cold = once()
@@ -232,15 +283,39 @@ object Bench {
     val sweepLine = s"""{"metric":"sweep_total","value":${ms(sweepTotal)},"unit":"sec","queries":${map(sweep.map(r => r._1 -> r._3))},"note":"full-catalog single-session stress sweep, pre-isolation"}"""
     val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(results.map(r => r._1 -> r._3))},"sf":"$sfDir"}"""
 
+    // storm self-labeling + best-pass walls (r15 verdict #4): per query,
+    // each steady pass's exec_run (s) and shuffle bytes (MB), the
+    // storm flags the recorded rule derives from them (exec_run > 2x
+    // the best pass on ~identical bytes), and the BEST steady wall —
+    // the storm-regime number of record (BENCH.md), readable from the
+    // artifact without a re-run
+    val stormByName = results.map(r => r._1 -> stormPasses(r._4)).toMap
+    val probeLine = {
+      val kv = results.map { r =>
+        val st = stormByName(r._1)
+        "\"" + r._1 + "\":{" +
+          s""""exec":[${r._4.map(p => ms(p.execSec)).mkString(",")}],""" +
+          s""""mb":[${r._4.map(p => ms(p.shuffleMb)).mkString(",")}],""" +
+          s""""storm":[${st.mkString(",")}],""" +
+          s""""best":${ms(r._4.map(_.wall).min)}}"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"pass_probe","fields":{"exec":"per-steady-pass task exec_run sec","mb":"per-steady-pass shuffle bytes MB","storm":"per-steady-pass flag: exec_run > 2x best pass on ~identical bytes","best":"best steady wall sec"},"queries":$kv}"""
+    }
+    val bestLine = s"""{"metric":"steady_best","value":${ms(results.map(_._4.map(_.wall).min).sum)},"unit":"sec","queries":${map(results.map(r => r._1 -> r._4.map(_.wall).min))},"note":"best steady pass per query - the storm-regime number of record"}"""
+
     // compact summary, printed LAST: guaranteed to fit the harness tail.
     // "queries" holds the slowest 10 (median steady) so the schema the
     // driver expects ({"metric","value","unit","queries","sf"}) holds.
     val slowest = results.sortBy(-_._3).take(10).map(r => r._1 -> r._3)
-    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(slowest)},"sf":"$sfDir","n_queries":${results.size},"steady_passes":$steadyPasses,"cold_total":${ms(coldTotal)},"sweep_total":${ms(sweepTotal)},"isolated":${isolated.size},$sitting,"note":"median-of-$steadyPasses steady; slowest-$isolateSlowest re-measured in dedicated sessions; full maps in $outPath"}"""
+    val bestTotal = results.map(_._4.map(_.wall).min).sum
+    val stormCount = stormByName.valuesIterator.map(_.count(identity)).sum
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(slowest)},"sf":"$sfDir","n_queries":${results.size},"steady_passes":$steadyPasses,"cold_total":${ms(coldTotal)},"sweep_total":${ms(sweepTotal)},"best_total":${ms(bestTotal)},"storm_pass_count":$stormCount,"isolated":${isolated.size},$sitting,"note":"median-of-$steadyPasses steady; slowest-$isolateSlowest re-measured in dedicated sessions; best_total = storm-regime number of record; full maps in $outPath"}"""
 
     println(coldLine)
     passLines.foreach(println)
     println(diagLine)
+    println(probeLine)
+    println(bestLine)
     println(sweepLine)
     println(fullLine)
     println(summary)
@@ -251,7 +326,7 @@ object Bench {
       val out = java.nio.file.Paths.get(outPath)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out,
-        ((Seq(coldLine) ++ passLines ++ Seq(diagLine, sweepLine, fullLine, summary)).mkString("\n") + "\n").getBytes("UTF-8"))
+        ((Seq(coldLine) ++ passLines ++ Seq(diagLine, probeLine, bestLine, sweepLine, fullLine, summary)).mkString("\n") + "\n").getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"[bench] write failed: $e") }
   }
 }

@@ -32,7 +32,8 @@ object ScaleProbes {
     spark.sparkContext.setLogLevel("WARN")
 
     args.toList match {
-      case "passes" :: name :: sfDir :: nPasses :: Nil =>
+      case "passes" :: name :: sfDir :: nPasses :: armRest
+          if armRest.isEmpty || armRest == List("gate") =>
         // Per-pass degradation instrument (r12 verdict #2 — d18's 3x
         // intra-session spread; e18-at-4-tables shows the same class):
         // run one catalog query N times in one session with EXACTLY the
@@ -41,8 +42,13 @@ object ScaleProbes {
         // run time (real compute growth?), JVM GC time (heap pressure?),
         // memory/disk spill (execution-memory squeeze?), shuffle bytes
         // (plan drift?), block-manager tmp bytes (leaked blocks?).
-        val q = SparkEntry.catalog.find(_.name == name)
+        // Optional trailing "gate" measures the correctness-gate `fn`
+        // even when a benchFn override exists (r16: n31/n33 gained
+        // production-arm benchFns, but their gate-form sf10 bands are
+        // tracked too).
+        val q0 = SparkEntry.catalog.find(_.name == name)
           .getOrElse(sys.error(s"unknown query $name"))
+        val q = if (armRest == List("gate")) q0.copy(benchFn = None) else q0
         val gcT = new java.util.concurrent.atomic.AtomicLong
         val runT = new java.util.concurrent.atomic.AtomicLong
         val spillM = new java.util.concurrent.atomic.AtomicLong

@@ -868,8 +868,9 @@ object Dedup {
     * the island merge is a per-document window. A hot gram (shared
     * boilerplate in millions of docs) costs its occurrence count, never
     * a pair count: nothing here is quadratic. The shuffle key is a
-    * 128-bit gram fingerprint (two independent xxhash64 values — the
-    * d01 content-fingerprint convention), not the gram string: ~16
+    * 128-bit gram fingerprint (since r16 a rolling polynomial over
+    * per-token xxh64 values — see [[spanOcc]]; previously two xxhash64
+    * calls over materialized gram strings), not the gram string: ~16
     * bytes instead of ~6-8 bytes/token, a ~3x shuffle-width cut
     * (measured at sf10's 240M-position worst case), with a false-span
     * probability of ~n_grams²/2^128 (~1e-13 at 10^13 corpus grams).
@@ -912,27 +913,82 @@ object Dedup {
 
   /** [[dupSpans]]'s row-local half, shared with the streaming leg (n30):
     * one fingerprinted L-token window per token position —
-    * (doc_id, pos, h1, h2), where (h1, h2) is the 128-bit gram
-    * fingerprint (two independent xxhash64 values — see dupSpans' scale
-    * note). ZERO shuffle, projections only, so it runs on batch AND
-    * streaming frames; the caller picks the layout (d16 co-partitions
-    * and checkpoints, n30 feeds a file stream where any shuffle would be
-    * per-batch).
+    * (doc_id, pos, h1, h2), where (h1, h2) is a 128-bit gram
+    * fingerprint. ZERO shuffle, a stateless row-local pass, so it runs
+    * on batch AND streaming frames; the caller picks the layout (d16
+    * co-partitions and checkpoints, n30 feeds a file stream where any
+    * shuffle would be per-batch).
+    *
+    * Since r16 the fingerprint is a ROLLING polynomial over per-token
+    * xxh64 values instead of xxhash64 over materialized gram strings
+    * (r15 verdict #3): the old column kernel allocated one ~50-byte
+    * concatenated string per token position and hashed it twice — the
+    * measured 401 s task-GC wall at sf10 (the d16/n31-named
+    * allocation class). Here each token is hashed ONCE per seed and
+    * each window costs four long multiply-adds, with no per-window
+    * allocation at all. The fingerprint is an equality proxy for the
+    * gram (the oracle checks span semantics on the gram STRINGS, so
+    * only the equivalence relation matters): equal windows hash equal
+    * by construction; unequal windows collide w.p. ~2^-128 across the
+    * (h1, h2) pair — the same standard the previous double-xxhash64
+    * carried. Tokenization is gramTable's kernel (same semantics as
+    * TextFunctions.tokens).
     */
   private[graft] def spanOcc(docs: DataFrame, id: String = "doc_id",
       text: String = "text", spanTokens: Int = 8): DataFrame = {
     val L = spanTokens
-    // gram strings are built only transiently inside the projection;
-    // what shuffles is the 128-bit fingerprint (h1, h2)
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs
-      .select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
-      .filter(size(col("tk")) >= L)
-      .select(col("doc_id"), posexplode(transform(
-        transform(sequence(lit(0), size(col("tk")) - L),
-          i => concat_ws(" ", slice(col("tk"), i + 1, lit(L)))),
-        g => struct(xxhash64(g).as("h1"), xxhash64(lit("d16b"), g).as("h2")))))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("col.h1").as("h1"), col("col.h2").as("h2"))
+      .select(col(id).cast("long"), col(text)).as[(Long, String)]
+      .mapPartitions { it =>
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        import org.apache.spark.unsafe.Platform
+        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+        // odd 64-bit multipliers (golden gamma / xxh prime2): the two
+        // polynomial streams stay independent because the TOKEN hashes
+        // use different seeds, the bases just decorrelate runs
+        val B1 = 0x9E3779B97F4A7C15L; val B2 = 0xC2B2AE3D27D4EB4FL
+        // B^(L-1) for the rolling subtract (wrapping arithmetic)
+        def pow(b: Long, e: Int): Long = {
+          var r = 1L; var i = 0; while (i < e) { r *= b; i += 1 }; r
+        }
+        val p1 = pow(B1, L - 1); val p2 = pow(B2, L - 1)
+        it.flatMap { case (docId, t) =>
+          val toks = {
+            // null text == no tokens, as the old tokens()-based kernel
+            // (size(NULL) = -1 fell to the < L filter)
+            val m = wordRe.matcher(
+              (if (t == null) "" else t).toLowerCase(java.util.Locale.ROOT))
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (m.find()) buf += m.group()
+            buf
+          }
+          val n = toks.length
+          if (n < L) Iterator.empty
+          else {
+            val th1 = new Array[Long](n); val th2 = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              val b = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              th1(i) = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+              th2(i) = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 0x64313662L)
+              i += 1
+            }
+            // first window, then roll: H(i+1) = (H(i) - th(i)*B^(L-1))*B + th(i+L)
+            var h1 = 0L; var h2 = 0L
+            i = 0
+            while (i < L) { h1 = h1 * B1 + th1(i); h2 = h2 * B2 + th2(i); i += 1 }
+            val first = (docId, 0L, h1, h2)
+            Iterator.single(first) ++ (1 to n - L).iterator.map { p =>
+              h1 = (h1 - th1(p - 1) * p1) * B1 + th1(p + L - 1)
+              h2 = (h2 - th2(p - 1) * p2) * B2 + th2(p + L - 1)
+              (docId, p.toLong, h1, h2)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "h1", "h2")
   }
 
   /** [[dupSpans]]'s merge half, shared with the streaming leg: hit

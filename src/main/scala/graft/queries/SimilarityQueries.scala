@@ -698,7 +698,17 @@ object SimilarityQueries {
     // r13, BENCH.md), and cross-round bench continuity holds.
     Q("e05_kmeans",
       (s, d) => {
-        val idx = Similarity.buildIvfIndex(Tables.embeddings(s, d), nlist = 10)
+        // maxCell disabled HERE (and only here): the oracle below is a
+        // pure k=10 Lloyd replay with no split arm, and with k pinned
+        // at 10 (not ~√n) the defaultMaxCell=65536 cap would start
+        // splitting cells from roughly ~655k embeddings (~sf10-20) and
+        // the gate would hash-mismatch — loudly, but for a plan-shape
+        // reason, not a correctness one (ADVICE r15). Passing
+        // Int.MaxValue makes the gated fit equal the replay BY
+        // CONSTRUCTION at every SF; the production IVF entries
+        // (e06/e08/...) keep the cap.
+        val idx = Similarity.buildIvfIndex(Tables.embeddings(s, d),
+          nlist = 10, maxCell = Int.MaxValue)
         val out = idx.assigned
           .groupBy(col("cell").cast("long").as("cluster"))
           .agg(count(lit(1)).as("n"))

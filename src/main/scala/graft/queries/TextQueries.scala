@@ -265,8 +265,18 @@ object TextQueries {
     * apply).
     */
   private[queries] def ccnetBucketsHist(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val scored = ccnetAvgMicro(s, d).localCheckpoint(true)
+      d: String): org.apache.spark.sql.DataFrame =
+    ccnetTertilesHist(s, ccnetAvgMicro(s, d).localCheckpoint(true))
+
+  /** The tertile-assignment tail of [[ccnetBucketsHist]], factored so
+    * n33's streaming leg can bench the SAME production arm over its
+    * streamed per-doc surprisal table (r15 verdict #1 — bench-arm
+    * uniformity). `scored` must be materialized (localCheckpoint): it
+    * feeds two consumers, the driver-side sketch collect and the
+    * assignment join.
+    */
+  private[queries] def ccnetTertilesHist(s: org.apache.spark.sql.SparkSession,
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val hist = scored
       .groupBy(col("lang"), expr("avg_micro div 10000").as("bk"))
       .agg(count(lit(1)).as("n"))
@@ -1887,26 +1897,8 @@ object TextQueries {
       // docs by a stateless w >= threshold filter. Keep decisions move
       // by at most one bucket vs the exact rank — the standard sketch
       // trade; the gate keeps the exact arm as its measurement device.
-      benchFn = Some((s, d) => {
-        val w = dsirWMicro(s, d).localCheckpoint(true)
-        // weights are signed; `div` truncates toward zero, so shift to
-        // non-negative first to get FLOOR buckets (else a negative
-        // weight inside the threshold bucket falls below the bucket's
-        // lower bound and is wrongly dropped)
-        val off = 1L << 50
-        val hist = w.groupBy(expr(s"(w_micro + ${off}L) div 10000").as("bk"))
-          .agg(count(lit(1)).as("n"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
-        val total = hist.map(_._2).sum
-        val quota = (total + 3) / 4
-        var cum = 0L
-        var thrBk = Long.MinValue
-        hist.foreach { case (bk, n) =>
-          if (cum < quota) { cum += n; thrBk = bk }
-        }
-        w.withColumn("keep",
-          (col("w_micro") >= lit(thrBk * 10000L - off)).cast("long"))
-      })),
+      benchFn = Some((s, d) =>
+        dsirHistKeep(dsirWMicro(s, d).localCheckpoint(true)))),
 
     // CCNet-style LM-perplexity quality bucketing (Wenzek et al. 2019):
     // a per-language add-one-smoothed bigram LM is trained on a trusted
@@ -2290,6 +2282,39 @@ object TextQueries {
       |SELECT doc_id, n_bigrams, w_micro, rk,
       |  CAST(rk <= (n + 3) // 4 AS BIGINT) AS keep
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** The PRODUCTION keep arm (benched by t27 and n31 — r15 verdict #1):
+    * the global resampling rank — the gate's one single-partition
+    * stage — replaced by a mergeable histogram quantile: bucket
+    * w_micro at 10-milli-nat width (bounded bucket count: weights span
+    * a few nats), map-side-combine the bucket counts, resolve the
+    * top-25% threshold bucket driver-side (sketch-sized collect), and
+    * keep docs by a stateless w >= threshold filter. Keep decisions
+    * move by at most one bucket vs the exact rank — the standard
+    * sketch trade; the gates keep the exact arm as their measurement
+    * device. `w` must be materialized (localCheckpoint): it feeds the
+    * sketch collect and the keep filter.
+    */
+  private[queries] def dsirHistKeep(w: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // weights are signed; `div` truncates toward zero, so shift to
+    // non-negative first to get FLOOR buckets (else a negative
+    // weight inside the threshold bucket falls below the bucket's
+    // lower bound and is wrongly dropped)
+    val off = 1L << 50
+    val hist = w.groupBy(expr(s"(w_micro + ${off}L) div 10000").as("bk"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val total = hist.map(_._2).sum
+    val quota = (total + 3) / 4
+    var cum = 0L
+    var thrBk = Long.MinValue
+    hist.foreach { case (bk, n) =>
+      if (cum < quota) { cum += n; thrBk = bk }
+    }
+    w.withColumn("keep",
+      (col("w_micro") >= lit(thrBk * 10000L - off)).cast("long"))
+  }
 
   /** t27's per-document DSIR weight table (doc_id, n_bigrams, w_micro) —
     * shared by the exact-rank gate arm and the histogram-threshold

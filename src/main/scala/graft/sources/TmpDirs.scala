@@ -24,6 +24,18 @@ object TmpDirs {
     dir
   }
 
+  /** Delete `dir` NOW (and unregister it). For per-run sinks whose
+    * consumers are fully materialized (localCheckpoint) before return:
+    * corpus-shaped indexes (n31's dc, n33's dp) should not wait for the
+    * shutdown hook — a multi-pass bench otherwise accumulates one copy
+    * per pass in /tmp and skews the tmp_mb probe (ADVICE r15). The
+    * shutdown hook remains the backstop for dirs never purged.
+    */
+  def purge(dir: String): Unit = {
+    registered.remove(dir)
+    deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     try {
       if (java.nio.file.Files.exists(p)) {

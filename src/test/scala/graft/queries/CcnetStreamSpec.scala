@@ -55,6 +55,32 @@ class CcnetStreamSpec extends SparkSpec {
       "degenerate tertiles — fixture too small to gate anything")
   }
 
+  test("n33 production arm (benchFn): streaming histogram tertiles == batch t28's benched arm") {
+    // The BENCHED plan (r15 verdict #1): same ingest stream, but the
+    // per-lang ntile window (a one-partition-per-lang sort — the
+    // gate's measurement device) is replaced by t28's mergeable
+    // histogram-tertile arm. The streamed per-doc surprisal table
+    // equals batch t28's (test above), and both arms run the SAME
+    // deterministic ccnetTertilesHist, so the results must be
+    // IDENTICAL — which transitively inherits CcnetArmsSpec's
+    // exact-vs-histogram agreement for the streaming leg too.
+    val s = spark
+    val nq = StreamingQueries.all.find(_.name == "n33_stream_ccnet").get
+    val tq = TextQueries.all.find(_.name == "t28_ccnet_bucket").get
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("sur_sum"),
+        r.getAs[Long]("avg_micro"), r.getAs[Long]("bucket")))
+      .sortBy(_._1).toSeq
+    val streamArm = rows(nq.benchFn.get(s, sfDir))
+    val batchArm = rows(tq.benchFn.get(s, sfDir))
+    assert(streamArm.nonEmpty, "empty production-arm result")
+    assert(streamArm == batchArm,
+      "streaming histogram-tertile arm diverged from batch t28's benched arm")
+    assert(streamArm.map(_._6).toSet.size >= 2,
+      "degenerate tertiles in the production arm")
+  }
+
   test("n33's stated 100 TB form: update-mode LM-count upserts on RocksDB == the monoid state") {
     // The n28/n29/n31 demonstration for the CCNet fit: the per-(lang,
     // w1, w2) count state lives in RocksDB and the sink consumes

@@ -49,6 +49,31 @@ class DsirStreamSpec extends SparkSpec {
       "degenerate keep column — fixture too small to gate anything")
   }
 
+  test("n31 production arm (benchFn): streaming histogram keep == batch t27's benched arm") {
+    // The BENCHED plan (r15 verdict #1): same ingest stream + dc ⋈ lr
+    // assembly, but the exact global resampling rank (a
+    // single-partition window — the gate's measurement device) is
+    // replaced by t27's mergeable histogram-threshold keep. The
+    // streamed weight table equals batch t27's (test above), and both
+    // arms run the SAME deterministic dsirHistKeep, so the results
+    // must be IDENTICAL — which transitively inherits DsirSpec's
+    // exact-vs-histogram agreement for the streaming leg too.
+    val s = spark
+    val nq = StreamingQueries.all.find(_.name == "n31_stream_dsir").get
+    val tq = TextQueries.all.find(_.name == "t27_dsir_weights").get
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("w_micro"), r.getAs[Long]("keep")))
+      .sortBy(_._1).toSeq
+    val streamArm = rows(nq.benchFn.get(s, sfDir))
+    val batchArm = rows(tq.benchFn.get(s, sfDir))
+    assert(streamArm.nonEmpty, "empty production-arm result")
+    assert(streamArm == batchArm,
+      "streaming histogram-keep arm diverged from batch t27's benched arm")
+    assert(streamArm.map(_._4).toSet == Set(0L, 1L),
+      "degenerate keep column in the production arm")
+  }
+
   test("n31's stated 100 TB form: update-mode histogram upserts on RocksDB == the monoid state") {
     // The n28/n29 demonstration for the DSIR fit: the 256-key histogram
     // state lives in RocksDB and the sink consumes UPDATE-mode per-bucket
