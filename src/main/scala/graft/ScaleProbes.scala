@@ -156,6 +156,41 @@ object ScaleProbes {
             f""""codecache_mb":${codeCacheUsedMb()},""" +
             f""""state_rows":$sRows,"state_mem_mb":$sMemMb}""")
         }
+      case "n32delta" :: sfDir :: Nil =>
+        // Pruned-vs-full assembly evidence for n32's changed-keys-only
+        // form (r15 verdict #5): run the full-corpus assembly and the
+        // changedOnly point-read back to back on the SAME staged ingest
+        // and report band-index rows entering each assembly, shuffle
+        // bytes, and walls. The completeness relation itself is
+        // spec-gated (MinhashStreamSpec); this probe is the scale
+        // witness.
+        import graft.queries.StreamingQueries
+        val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val cut = docs.agg(coalesce((max(col("doc_id")) + 1) * 3 / 4, lit(0L))
+          .cast("long")).head.getLong(0)
+        val hist = docs.filter(col("doc_id") < cut)
+        val fresh = docs.filter(col("doc_id") >= cut)
+        val dir = graft.sources.TmpDirs.scratch(
+          s"/tmp/graft_n32delta/p${ProcessHandle.current().pid()}")
+        fresh.repartition(8).write.mode("overwrite").parquet(dir)
+        val shufW = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        })
+        Seq(("full", false), ("delta", true), ("full2", false), ("delta2", true))
+          .foreach { case (label, changed) =>
+            val s0 = shufW.get; val t0 = System.nanoTime()
+            val n = StreamingQueries.streamMinhash(spark, fresh, hist, dir,
+              histKey = Some(sfDir), changedOnly = changed, probeScan = true).count()
+            println(f"""[probe] {"probe":"n32delta","sf":"$sfDir","arm":"$label",""" +
+              f""""pairs":$n,"scan_rows":${StreamingQueries.lastAssemblyScanRows},""" +
+              f""""shuffle_write_mb":${(shufW.get - s0) >> 20},""" +
+              f""""wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+          }
+
       case "ivfpqrecall" :: sfDir :: Nil =>
         // e09 (raw-vector PQ) vs e19 (residual PQ / IVFADC) recall@5
         // against the exact full probe — the unclamped number behind

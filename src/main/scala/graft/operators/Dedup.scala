@@ -934,8 +934,20 @@ object Dedup {
     * carried. Tokenization is gramTable's kernel (same semantics as
     * TextFunctions.tokens).
     */
+  /** spanOcc output row — a case class so the four long fields stay
+    * PRIMITIVE (a Tuple4[Long,...] boxes all four: 5 allocations per
+    * gram position, which at sf10's ~60M positions is its own GC
+    * storm).
+    */
+  private[graft] final case class SpanFp(doc_id: Long, pos: Long, h1: Long, h2: Long)
+
   private[graft] def spanOcc(docs: DataFrame, id: String = "doc_id",
       text: String = "text", spanTokens: Int = 8): DataFrame = {
+    // A/B instrument (same-sitting comparisons only — the d12 rule):
+    // SPARK_GRAFT_SPANOCC=expr selects the pre-r16 column-expression
+    // kernel (gram-string concat + double xxhash64)
+    if (sys.env.get("SPARK_GRAFT_SPANOCC").contains("expr"))
+      return spanOccExpr(docs, id, text, spanTokens)
     val L = spanTokens
     val spark = docs.sparkSession
     import spark.implicits._
@@ -979,16 +991,35 @@ object Dedup {
             var h1 = 0L; var h2 = 0L
             i = 0
             while (i < L) { h1 = h1 * B1 + th1(i); h2 = h2 * B2 + th2(i); i += 1 }
-            val first = (docId, 0L, h1, h2)
+            val first = SpanFp(docId, 0L, h1, h2)
             Iterator.single(first) ++ (1 to n - L).iterator.map { p =>
               h1 = (h1 - th1(p - 1) * p1) * B1 + th1(p + L - 1)
               h2 = (h2 - th2(p - 1) * p2) * B2 + th2(p + L - 1)
-              (docId, p.toLong, h1, h2)
+              SpanFp(docId, p.toLong, h1, h2)
             }
           }
         }
       }
-      .toDF("doc_id", "pos", "h1", "h2")
+      .toDF()
+  }
+
+  /** The pre-r16 spanOcc kernel, kept as the A/B counter-arm: gram
+    * strings materialized per position and hashed twice (the measured
+    * sf10 GC-wall allocation class). Selected by
+    * SPARK_GRAFT_SPANOCC=expr; NOT the production path.
+    */
+  private def spanOccExpr(docs: DataFrame, id: String,
+      text: String, spanTokens: Int): DataFrame = {
+    val L = spanTokens
+    docs
+      .select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
+      .filter(size(col("tk")) >= L)
+      .select(col("doc_id"), posexplode(transform(
+        transform(sequence(lit(0), size(col("tk")) - L),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(L)))),
+        g => struct(xxhash64(g).as("h1"), xxhash64(lit("d16b"), g).as("h2")))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.h1").as("h1"), col("col.h2").as("h2"))
   }
 
   /** [[dupSpans]]'s merge half, shared with the streaming leg: hit
