@@ -1149,16 +1149,96 @@ object Dedup {
     * Scale: spans-per-doc is bounded by doc_len / spanWidth, so the
     * collected span ARRAY is a per-row column, never a driver
     * structure; the only shuffles are the span groupBy(doc_id) (tiny —
-    * span rows only) and one equi-join of the corpus on doc_id. The
-    * cut itself is a row-local higher-order-function pass over the
-    * token array (no explode, no window). At 100 TB both sides of the
-    * doc_id join come bucketed by doc_id from the same upstream layout.
+    * span rows only) and one equi-join of the corpus on doc_id. At
+    * 100 TB both sides of the doc_id join come bucketed by doc_id from
+    * the same upstream layout.
+    *
+    * Since r16 the cut itself is a TYPED per-partition sweep (the t29
+    * lesson): the previous per-token `exists`-over-spans higher-order
+    * expression is CodegenFallback — interpreted, allocating a struct
+    * per token — and at sf10 it dominated d17's wall (measured
+    * exec_run ~2,000 s over the d16 sub-plan's ~424 s, SCALING r16).
+    * The spans of one doc are disjoint and sorted by construction
+    * (mergeSpans' islands), so the kernel walks tokens once with a
+    * span pointer — O(tokens) with one StringBuilder + one MessageDigest
+    * per doc. The md5-of-kept-tokens fingerprint is byte-identical to
+    * the old `md5(concat_ws(" ", ...))` (the oracle recomputes it
+    * independently, so the equivalence is cross-checked at every gated
+    * SF). The old expression kernel stays behind
+    * SPARK_GRAFT_SPANOCC=expr as the A/B counter-arm.
     */
   def scrubSpans(
       docs: DataFrame,
       spans: DataFrame,
       id: String = "doc_id",
       text: String = "text"): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_SPANOCC").contains("expr"))
+      return scrubSpansExpr(docs, spans, id, text)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs
+      .select(col(id).cast("long").as("doc_id"), col(text).as("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .as[(Long, String, Array[SpanRange])]
+      .mapPartitions { it =>
+        val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, t, spansArr) =>
+          val toks = {
+            val m = wordRe.matcher(
+              (if (t == null) "" else t).toLowerCase(java.util.Locale.ROOT))
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (m.find()) buf += m.group()
+            buf
+          }
+          val sp = if (spansArr == null) Array.empty[SpanRange]
+                   else spansArr.sortBy(_.span_start)
+          val sb = new java.lang.StringBuilder
+          var kept = 0L
+          var si = 0
+          var i = 0
+          while (i < toks.length) {
+            while (si < sp.length && sp(si).span_end < i) si += 1
+            val covered = si < sp.length &&
+              i >= sp(si).span_start && i <= sp(si).span_end
+            if (!covered) {
+              if (kept > 0L) sb.append(' ')
+              sb.append(toks(i))
+              kept += 1
+            }
+            i += 1
+          }
+          md.reset()
+          val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val hex = new java.lang.StringBuilder(32)
+          dig.foreach(b => hex.append(f"${b & 0xff}%02x"))
+          ScrubOut(docId, toks.length.toLong, kept, toks.length - kept,
+            hex.toString)
+        }
+      }
+      .toDF()
+  }
+
+  /** scrubSpans input span / output rows — case classes so the long
+    * fields stay primitive and the collect_list struct decodes by
+    * field name.
+    */
+  private[graft] final case class SpanRange(span_start: Long, span_end: Long)
+  private[graft] final case class ScrubOut(doc_id: Long, n_tokens: Long,
+      kept_tokens: Long, removed_tokens: Long, cleaned_hash: String)
+
+  /** The pre-r16 scrub kernel (interpreted HOF cut), kept as the A/B
+    * counter-arm under SPARK_GRAFT_SPANOCC=expr. NOT the production
+    * path.
+    */
+  private def scrubSpansExpr(
+      docs: DataFrame,
+      spans: DataFrame,
+      id: String,
+      text: String): DataFrame = {
     val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
