@@ -1186,6 +1186,11 @@ object Dedup {
       .mapPartitions { it =>
         val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
         val md = java.security.MessageDigest.getInstance("MD5")
+        // per-PARTITION scratch, reused across docs (the allocation
+        // class this kernel exists to avoid)
+        val sb = new java.lang.StringBuilder(1 << 14)
+        val hexDigits = "0123456789abcdef".toCharArray
+        val hex = new Array[Char](32)
         it.map { case (docId, t, spansArr) =>
           val toks = {
             val m = wordRe.matcher(
@@ -1196,7 +1201,7 @@ object Dedup {
           }
           val sp = if (spansArr == null) Array.empty[SpanRange]
                    else spansArr.sortBy(_.span_start)
-          val sb = new java.lang.StringBuilder
+          sb.setLength(0)
           var kept = 0L
           var si = 0
           var i = 0
@@ -1213,10 +1218,14 @@ object Dedup {
           }
           md.reset()
           val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val hex = new java.lang.StringBuilder(32)
-          dig.foreach(b => hex.append(f"${b & 0xff}%02x"))
+          i = 0
+          while (i < 16) {
+            hex(2 * i) = hexDigits((dig(i) >> 4) & 0xf)
+            hex(2 * i + 1) = hexDigits(dig(i) & 0xf)
+            i += 1
+          }
           ScrubOut(docId, toks.length.toLong, kept, toks.length - kept,
-            hex.toString)
+            new String(hex))
         }
       }
       .toDF()
