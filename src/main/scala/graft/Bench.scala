@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
   * Measurement protocol (round 7, after the r6 d11/t03 9x phantom):
   *   - per query: 1 cold pass (plan compile + codegen + OS file cache),
   *     then 3 steady passes; the reported steady time is the MEDIAN of
-  *     the 3 — one contended pass can no longer fake a regression.
+  *     the NON-storm passes (round 17: the storm rule's flags now feed
+  *     the headline median, not just the labels — see steadyMedian) —
+  *     one contended pass can no longer fake a regression.
   *   - between queries the session is reset OUTSIDE the timed section:
   *     cached plans dropped, persistent RDDs (localCheckpoint blocks)
   *     unpersisted, and a GC requested so the ContextCleaner releases
@@ -159,8 +161,8 @@ object Bench {
     */
   /** One pass's wall plus its sitting diagnostics (JIT + GC deltas)
     * and its executor-side truth (task exec_run + shuffle bytes). */
-  private case class Pass(wall: Double, jitSec: Double, gcSec: Double,
-                          execSec: Double, shuffleMb: Double)
+  private[graft] case class Pass(wall: Double, jitSec: Double, gcSec: Double,
+                                 execSec: Double, shuffleMb: Double)
 
   /** The recorded storm-adjudication rule (SCALING.md r15, encoded per
     * r15 verdict #4): a steady pass is a STORM pass when its task
@@ -168,19 +170,69 @@ object Bench {
     * shuffle bytes (within 10% or 16 MB — same plan, same data). Tiny
     * exec_runs (<0.5 s) never flag: at that scale 2x is scheduler
     * noise, not a storm.
+    *
+    * Known limitation (documented in BENCH.md): the reference point is
+    * the query's own min-exec steady pass, so a storm spanning EVERY
+    * pass of a query flags nothing — an unflagged artifact is only
+    * quiet-regime-trustworthy when the sitting-level discriminators
+    * (load averages, warmup walls, /proc/stat when available) agree.
     */
-  private def stormPasses(steady: Seq[Pass]): Seq[Boolean] = {
+  private[graft] def stormPasses(steady: Seq[Pass]): Seq[Boolean] = {
     if (steady.isEmpty) return Nil
     val ref = steady.minBy(_.execSec)
-    steady.map { p =>
-      ref.execSec >= 0.5 && p.execSec > 2 * ref.execSec &&
-        math.abs(p.shuffleMb - ref.shuffleMb) <=
-          math.max(0.1 * math.max(p.shuffleMb, ref.shuffleMb), 16.0)
+    steady.map(p => isStormVs(ref, p))
+  }
+
+  /** One pass judged against a reference pass by the recorded rule. */
+  private[graft] def isStormVs(ref: Pass, p: Pass): Boolean =
+    ref.execSec >= 0.5 && p.execSec > 2 * ref.execSec &&
+      math.abs(p.shuffleMb - ref.shuffleMb) <=
+        math.max(0.1 * math.max(p.shuffleMb, ref.shuffleMb), 16.0)
+
+  /** Storm-excluded steady median (r16 verdict #1): the headline value
+    * the driver compares round-over-round. r16 shipped the labeling but
+    * the median still consumed flagged passes — 273.1 s median vs
+    * 242.4 s best_total on 12 flags read as a +14% phantom regression.
+    * Now the median is computed over NON-storm passes by construction.
+    * Regimes: "quiet" (no flag, median of all), "storm_excluded" (some
+    * flagged, median of the rest), "all_storm" (every pass flagged —
+    * fall back to all passes and say so; trust best + sitting probes).
+    */
+  private[graft] def steadyMedian(steady: Seq[Pass]): (Double, String) = {
+    if (steady.isEmpty) return (0.0, "empty")
+    val flags = stormPasses(steady)
+    val quiet = steady.zip(flags).collect { case (p, false) => p }
+    val (pool, regime) =
+      if (quiet.isEmpty) (steady, "all_storm")
+      else if (quiet.size == steady.size) (steady, "quiet")
+      else (quiet, "storm_excluded")
+    val walls = pool.map(_.wall).sorted
+    (walls(walls.length / 2), regime)
+  }
+
+  /** Post-pass settle: the listener bus drains task-end events
+    * asynchronously, and a fixed sleep after a heavy pass can let the
+    * tail bleed into the NEXT pass's exec/bytes delta (a spurious storm
+    * flag, or a masked real one). Poll the probe counters until two
+    * consecutive 50 ms reads are unchanged, bounded at 1 s. */
+  private def settleProbe(): Unit = {
+    var prev = (taskProbe.execRunMs.get(), taskProbe.shuffleBytes.get())
+    var stable = 0
+    var waited = 0L
+    while (stable < 2 && waited < 1000) {
+      Thread.sleep(50); waited += 50
+      val cur = (taskProbe.execRunMs.get(), taskProbe.shuffleBytes.get())
+      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
     }
   }
 
+  /** One query's full measurement: cold pass, storm-excluded steady
+    * median + its regime, and the raw steady passes (wall-sorted). */
+  private case class QRes(name: String, cold: Pass, median: Double,
+                          regime: String, steady: Seq[Pass])
+
   private def measure(spark: SparkSession, q: Q, sfDir: String,
-                      steadyPasses: Int): (Pass, Double, Seq[Pass]) = {
+                      steadyPasses: Int): QRes = {
     def once(): Pass = {
       val jit0 = jitBean.getTotalCompilationTime
       val gc0 = gcMillis()
@@ -191,9 +243,9 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
       val wall = (System.nanoTime() - t0) / 1e9
-      // outside the timed section: let the listener bus drain the tail
-      // of task-end events before snapshotting the per-pass deltas
-      Thread.sleep(100)
+      // outside the timed section: drain the listener-bus tail before
+      // snapshotting the per-pass deltas (polled, not a fixed sleep)
+      settleProbe()
       Pass(wall,
         (jitBean.getTotalCompilationTime - jit0) / 1e3,
         (gcMillis() - gc0) / 1e3,
@@ -203,7 +255,8 @@ object Bench {
     resetSession(spark)
     val cold = once()
     val steady = Seq.fill(steadyPasses) { resetSession(spark); once() }.sortBy(_.wall)
-    (cold, steady(steady.length / 2).wall, steady)
+    val (median, regime) = steadyMedian(steady)
+    QRes(q.name, cold, median, regime, steady)
   }
 
   def main(args: Array[String]): Unit = {
@@ -218,98 +271,105 @@ object Bench {
     val warmupSweepSec = lastWarmupSec
     val keep = SparkEntry.onlyFilter
     val benched = SparkEntry.catalog.filter(_.bench).filter(q => keep(q.name))
-    val sweep = benched.map { q =>
-      val (cold, median, steady) = measure(spark, q, sfDir, steadyPasses)
-      (q.name, cold, median, steady)
-    }
+    val sweep = benched.map(q => measure(spark, q, sfDir, steadyPasses))
     spark.stop()
 
     // dedicated-session re-measurement of the slowest sweep queries:
     // one fresh SparkContext per query, so the recorded number carries
-    // zero sediment from the other 100+ catalog entries
-    val slowNames = sweep.sortBy(-_._3).take(isolateSlowest).map(_._1)
+    // zero sediment from the other 100+ catalog entries. These go
+    // through the same measure() path, so their passes carry the same
+    // storm flags and storm-excluded medians as the sweep (r16 verdict
+    // #6: the isolated entries were where unflagged single-sitting
+    // inflation hid — e.g. r16's 13.55 s n25).
+    val slowNames = sweep.sortBy(-_.median).take(isolateSlowest).map(_.name)
     val isoWarmups = scala.collection.mutable.ArrayBuffer.empty[Double]
     val isolated = benched.filter(q => slowNames.contains(q.name)).map { q =>
       val s = buildSession()
       isoWarmups += lastWarmupSec
-      try {
-        val (cold, median, steady) = measure(s, q, sfDir, steadyPasses)
-        (q.name, cold, median, steady)
-      } finally s.stop()
+      try measure(s, q, sfDir, steadyPasses)
+      finally s.stop()
     }
     val loadEnd = loadAvg()
-    val isoByName = isolated.map(r => r._1 -> r).toMap
-    val results = sweep.map { r =>
-      isoByName.getOrElse(r._1, r)
-    }
+    val isoByName = isolated.map(r => r.name -> r).toMap
+    val results = sweep.map(r => isoByName.getOrElse(r.name, r))
 
     def ms(v: Double): String = f"$v%.3f"
     def map(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
 
-    val total = results.map(_._3).sum
-    val sweepTotal = sweep.map(_._3).sum
-    val coldTotal = results.map(_._2.wall).sum
+    val total = results.map(_.median).sum
+    val sweepTotal = sweep.map(_.median).sum
+    val coldTotal = results.map(_.cold.wall).sum
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
 
     // sitting fingerprint: aggregate JIT/GC over every measured pass,
     // warmup-noop walls, load average — the discriminators that let a
     // cross-round delta be classified (sitting/JIT vs engine) from the
     // artifacts alone (r14 verdict #1)
-    val allPasses = (sweep ++ isolated).flatMap(r => r._2 +: r._4)
+    val allPasses = (sweep ++ isolated).flatMap(r => r.cold +: r.steady)
     val jitTotal = allPasses.map(_.jitSec).sum
     val gcTotal = allPasses.map(_.gcSec).sum
-    val coldJit = results.map(_._2.jitSec).sum
+    val coldJit = results.map(_.cold.jitSec).sum
     val isoWarm =
       if (isoWarmups.isEmpty) 0.0
       else isoWarmups.sorted.apply(isoWarmups.length / 2)
     val sitting = s""""sitting":{"warmup_sweep_sec":${ms(warmupSweepSec)},"warmup_iso_median_sec":${ms(isoWarm)},"load_start":${ms(loadStart)},"load_end":${ms(loadEnd)},"jit_total_sec":${ms(jitTotal)},"jit_cold_sec":${ms(coldJit)},"gc_total_sec":${ms(gcTotal)}}"""
 
     // full detail: cold map, per-pass steady maps, median map, sweep map
-    val coldLine = s"""{"metric":"total_first_pass","value":${ms(coldTotal)},"unit":"sec","first_pass":${map(results.map(r => r._1 -> r._2.wall))}}"""
+    val coldLine = s"""{"metric":"total_first_pass","value":${ms(coldTotal)},"unit":"sec","first_pass":${map(results.map(r => r.name -> r.cold.wall))}}"""
     val passLines = (0 until steadyPasses).map { i =>
-      s"""{"metric":"steady_pass_${i + 1}","unit":"sec","queries":${map(results.map(r => r._1 -> r._4(i).wall))}}"""
+      s"""{"metric":"steady_pass_${i + 1}","unit":"sec","queries":${map(results.map(r => r.name -> r.steady(i).wall))}}"""
     }
     // per-query pass diagnostics: [cold_jit, cold_gc, median-pass_jit,
     // median-pass_gc] seconds — enough to tell "this query's drift is
     // JIT-shaped" per query, not just per run
     val diagLine = {
       val kv = results.map { r =>
-        val medPass = r._4(r._4.length / 2)
-        "\"" + r._1 + s"""\":[${ms(r._2.jitSec)},${ms(r._2.gcSec)},${ms(medPass.jitSec)},${ms(medPass.gcSec)}]"""
+        val medPass = r.steady(r.steady.length / 2)
+        "\"" + r.name + s"""\":[${ms(r.cold.jitSec)},${ms(r.cold.gcSec)},${ms(medPass.jitSec)},${ms(medPass.gcSec)}]"""
       }.mkString("{", ",", "}")
       s"""{"metric":"pass_diag","unit":"sec","fields":["cold_jit","cold_gc","med_jit","med_gc"],"queries":$kv}"""
     }
-    val sweepLine = s"""{"metric":"sweep_total","value":${ms(sweepTotal)},"unit":"sec","queries":${map(sweep.map(r => r._1 -> r._3))},"note":"full-catalog single-session stress sweep, pre-isolation"}"""
-    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(results.map(r => r._1 -> r._3))},"sf":"$sfDir"}"""
+    val sweepLine = s"""{"metric":"sweep_total","value":${ms(sweepTotal)},"unit":"sec","queries":${map(sweep.map(r => r.name -> r.median))},"note":"full-catalog single-session stress sweep, pre-isolation; storm-excluded medians"}"""
+    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(results.map(r => r.name -> r.median))},"sf":"$sfDir"}"""
 
-    // storm self-labeling + best-pass walls (r15 verdict #4): per query,
-    // each steady pass's exec_run (s) and shuffle bytes (MB), the
-    // storm flags the recorded rule derives from them (exec_run > 2x
-    // the best pass on ~identical bytes), and the BEST steady wall —
-    // the storm-regime number of record (BENCH.md), readable from the
-    // artifact without a re-run
-    val stormByName = results.map(r => r._1 -> stormPasses(r._4)).toMap
+    // storm self-labeling + best-pass walls (r15 verdict #4, extended
+    // to cold passes per r16 verdict #6): per query, each steady pass's
+    // exec_run (s) and shuffle bytes (MB), the storm flags the recorded
+    // rule derives from them (exec_run > 2x the best pass on ~identical
+    // bytes), the BEST steady wall, the cold pass's exec/mb and its
+    // flag (judged against the best steady pass — a flagged cold pass
+    // means the cold ledger carries storm-regime numbers too), and the
+    // regime the storm-excluded median was computed under. Isolated
+    // re-measures flow through the same path, so their entries here
+    // carry the same probes.
+    val stormByName = results.map(r => r.name -> stormPasses(r.steady)).toMap
     val probeLine = {
       val kv = results.map { r =>
-        val st = stormByName(r._1)
-        "\"" + r._1 + "\":{" +
-          s""""exec":[${r._4.map(p => ms(p.execSec)).mkString(",")}],""" +
-          s""""mb":[${r._4.map(p => ms(p.shuffleMb)).mkString(",")}],""" +
+        val st = stormByName(r.name)
+        val bestSteady = r.steady.minBy(_.execSec)
+        "\"" + r.name + "\":{" +
+          s""""exec":[${r.steady.map(p => ms(p.execSec)).mkString(",")}],""" +
+          s""""mb":[${r.steady.map(p => ms(p.shuffleMb)).mkString(",")}],""" +
           s""""storm":[${st.mkString(",")}],""" +
-          s""""best":${ms(r._4.map(_.wall).min)}}"""
+          s""""cold_exec":${ms(r.cold.execSec)},"cold_mb":${ms(r.cold.shuffleMb)},""" +
+          s""""cold_storm":${isStormVs(bestSteady, r.cold)},""" +
+          s""""regime":"${r.regime}",""" +
+          s""""best":${ms(r.steady.map(_.wall).min)}}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"pass_probe","fields":{"exec":"per-steady-pass task exec_run sec","mb":"per-steady-pass shuffle bytes MB","storm":"per-steady-pass flag: exec_run > 2x best pass on ~identical bytes","best":"best steady wall sec"},"queries":$kv}"""
+      s"""{"metric":"pass_probe","fields":{"exec":"per-steady-pass task exec_run sec","mb":"per-steady-pass shuffle bytes MB","storm":"per-steady-pass flag: exec_run > 2x best pass on ~identical bytes","cold_exec":"cold pass exec_run sec","cold_mb":"cold pass shuffle MB","cold_storm":"cold pass flagged vs best steady pass (cold JIT inflates exec too - read with cold_jit in pass_diag)","regime":"median regime: quiet | storm_excluded | all_storm","best":"best steady wall sec"},"queries":$kv}"""
     }
-    val bestLine = s"""{"metric":"steady_best","value":${ms(results.map(_._4.map(_.wall).min).sum)},"unit":"sec","queries":${map(results.map(r => r._1 -> r._4.map(_.wall).min))},"note":"best steady pass per query - the storm-regime number of record"}"""
+    val bestLine = s"""{"metric":"steady_best","value":${ms(results.map(_.steady.map(_.wall).min).sum)},"unit":"sec","queries":${map(results.map(r => r.name -> r.steady.map(_.wall).min))},"note":"best steady pass per query - the storm-regime number of record"}"""
 
     // compact summary, printed LAST: guaranteed to fit the harness tail.
     // "queries" holds the slowest 10 (median steady) so the schema the
     // driver expects ({"metric","value","unit","queries","sf"}) holds.
-    val slowest = results.sortBy(-_._3).take(10).map(r => r._1 -> r._3)
-    val bestTotal = results.map(_._4.map(_.wall).min).sum
+    val slowest = results.sortBy(-_.median).take(10).map(r => r.name -> r.median)
+    val bestTotal = results.map(_.steady.map(_.wall).min).sum
     val stormCount = stormByName.valuesIterator.map(_.count(identity)).sum
-    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(slowest)},"sf":"$sfDir","n_queries":${results.size},"steady_passes":$steadyPasses,"cold_total":${ms(coldTotal)},"sweep_total":${ms(sweepTotal)},"best_total":${ms(bestTotal)},"storm_pass_count":$stormCount,"isolated":${isolated.size},$sitting,"note":"median-of-$steadyPasses steady; slowest-$isolateSlowest re-measured in dedicated sessions; best_total = storm-regime number of record; full maps in $outPath"}"""
+    val coldStormCount = results.count(r => isStormVs(r.steady.minBy(_.execSec), r.cold))
+    val regimeCounts = results.groupBy(_.regime).map { case (k, v) => s""""$k":${v.size}""" }.mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(slowest)},"sf":"$sfDir","n_queries":${results.size},"steady_passes":$steadyPasses,"cold_total":${ms(coldTotal)},"sweep_total":${ms(sweepTotal)},"best_total":${ms(bestTotal)},"storm_pass_count":$stormCount,"cold_storm_count":$coldStormCount,"median_regimes":$regimeCounts,"isolated":${isolated.size},$sitting,"note":"value = sum of STORM-EXCLUDED per-query steady medians (regime per query in pass_probe); slowest-$isolateSlowest re-measured in dedicated sessions; best_total = storm-regime number of record; full maps in $outPath"}"""
 
     println(coldLine)
     passLines.foreach(println)

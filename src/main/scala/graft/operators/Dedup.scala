@@ -884,6 +884,28 @@ object Dedup {
       text: String = "text",
       spanTokens: Int = 8): DataFrame = {
     val L = spanTokens
+    // A/B arm (r16 verdict #4 — same-sitting sf10 comparisons only):
+    // SPARK_GRAFT_D16=listagg folds the dup detection AND the hit join
+    // into ONE ObjectHashAggregate — partial collect_list ships
+    // per-partition per-gram position lists (hot boilerplate grams
+    // collapse to one row per partition, unique grams pay an array
+    // header), the min!=max dup predicate rides the same aggregate,
+    // survivors explode straight into mergeSpans. Removes the
+    // checkpoint materialization and the semi-join entirely. 100 TB
+    // caveat that keeps this an ARM, not the default: the merged
+    // per-gram list must fit reducer memory, so a mega-hot gram
+    // (boilerplate in ~10M docs) is a skew hazard the streamed
+    // row form does not have.
+    if (sys.env.get("SPARK_GRAFT_D16").contains("listagg")) {
+      val hits = spanOcc(docs, id, text, L)
+        .groupBy("h1", "h2")
+        .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occs"),
+          min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select(explode(col("occs")).as("o"))
+        .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+      return mergeSpans(hits, L)
+    }
     val occ = spanOcc(docs, id, text, L)
       // occ feeds BOTH the dup-gram aggregate and the hit join (the
       // d08/q46 multi-consumer class: the scan+tokenize+gram hashing ran
@@ -1253,7 +1275,13 @@ object Dedup {
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val noSpans = array().cast("array<struct<span_start:bigint,span_end:bigint>>")
     docs
-      .select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
+      // coalesce NULL text to '' (as segmentize does) so this arm
+      // agrees with the typed kernel on null-text rows — tokens(NULL)
+      // is NULL and size(NULL) = -1, which would make an A/B over a
+      // null-bearing fixture diff for a reason unrelated to the
+      // kernels under comparison (ADVICE r16)
+      .select(col(id).as("doc_id"),
+        tokens(coalesce(col(text), lit(""))).as("tk"))
       .join(perDoc, Seq("doc_id"), "left")
       // keep a token iff no span covers its position; transform's
       // (element, index) lambda avoids sequence() (whose inferred

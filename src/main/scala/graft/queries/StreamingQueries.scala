@@ -1458,7 +1458,18 @@ object StreamingQueries {
     // back to the at-rest stats. For fresh-touched keys hbn == the
     // histStats value by construction (the probe is a left join
     // against those stats), so the two sources agree where both exist.
-    val keyCounts = histStats.select(col("band"), col("bsig"), col("hbn").as("hn"))
+    // In changedOnly mode the assembly keeps only freshState's keys
+    // (the okKeys semi-join below), so hist-only keyCounts rows are
+    // dead work — restrict the per-key stats to the changed keys FIRST
+    // (broadcast semi-join against the batch-bounded freshState) so
+    // the stats table is point-read per window too, not scanned
+    // corpus-wide (ADVICE r16: the "100 TB point-read" claim now holds
+    // for BOTH at-rest tables, band index and stats)
+    val statsSrc = if (changedOnly)
+      histStats.join(broadcast(freshState.select("band", "bsig")),
+        Seq("band", "bsig"), "left_semi")
+    else histStats
+    val keyCounts = statsSrc.select(col("band"), col("bsig"), col("hbn").as("hn"))
       .join(freshState.select(col("band"), col("bsig"),
           size(col("docs")).cast("long").as("fn"), col("hbn").as("fhn")),
         Seq("band", "bsig"), "full_outer")

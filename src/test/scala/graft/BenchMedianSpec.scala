@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the storm-excluded median math (r16 verdict #1) on synthetic
+  * Pass lists — the headline `value` the driver compares round-over-
+  * round must exclude storm-flagged passes by construction, with the
+  * documented fallbacks.
+  */
+class BenchMedianSpec extends AnyFunSuite {
+  private def p(wall: Double, exec: Double, mb: Double) =
+    Bench.Pass(wall, jitSec = 0, gcSec = 0, execSec = exec, shuffleMb = mb)
+
+  test("quiet sitting: no flags, median of all passes, regime quiet") {
+    val steady = Seq(p(1.0, 2.0, 100), p(1.2, 2.1, 100), p(1.4, 2.2, 100))
+    assert(Bench.stormPasses(steady) == Seq(false, false, false))
+    val (m, regime) = Bench.steadyMedian(steady)
+    assert(m == 1.2 && regime == "quiet")
+  }
+
+  test("one storm pass on identical bytes is excluded from the median") {
+    // walls sorted as measure() produces them; the 9.0 s pass has 3x the
+    // exec_run of the best pass on byte-identical shuffle -> storm
+    val steady = Seq(p(1.0, 2.0, 100), p(1.1, 2.2, 100), p(9.0, 6.5, 100))
+    assert(Bench.stormPasses(steady) == Seq(false, false, true))
+    val (m, regime) = Bench.steadyMedian(steady)
+    // median over the two quiet passes: sorted walls (1.0, 1.1) -> index 1
+    assert(m == 1.1 && regime == "storm_excluded")
+  }
+
+  test("exec growth WITH byte growth is an engine delta, not a storm") {
+    val steady = Seq(p(1.0, 2.0, 100), p(1.1, 2.1, 100), p(9.0, 6.5, 400))
+    assert(Bench.stormPasses(steady) == Seq(false, false, false))
+    val (m, regime) = Bench.steadyMedian(steady)
+    assert(m == 1.1 && regime == "quiet")
+  }
+
+  test("tiny exec_runs never flag (scheduler noise, not storms)") {
+    val steady = Seq(p(0.1, 0.1, 1), p(0.1, 0.4, 1), p(0.2, 0.45, 1))
+    assert(Bench.stormPasses(steady) == Seq(false, false, false))
+  }
+
+  test("all passes flagged: fall back to all passes, regime all_storm") {
+    // ref is the min-exec pass; if the other two both flag against it
+    // but... to flag ALL passes is impossible against an internal ref
+    // (the ref never flags vs itself), so all_storm can only arise via
+    // an empty quiet set — which stormPasses can't produce. Guard the
+    // invariant: the min-exec pass is never flagged.
+    val steady = Seq(p(1.0, 2.0, 100), p(9.0, 6.5, 100), p(9.1, 6.6, 100))
+    val flags = Bench.stormPasses(steady)
+    assert(!flags(0) && flags(1) && flags(2))
+    val (m, regime) = Bench.steadyMedian(steady)
+    assert(m == 1.0 && regime == "storm_excluded")
+  }
+
+  test("cold pass judged against best steady pass by the same rule") {
+    val bestSteady = p(1.0, 2.0, 100)
+    assert(Bench.isStormVs(bestSteady, p(8.0, 6.0, 100)))   // flagged
+    assert(!Bench.isStormVs(bestSteady, p(8.0, 6.0, 400)))  // bytes moved
+    assert(!Bench.isStormVs(p(0.1, 0.2, 1), p(1.0, 0.9, 1))) // tiny ref
+  }
+
+  test("empty and single-pass lists degrade safely") {
+    assert(Bench.steadyMedian(Nil) == ((0.0, "empty")))
+    val (m, regime) = Bench.steadyMedian(Seq(p(2.5, 3.0, 50)))
+    assert(m == 2.5 && regime == "quiet")
+  }
+}
