@@ -191,6 +191,62 @@ object ScaleProbes {
               f""""wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
           }
 
+      case "stages" :: name :: sfDir :: armRest
+          if armRest.isEmpty || armRest == List("gate") =>
+        // Per-STAGE attribution (r17 — guide §1.1/§7.1, the empirical
+        // loop without a UI): run one catalog query twice (cold pass to
+        // absorb JIT/codegen, then a steady pass after the Bench reset)
+        // and print each stage of the steady pass with its task
+        // exec_run, records read/written, and the stage's callsite —
+        // i.e. which OPERATOR the exec seconds actually land on. This is
+        // the instrument that told q40's 130 exec-seconds apart by
+        // iteration stage (see OPTIMIZATION_r17.md).
+        val q0 = SparkEntry.catalog.find(_.name == name)
+          .getOrElse(sys.error(s"unknown query $name"))
+        val q = if (armRest == List("gate")) q0.copy(benchFn = None) else q0
+        final case class St(id: Int, name: String, execMs: Long, gcMs: Long,
+          inRec: Long, shrRec: Long, shwRec: Long, shrMb: Double, shwMb: Double,
+          tasks: Int)
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]
+        @volatile var record = false
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            if (record) {
+              val si = sc.stageInfo; val m = si.taskMetrics
+              if (m != null) stages.add(St(si.stageId, si.name,
+                m.executorRunTime, m.jvmGCTime,
+                m.inputMetrics.recordsRead, m.shuffleReadMetrics.recordsRead,
+                m.shuffleWriteMetrics.recordsWritten,
+                m.shuffleReadMetrics.totalBytesRead / 1048576.0,
+                m.shuffleWriteMetrics.bytesWritten / 1048576.0,
+                si.numTasks))
+            }
+        })
+        def reset(): Unit = {
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          System.gc(); Thread.sleep(250); System.gc(); Thread.sleep(250)
+        }
+        // cold pass (not recorded): JIT + codegen + page cache
+        q.benchFn.getOrElse(q.fn)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        reset()
+        record = true
+        val t0 = System.nanoTime()
+        q.benchFn.getOrElse(q.fn)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener drain
+        record = false
+        import scala.jdk.CollectionConverters._
+        val all = stages.asScala.toSeq.sortBy(-_.execMs)
+        println(f"""[probe] {"probe":"stages","q":"$name","sf":"$sfDir","wall_sec":$wall%.2f,"n_stages":${all.size},"exec_total_sec":${all.map(_.execMs).sum / 1e3}%.1f}""")
+        all.take(25).foreach { s =>
+          println(f"""[probe-stage] {"id":${s.id},"exec_sec":${s.execMs / 1e3}%.2f,"gc_sec":${s.gcMs / 1e3}%.2f,"tasks":${s.tasks},"in_rec":${s.inRec},"shr_rec":${s.shrRec},"shw_rec":${s.shwRec},"shr_mb":${s.shrMb}%.1f,"shw_mb":${s.shwMb}%.1f,"name":"${s.name.replace("\"", "'")}"}""")
+        }
+
       case "ivfpqrecall" :: sfDir :: Nil =>
         // e09 (raw-vector PQ) vs e19 (residual PQ / IVFADC) recall@5
         // against the exact full probe — the unclamped number behind

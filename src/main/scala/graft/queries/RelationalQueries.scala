@@ -1201,7 +1201,13 @@ object RelationalQueries {
         val li = Tables.lineitem(s, d)
           .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
-        graft.operators.PageRank.run(edges, "src", "dst", iters = 5)
+        // everyNodeReceives: the union with the reversed copy makes the
+        // edge list symmetric, so every node has an in-edge — the
+        // per-iteration nodes LEFT JOIN is the identity and drops out
+        // (PageRankSpec pins the two forms bit-equal; the oracle keeps
+        // the LEFT JOIN formulation)
+        graft.operators.PageRank.run(edges, "src", "dst", iters = 5,
+          everyNodeReceives = true)
           .orderBy(desc("mass"), asc("node")).limit(40)
           .select(col("node"), col("mass").as("mass_milli"))
       },

@@ -47,6 +47,22 @@ class PageRankSpec extends SparkSpec {
     assert(run(1) == run(6))
   }
 
+  test("everyNodeReceives fast path is bit-equal to the left-join form " +
+      "on a symmetrized edge list (the q40 construction)") {
+    val s = spark
+    import s.implicits._
+    // symmetrize the fixture the way q40 symmetrizes lineitem edges:
+    // union with the reversed copy, so every node has an in-edge
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val df = sym.toDF("src", "dst")
+    val slow = PageRank.run(df, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = PageRank.run(df, "src", "dst", iters = 5, everyNodeReceives = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    assert(fast == reference(sym, 5))
+  }
+
   test("duplicate edge rows do not change the result (distinct edge set)") {
     val s = spark
     import s.implicits._
