@@ -954,6 +954,15 @@ object StreamingQueries {
     val reader0 = s.readStream.schema(ccnetStageSchema)
     val reader = filesPerTrigger.fold(reader0)(n =>
       reader0.option("maxFilesPerTrigger", n.toString))
+    // micro-batch shuffles are sized to the BATCH, not the session (the
+    // runToTable convention, applied to the foreachBatch gates in r17):
+    // AQE is off inside a stream, so the session's 32 partitions never
+    // coalesce — the stages probe measured three 32-task stages at
+    // ~0.5 s/task fixed overhead carrying ~36 of n33's 47 exec-seconds
+    // over ~256k-row batches. A deployment sizes this to its trigger
+    // volume; 8 matches runToTable's state sizing at this SF.
+    val prevShuf = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val query = reader.parquet(src)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -983,7 +992,8 @@ object StreamingQueries {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuf)
     lastBatchesTl.set(query.recentProgress.count(_.numInputRows > 0))
 
     // LM derivation from the merged partials — the same monoid merge a
@@ -1088,6 +1098,12 @@ object StreamingQueries {
     val reader0 = s.readStream.schema(dsirStageSchema)
     val reader = filesPerTrigger.fold(reader0)(n =>
       reader0.option("maxFilesPerTrigger", n.toString))
+    // size micro-batch shuffles to the batch, not the session — the
+    // runToTable convention applied to the foreachBatch gates (see
+    // streamCcnetScored; AQE is off inside a stream so nothing
+    // coalesces the session's 32 partitions)
+    val prevShuf = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val query = reader.parquet(src)
       .select(col("doc_id").cast("long"), col("text"), col("lang"))
       .writeStream
@@ -1129,7 +1145,8 @@ object StreamingQueries {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevShuf)
     lastBatchesTl.set(query.recentProgress.count(_.numInputRows > 0))
 
     // merge the per-batch partials — the same additive-monoid merge the
