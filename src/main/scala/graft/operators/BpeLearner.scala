@@ -93,14 +93,27 @@ object BpeLearner {
 
     // ONE corpus-scale pass: distinct words + frequencies (map-side
     // partial agg), seeded with per-character symbol arrays
-    var words = docs
+    val seed = docs
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
       .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
       .toDF("syms", "freq")
       .cache()
-    words.count() // materialize before the loop
+    val nWords = seed.count() // materialize before the loop
+    // size the LOOP's partitioning to the matrix, not the session (r17):
+    // the typed map defeats AQE and a cached plan keeps its shuffle
+    // partitioning, so the 12-round loop otherwise runs ~38 stages of 32
+    // near-empty tasks over a matrix of a few thousand rows (the stages
+    // probe charged t19 27 exec-seconds of which the real pair-count
+    // work is well under 1 s). ~64k sym-array rows per partition keeps a
+    // 100 TB-scale matrix (millions of distinct words) spread while a
+    // toy-SF matrix iterates in one task. Results are partition-count
+    // invariant by construction (BpeSpec).
+    val loopParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, (nWords + 65535L) / 65536L)).toInt
+    var words = seed.repartition(loopParts).localCheckpoint(true)
+    seed.unpersist()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var lastMaterialized = words // the cached seed matrix

@@ -95,7 +95,16 @@ object StreamingQueries {
       // paid the memory pressure (n16 measured 2.8 s -> 5.3 s across
       // its own passes before this). The checkpointed blocks are freed
       // by the caller's session reset / frame GC.
-      val out = s.table(name).localCheckpoint(true)
+      //
+      // coalesce(8) before the checkpoint (r17): the sink is a GATE
+      // result — bounded by the DuckDB compare by construction — but
+      // the memory-sink scan materialized at the session's default
+      // parallelism, so every downstream finisher (ordering, estimator
+      // joins, cdc merges) ran 32-task stages over a few thousand rows
+      // (the stages probe charged n32's sink copy alone 17.7
+      // exec-seconds). 8 matches the state-partition sizing above and
+      // keeps finisher stages data-sized.
+      val out = s.table(name).coalesce(8).localCheckpoint(true)
       s.catalog.dropTempView(name)
       out
     } finally restoreConf()
