@@ -210,6 +210,46 @@ object Bench {
     (walls(walls.length / 2), regime)
   }
 
+  /** Isolated-vs-sweep adjudication (r18, closing r16 verdict #6's last
+    * gap): the dedicated-session re-measure replaces the in-sweep median
+    * unconditionally, but the storm rule's reference is the query's OWN
+    * min-exec pass — so an isolation phase landing in a host degradation
+    * window (every pass uniformly inflated: flat bytes, 2-8x exec) flags
+    * nothing and silently publishes the inflated median. The r17 driver
+    * artifact did exactly this: q40 printed 12.24 s and n18 14.08 s from
+    * the end-of-run isolation phase while their in-sweep medians and
+    * same-machine standalone re-measures sat at 4.9-6.0 / ~3.0 s.
+    *
+    * Fix: pool the sweep and isolated steady passes of the SAME query
+    * (same plan, same data, same protocol) and judge each isolated pass
+    * against the POOLED min-exec reference. The isolated median is the
+    * number of record only when at least one isolated pass survives that
+    * test; otherwise the sweep median stands and the regime says so
+    * ("iso_degraded+<sweep regime>"). The bias argument is one-sided:
+    * sweep sediment and isolation-window degradation both INFLATE, so
+    * whichever session holds the quiet pass is the honest reference.
+    * Returns (median, regime, useIsolated).
+    */
+  private[graft] def isoOrSweepMedian(sweepSteady: Seq[Pass],
+      isoSteady: Seq[Pass]): (Double, String, Boolean) = {
+    if (isoSteady.isEmpty) {
+      val (m, r) = steadyMedian(sweepSteady); return (m, r, false)
+    }
+    val pooled = sweepSteady ++ isoSteady
+    val ref = pooled.minBy(_.execSec)
+    val isoQuiet = isoSteady.filterNot(p => isStormVs(ref, p))
+    if (isoQuiet.nonEmpty) {
+      val walls = isoQuiet.map(_.wall).sorted
+      val regime =
+        if (isoQuiet.size == isoSteady.size) "quiet"
+        else "storm_excluded"
+      (walls(walls.length / 2), regime, true)
+    } else {
+      val (m, r) = steadyMedian(sweepSteady)
+      (m, s"iso_degraded+$r", false)
+    }
+  }
+
   /** Post-pass settle: the listener bus drains task-end events
     * asynchronously, and a fixed sleep after a heavy pass can let the
     * tail bleed into the NEXT pass's exec/bytes delta (a spurious storm
@@ -291,7 +331,21 @@ object Bench {
     }
     val loadEnd = loadAvg()
     val isoByName = isolated.map(r => r.name -> r).toMap
-    val results = sweep.map(r => isoByName.getOrElse(r.name, r))
+    val sweepByName = sweep.map(r => r.name -> r).toMap
+    // adjudicate each isolated re-measure against the sweep's passes of
+    // the same query (see isoOrSweepMedian): a degraded isolation phase
+    // falls back to the sweep median instead of publishing the inflated
+    // dedicated-session number
+    val results = sweep.map { r =>
+      isoByName.get(r.name) match {
+        case None => r
+        case Some(iso) =>
+          val (median, regime, useIso) = isoOrSweepMedian(r.steady, iso.steady)
+          if (useIso) iso.copy(median = median, regime = regime)
+          else r.copy(median = median, regime = regime)
+      }
+    }
+    val isoFallbacks = results.count(_.regime.startsWith("iso_degraded"))
 
     def ms(v: Double): String = f"$v%.3f"
     def map(kv: Seq[(String, Double)]): String =
@@ -359,6 +413,21 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"pass_probe","fields":{"exec":"per-steady-pass task exec_run sec","mb":"per-steady-pass shuffle bytes MB","storm":"per-steady-pass flag: exec_run > 2x best pass on ~identical bytes","cold_exec":"cold pass exec_run sec","cold_mb":"cold pass shuffle MB","cold_storm":"cold pass flagged vs best steady pass (cold JIT inflates exec too - read with cold_jit in pass_diag)","regime":"median regime: quiet | storm_excluded | all_storm","best":"best steady wall sec"},"queries":$kv}"""
     }
+    // raw isolated passes + the iso-vs-sweep decision, ALWAYS published
+    // even when the sweep median stood — the adjudication must be
+    // auditable from the artifact alone
+    val isoLine = {
+      val kv = isolated.map { r =>
+        val sw = sweepByName(r.name)
+        val (_, _, useIso) = isoOrSweepMedian(sw.steady, r.steady)
+        "\"" + r.name + "\":{" +
+          s""""iso_walls":[${r.steady.map(p => ms(p.wall)).mkString(",")}],""" +
+          s""""iso_exec":[${r.steady.map(p => ms(p.execSec)).mkString(",")}],""" +
+          s""""iso_mb":[${r.steady.map(p => ms(p.shuffleMb)).mkString(",")}],""" +
+          s""""sweep_median":${ms(sw.median)},"used":"${if (useIso) "isolated" else "sweep"}"}"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"iso_probe","note":"dedicated-session re-measure passes judged against the pooled sweep+iso min-exec reference (isoOrSweepMedian); used=sweep means every isolated pass storm-flagged vs that reference and the in-sweep median stands","queries":$kv}"""
+    }
     val bestLine = s"""{"metric":"steady_best","value":${ms(results.map(_.steady.map(_.wall).min).sum)},"unit":"sec","queries":${map(results.map(r => r.name -> r.steady.map(_.wall).min))},"note":"best steady pass per query - the storm-regime number of record"}"""
 
     // compact summary, printed LAST: guaranteed to fit the harness tail.
@@ -369,12 +438,13 @@ object Bench {
     val stormCount = stormByName.valuesIterator.map(_.count(identity)).sum
     val coldStormCount = results.count(r => isStormVs(r.steady.minBy(_.execSec), r.cold))
     val regimeCounts = results.groupBy(_.regime).map { case (k, v) => s""""$k":${v.size}""" }.mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(slowest)},"sf":"$sfDir","n_queries":${results.size},"steady_passes":$steadyPasses,"cold_total":${ms(coldTotal)},"sweep_total":${ms(sweepTotal)},"best_total":${ms(bestTotal)},"storm_pass_count":$stormCount,"cold_storm_count":$coldStormCount,"median_regimes":$regimeCounts,"isolated":${isolated.size},$sitting,"note":"value = sum of STORM-EXCLUDED per-query steady medians (regime per query in pass_probe); slowest-$isolateSlowest re-measured in dedicated sessions; best_total = storm-regime number of record; full maps in $outPath"}"""
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${map(slowest)},"sf":"$sfDir","n_queries":${results.size},"steady_passes":$steadyPasses,"cold_total":${ms(coldTotal)},"sweep_total":${ms(sweepTotal)},"best_total":${ms(bestTotal)},"storm_pass_count":$stormCount,"cold_storm_count":$coldStormCount,"median_regimes":$regimeCounts,"isolated":${isolated.size},"iso_fallbacks":$isoFallbacks,$sitting,"note":"value = sum of STORM-EXCLUDED per-query steady medians (regime per query in pass_probe); slowest-$isolateSlowest re-measured in dedicated sessions; best_total = storm-regime number of record; full maps in $outPath"}"""
 
     println(coldLine)
     passLines.foreach(println)
     println(diagLine)
     println(probeLine)
+    println(isoLine)
     println(bestLine)
     println(sweepLine)
     println(fullLine)
@@ -386,7 +456,7 @@ object Bench {
       val out = java.nio.file.Paths.get(outPath)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out,
-        ((Seq(coldLine) ++ passLines ++ Seq(diagLine, probeLine, bestLine, sweepLine, fullLine, summary)).mkString("\n") + "\n").getBytes("UTF-8"))
+        ((Seq(coldLine) ++ passLines ++ Seq(diagLine, probeLine, isoLine, bestLine, sweepLine, fullLine, summary)).mkString("\n") + "\n").getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"[bench] write failed: $e") }
   }
 }

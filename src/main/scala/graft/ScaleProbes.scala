@@ -174,12 +174,13 @@ object ScaleProbes {
           s"/tmp/graft_n32delta/p${ProcessHandle.current().pid()}")
         fresh.repartition(8).write.mode("overwrite").parquet(dir)
         val shufW = new java.util.concurrent.atomic.AtomicLong
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        val shufListener = new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
             val m = te.taskMetrics
             if (m != null) shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           }
-        })
+        }
+        spark.sparkContext.addSparkListener(shufListener)
         Seq(("full", false), ("delta", true), ("full2", false), ("delta2", true))
           .foreach { case (label, changed) =>
             val s0 = shufW.get; val t0 = System.nanoTime()
@@ -190,6 +191,9 @@ object ScaleProbes {
               f""""shuffle_write_mb":${(shufW.get - s0) >> 20},""" +
               f""""wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
           }
+        // repeated probe invocations in one session must not accumulate
+        // listeners (ADVICE r17)
+        spark.sparkContext.removeSparkListener(shufListener)
 
       case "stages" :: name :: sfDir :: armRest
           if armRest.isEmpty || armRest == List("gate") =>
@@ -209,7 +213,7 @@ object ScaleProbes {
           tasks: Int)
         val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]
         @volatile var record = false
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        val stageListener = new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
             if (record) {
@@ -222,7 +226,8 @@ object ScaleProbes {
                 m.shuffleWriteMetrics.bytesWritten / 1048576.0,
                 si.numTasks))
             }
-        })
+        }
+        spark.sparkContext.addSparkListener(stageListener)
         def reset(): Unit = {
           spark.sharedState.cacheManager.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -240,6 +245,9 @@ object ScaleProbes {
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300) // listener drain
         record = false
+        // stale listeners otherwise keep firing (and retaining their
+        // queues) across repeated probe invocations (ADVICE r17)
+        spark.sparkContext.removeSparkListener(stageListener)
         import scala.jdk.CollectionConverters._
         val all = stages.asScala.toSeq.sortBy(-_.execMs)
         println(f"""[probe] {"probe":"stages","q":"$name","sf":"$sfDir","wall_sec":$wall%.2f,"n_stages":${all.size},"exec_total_sec":${all.map(_.execMs).sum / 1e3}%.1f}""")

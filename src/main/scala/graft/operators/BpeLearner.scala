@@ -84,6 +84,18 @@ object BpeLearner {
       case (syms, (a, b)) => mergePair(syms, a, b)
     }
 
+  /** Dataset.unpersist on a localCheckpoint'd frame is a cacheManager
+    * no-op — the checkpoint BLOCKS are only freed when the underlying
+    * RDD is GC'd (ADVICE r17). Reach the checkpointed RDD through the
+    * LogicalRDD node the checkpoint returned and unpersist it directly,
+    * so each loop round's retired matrix releases its blocks eagerly
+    * instead of waiting for a session reset.
+    */
+  private def freeCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Learn `steps` BPE merges over the word-frequency matrix of `docs`.
     * Returns one row per merge: (step, left, right, pair_count).
     */
@@ -148,12 +160,15 @@ object BpeLearner {
           // saves a full materialization job)
           if (step % 2 == 0 || step == steps) {
             words = mapped.localCheckpoint(true)
-            lastMaterialized.unpersist()
+            freeCheckpointBlocks(lastMaterialized)
             lastMaterialized = words
           } else words = mapped
           step += 1
       }
     }
+    // the final matrix is not part of the result (merges is a driver
+    // buffer) — release its checkpoint blocks before returning
+    freeCheckpointBlocks(lastMaterialized)
     // lhs/rhs, not left/right: the latter are SQL reserved words and the
     // gate oracle quotes them differently per engine
     spark.createDataset(merges.toSeq)

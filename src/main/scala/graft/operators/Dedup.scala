@@ -1139,11 +1139,24 @@ object Dedup {
     */
   private[graft] def reassembleSegments(docIds: DataFrame, segs: DataFrame,
       kept: DataFrame): DataFrame = {
-    val perDoc = kept.groupBy("doc_id").agg(
-      count(lit(1)).cast("long").as("kept_segments"),
-      md5(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
-          s => s("seg")))).as("cleaned_hash"))
+    // r18 (r17 deferred #4, the scrubSpans lesson): the per-doc
+    // collect_list + array_sort + concat_ws + md5 is an
+    // ObjectHashAggregate that materializes every doc's segment array
+    // AND its full concatenated string per row — the stages probe
+    // charged n29's two assembly stages 4.5-4.9 s of task GC each at
+    // sf0.1. The typed arm shuffles the SAME (doc_id, seg_idx, seg)
+    // rows but sorts within partitions and streams each doc's segments
+    // straight into one MessageDigest (no array, no concatenated
+    // string, one digest + counter per doc). seg_idx is unique per doc,
+    // so sorting by (doc_id, seg_idx) reproduces
+    // array_sort(struct(seg_idx, seg)) exactly; concat_ws(" ") never
+    // sees nulls here (seg is an array_join output). The old aggregate
+    // stays behind SPARK_GRAFT_N29=agg as the A/B counter-arm, and the
+    // d18/n29 oracles recompute cleaned_hash independently.
+    val perDoc =
+      if (sys.env.get("SPARK_GRAFT_N29").contains("agg"))
+        reassembleKeptAgg(kept)
+      else reassembleKeptTyped(kept)
     val totals = segs.groupBy("doc_id")
       .agg((max(col("seg_idx")) + 1).cast("long").as("n_segments"))
     docIds
@@ -1155,6 +1168,60 @@ object Dedup {
         (coalesce(col("n_segments"), lit(0L)) - coalesce(col("kept_segments"), lit(0L)))
           .as("removed_segments"),
         coalesce(col("cleaned_hash"), md5(lit(""))).as("cleaned_hash"))
+  }
+
+  /** [[reassembleSegments]]'s per-doc summary, original aggregate form
+    * (collect_list + array_sort + concat_ws + md5) — the
+    * SPARK_GRAFT_N29=agg A/B counter-arm. */
+  private[graft] def reassembleKeptAgg(kept: DataFrame): DataFrame =
+    kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("long").as("kept_segments"),
+      md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s("seg")))).as("cleaned_hash"))
+
+  /** [[reassembleSegments]]'s per-doc summary as a typed sorted
+    * pointer-walk (the scrubSpans pattern): same shuffle bytes, a sort
+    * instead of an object-aggregate buffer, zero per-doc array or
+    * concatenated-string allocation. Byte-identical output to
+    * [[reassembleKeptAgg]] (spec-pinned; the oracle recomputes the md5
+    * independently at every gated SF). */
+  private[graft] def reassembleKeptTyped(kept: DataFrame): DataFrame = {
+    val spark = kept.sparkSession
+    import spark.implicits._
+    kept
+      .select(col("doc_id").cast("long"), col("seg_idx").cast("int"), col("seg"))
+      .repartition(col("doc_id"))
+      .sortWithinPartitions("doc_id", "seg_idx")
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        val bit = it.buffered
+        new Iterator[(Long, Long, String)] {
+          def hasNext: Boolean = bit.hasNext
+          def next(): (Long, Long, String) = {
+            val doc = bit.head._1
+            md.reset()
+            var n = 0L
+            while (bit.hasNext && bit.head._1 == doc) {
+              val seg = bit.next()._3
+              if (n > 0L) md.update(' '.toByte)
+              md.update(seg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              n += 1L
+            }
+            val dig = md.digest()
+            val sb = new java.lang.StringBuilder(32)
+            var i = 0
+            while (i < 16) {
+              val b = dig(i) & 0xff
+              sb.append(hex(b >> 4)); sb.append(hex(b & 15)); i += 1
+            }
+            (doc, n, sb.toString)
+          }
+        }
+      }
+      .toDF("doc_id", "kept_segments", "cleaned_hash")
   }
 
   /** Span scrub — the REMOVAL step that completes Lee et al. 2022's

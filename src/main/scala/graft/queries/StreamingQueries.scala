@@ -970,9 +970,13 @@ object StreamingQueries {
     // ~0.5 s/task fixed overhead carrying ~36 of n33's 47 exec-seconds
     // over ~256k-row batches. A deployment sizes this to its trigger
     // volume; 8 matches runToTable's state sizing at this SF.
+    // conf save/restore is exception-safe (ADVICE r17): the try covers
+    // query CONSTRUCTION and start() too, so an analysis error or bad
+    // path can't leave the session pinned at 8 partitions
     val prevShuf = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query = reader.parquet(src)
+    val query = try {
+      val q = reader.parquet(src)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val dpB = batch
@@ -1001,8 +1005,9 @@ object StreamingQueries {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    try query.awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuf)
+      q.awaitTermination()
+      q
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuf)
     lastBatchesTl.set(query.recentProgress.count(_.numInputRows > 0))
 
     // LM derivation from the merged partials — the same monoid merge a
@@ -1111,9 +1116,11 @@ object StreamingQueries {
     // runToTable convention applied to the foreachBatch gates (see
     // streamCcnetScored; AQE is off inside a stream so nothing
     // coalesces the session's 32 partitions)
+    // exception-safe save/restore, as in streamCcnetScored (ADVICE r17)
     val prevShuf = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query = reader.parquet(src)
+    val query = try {
+      val q = reader.parquet(src)
       .select(col("doc_id").cast("long"), col("text"), col("lang"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -1154,8 +1161,9 @@ object StreamingQueries {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    try query.awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevShuf)
+      q.awaitTermination()
+      q
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuf)
     lastBatchesTl.set(query.recentProgress.count(_.numInputRows > 0))
 
     // merge the per-batch partials — the same additive-monoid merge the
@@ -1388,12 +1396,13 @@ object StreamingQueries {
     histTableLock.synchronized {
       if (!s.catalog.tableExists(occT) || !s.catalog.tableExists(statsT)) {
         dropStaleLocation(s, occT); dropStaleLocation(s, statsT)
+        val nb = atRestBuckets(hist, floorWidth = true)
         Dedup.spanOcc(hist)
-          .repartition(32, col("h1"), col("h2"))
-          .write.mode("overwrite").bucketBy(32, "h1", "h2").saveAsTable(occT)
+          .repartition(nb, col("h1"), col("h2"))
+          .write.mode("overwrite").bucketBy(nb, "h1", "h2").saveAsTable(occT)
         s.table(occT).groupBy("h1", "h2")
           .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-          .write.mode("overwrite").bucketBy(32, "h1", "h2").saveAsTable(statsT)
+          .write.mode("overwrite").bucketBy(nb, "h1", "h2").saveAsTable(statsT)
       }
     }
     (s.table(occT), s.table(statsT))
@@ -1570,16 +1579,17 @@ object StreamingQueries {
           !s.catalog.tableExists(shT)) {
         dropStaleLocation(s, bandsT); dropStaleLocation(s, statsT)
         dropStaleLocation(s, shT)
+        val nb = atRestBuckets(hist)
         val sh = Dedup.minhashSignatures(hist).localCheckpoint(true)
         sh.select("doc_id", "sh")
-          .repartition(32, col("doc_id"))
-          .write.mode("overwrite").bucketBy(32, "doc_id").saveAsTable(shT)
+          .repartition(nb, col("doc_id"))
+          .write.mode("overwrite").bucketBy(nb, "doc_id").saveAsTable(shT)
         Dedup.bandTable(sh)
-          .repartition(32, col("band"), col("bsig"))
-          .write.mode("overwrite").bucketBy(32, "band", "bsig").saveAsTable(bandsT)
+          .repartition(nb, col("band"), col("bsig"))
+          .write.mode("overwrite").bucketBy(nb, "band", "bsig").saveAsTable(bandsT)
         s.table(bandsT).groupBy("band", "bsig")
           .agg(count(lit(1)).as("hbn"))
-          .write.mode("overwrite").bucketBy(32, "band", "bsig").saveAsTable(statsT)
+          .write.mode("overwrite").bucketBy(nb, "band", "bsig").saveAsTable(statsT)
       }
     }
     (s.table(bandsT), s.table(statsT), s.table(shT))
@@ -1592,13 +1602,50 @@ object StreamingQueries {
     * checkpoint of the full 50M-row history at sf10) was the gate
     * harness's dominant repeated cost, and checkpoint blocks don't
     * survive the bench's session reset — catalog tables do. Bucketed by
-    * `h` (32, matching the session's shuffle width) so the owner
+    * `h` ([[atRestBuckets]] — size-derived since r18) so the owner
     * aggregate and every h-keyed join read the layout exchange-free,
     * the same property the checkpoint pattern bought. Stale-data note:
     * like `Similarity.ivfIndexFor`, rewriting the files under `key`
     * mid-session requires dropping the tables.
     */
   private val histTableLock = new Object
+
+  /** At-rest bucket count for the session-cached history indexes,
+    * derived from the indexed source's size instead of the fixed 32
+    * (r17 deferred #3): one bucket per ~16 MB of compressed source
+    * bytes, clamped to [8, 4096]. At sf0.1 (documents ≈ 0.6 MB) and
+    * sf10 (60 MB) this derives the 8 floor for the SMALL indexes
+    * (minhash bands/stats/shingles, segment owner) — measured win at
+    * sf0.1 (the assembly scans stop paying a 33-task stage of this
+    * host's fixed per-task floor) and wash-or-better at sf10
+    * (OPTIMIZATION_r18 #2) — and a 100 TB history derives the 4096 cap
+    * (a deployment re-buckets as the corpus grows; the bucket count
+    * only sets layout, never results — the d02/d18 oracles gate that).
+    * sizeInBytes is the relation estimate (no action), the same signal
+    * AQE sizes exchanges with.
+    *
+    * `floorWidth`: the span-position occ index expands its source ~36x
+    * (measured at sf10: 60 MB documents → 2.2 GB index witness) and a
+    * bucketed scan CANNOT split buckets, so a corpus-scale index with
+    * fewer buckets than cores starves every steady-pass scan — the
+    * sf10 A/B measured n30 at 240 s on 8 buckets vs 101 s on 32.
+    * Tables flagged floorWidth never derive fewer buckets than
+    * defaultParallelism (the executor width of THIS session; scales
+    * with the deployment instead of hard-coding 32).
+    */
+  private def atRestBuckets(src: DataFrame, floorWidth: Boolean = false): Int =
+    sys.env.get("SPARK_GRAFT_ATREST_BUCKETS") match {
+      // A/B counter-arm (same-sitting comparisons, the d12 rule) and a
+      // deployment override
+      case Some(n) => n.toInt
+      case None =>
+        val bytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+        val floor =
+          if (floorWidth) src.sparkSession.sparkContext.defaultParallelism
+          else 8
+        val target = bytes / (16L * 1024 * 1024)
+        target.min(BigInt(4096)).max(BigInt(floor.max(8))).toInt
+    }
 
   /** The in-memory catalog doesn't survive process restarts but the
     * warehouse FILES do — a table absent from the catalog whose location
@@ -1624,12 +1671,13 @@ object StreamingQueries {
     histTableLock.synchronized {
       if (!s.catalog.tableExists(segsT) || !s.catalog.tableExists(ownerT)) {
         dropStaleLocation(s, segsT); dropStaleLocation(s, ownerT)
+        val nb = atRestBuckets(hist)
         Dedup.segmentize(hist)
-          .repartition(32, col("h"))
-          .write.mode("overwrite").bucketBy(32, "h").saveAsTable(segsT)
+          .repartition(nb, col("h"))
+          .write.mode("overwrite").bucketBy(nb, "h").saveAsTable(segsT)
         s.table(segsT).groupBy("h")
           .agg(min(struct(col("doc_id"), col("seg_idx"))).as("own"))
-          .write.mode("overwrite").bucketBy(32, "h").saveAsTable(ownerT)
+          .write.mode("overwrite").bucketBy(nb, "h").saveAsTable(ownerT)
       }
     }
     (s.table(segsT), s.table(ownerT))

@@ -76,6 +76,26 @@ class DedupSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("reassembly typed kernel is byte-identical to the aggregate arm (r18)") {
+    import spark.implicits._
+    // multi-segment docs, out-of-order seg_idx arrival, multi-byte UTF-8,
+    // a gap (seg 1 removed), and a single-segment doc
+    val kept = Seq(
+      (1L, 2, "c dd"), (1L, 0, "a b"), (1L, 3, "é ü 漢"),
+      (2L, 0, "only"),
+      (3L, 5, "tail"), (3L, 4, "head x")
+    ).toDF("doc_id", "seg_idx", "seg")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val agg = rows(Dedup.reassembleKeptAgg(kept))
+    val typed = rows(Dedup.reassembleKeptTyped(kept))
+    assert(typed == agg)
+    assert(agg(1L) == (3L, md5Hex("a b c dd é ü 漢")))
+    assert(agg(3L) == (2L, md5Hex("head x tail")))
+    // partition-layout invariance of the typed walk
+    assert(rows(Dedup.reassembleKeptTyped(kept.repartition(7))) == agg)
+  }
+
   test("repetition signals match hand-computed micro-fractions") {
     import spark.implicits._
     val df = Seq(
